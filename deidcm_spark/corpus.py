@@ -252,6 +252,12 @@ def _bulk_tag_pool() -> list[tuple[str, str]]:
     return pool
 
 
+def has_media(idx: int, media_rate: float) -> bool:
+    """Hash-based media membership — computable independently of the span
+    RNG stream so payload/box synthesis can align with the documents."""
+    return (idx * 2_246_822_519 % 1_000) < int(media_rate * 1_000)
+
+
 def doc_spans(idx: int, seed: int, tags_per_doc: int, media_rate: float, hot: bool) -> list[dict]:
     """Deterministic spans for document #idx (pure function of arguments)."""
     rng = random.Random(seed * 1_000_003 + idx)
@@ -263,7 +269,7 @@ def doc_spans(idx: int, seed: int, tags_per_doc: int, media_rate: float, hot: bo
     for _ in range(n - 1):
         tag, vr = pool[rng.randrange(len(pool))]
         spans.append(text_span(attr_key(tag, vr), value_for_vr(vr, rng), len(spans)))
-    if rng.random() < media_rate:
+    if has_media(idx, media_rate):
         spans.append(media_span(f"m_{seed}_{idx}", len(spans)))
     return spans
 
@@ -303,3 +309,92 @@ def synth_documents(
 
     rng = spark.range(n_docs, numPartitions=num_partitions)
     return rng.mapInPandas(gen, DOCUMENTS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# media ground truth — payloads + embedded OCR boxes
+# ---------------------------------------------------------------------------
+# Analogue of the reference's synthetic OCR harness: text burned onto images
+# with a known ground-truth grid (deid_verification.py:137-229) and the
+# white-text-on-black-background golden (tests/test_ocr_deidentification.py:
+# 52-65).  Box categories deliberately cover every redaction gate: normal
+# words (redacted), len-1 words (skipped), authorized words (exempt),
+# low-confidence first boxes (whole image passes through), edge boxes
+# (margin clamping).
+
+MEDIA_W = MEDIA_H = 96
+
+_BOX_WORDS = ["JTRX4", "DSLC72", "PATIENT", "X", "HELLO", "SHOCR", "NAME22"]
+
+
+def media_ground_truth(idx: int, seed: int) -> tuple[dict, list[dict]]:
+    """(payload_row, box_rows) for media ref ``m_{seed}_{idx}`` — pure fn."""
+    import numpy as np
+
+    rng = random.Random(seed * 7_368_787 + idx)
+    ref = f"m_{seed}_{idx}"
+    arr = np.zeros((MEDIA_H, MEDIA_W), dtype=np.uint8)
+    n_boxes = rng.randint(0, 4)
+    boxes: list[dict] = []
+    low_conf_first = n_boxes > 0 and rng.random() < 0.15
+    for b in range(n_boxes):
+        x1 = rng.randint(0, MEDIA_W - 20)
+        y1 = rng.randint(0, MEDIA_H - 12)
+        x2 = min(MEDIA_W - 1, x1 + rng.randint(8, 24))
+        y2 = min(MEDIA_H - 1, y1 + rng.randint(4, 10))
+        word = _BOX_WORDS[rng.randrange(len(_BOX_WORDS))]
+        conf = 0.1 if (b == 0 and low_conf_first) else round(0.35 + rng.random() * 0.6, 3)
+        arr[y1 : y2 + 1, x1 : x2 + 1] = 200  # white-ish burned-in text blob
+        boxes.append(
+            {
+                "media_ref": ref, "box_idx": b, "x1": x1, "y1": y1,
+                "x2": x2, "y2": y2, "word": word, "confidence": conf,
+            }
+        )
+    payload = {
+        "media_ref": ref, "width": MEDIA_W, "height": MEDIA_H,
+        "channels": 1, "bits": 8, "pixels": arr.tobytes(),
+    }
+    return payload, boxes
+
+
+def _media_indices(n_docs: int, media_rate: float) -> list[int]:
+    return [i for i in range(n_docs) if has_media(i, media_rate)]
+
+
+def synth_media(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    media_rate: float = 0.1,
+    num_partitions: int | None = None,
+):
+    """(media_payloads_df, ocr_boxes_df) aligned with synth_documents.
+
+    Generated executor-side from the media index list (small: n_docs ×
+    media_rate ids, bytes stay on executors).
+    """
+    import pandas as pd
+
+    from deidcm_spark.schema import MEDIA_PAYLOADS_SCHEMA, OCR_BOXES_SCHEMA
+
+    idx_df = spark.createDataFrame(
+        [(i,) for i in _media_indices(n_docs, media_rate)], "idx: long"
+    )
+    if num_partitions:
+        idx_df = idx_df.repartition(num_partitions)
+
+    def gen_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [media_ground_truth(int(i), seed)[0] for i in pdf["idx"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_PAYLOADS_SCHEMA])
+
+    def gen_boxes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [b for i in pdf["idx"] for b in media_ground_truth(int(i), seed)[1]]
+            yield pd.DataFrame(rows, columns=[f.name for f in OCR_BOXES_SCHEMA])
+
+    return (
+        idx_df.mapInPandas(gen_payloads, MEDIA_PAYLOADS_SCHEMA),
+        idx_df.mapInPandas(gen_boxes, OCR_BOXES_SCHEMA),
+    )

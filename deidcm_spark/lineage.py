@@ -1,0 +1,140 @@
+"""Checkpointed, resumable de-identification job with per-partition lineage.
+
+The reference has NO resume story: a rerun wipes the output directory and
+starts over (``deidcm/dicom/deid_mammogram.py:294-296``).  At 10^12 documents
+a job WILL lose executors/the driver mid-run, so the engine processes the
+corpus in ``n_buckets`` salted hash buckets (``pmod(xxhash64(doc_id, salt),
+n_buckets)``) and records one lineage row per committed bucket.
+
+Commit protocol (Iceberg-snapshot emulation over plain parquet — this
+sandbox has no Iceberg runtime jar; with Iceberg the output append and the
+lineage append would ride one transaction, see SURVEY.md §4):
+
+1. output rows are written ``partitionBy(bucket)`` with DYNAMIC partition
+   overwrite — rewriting a bucket is idempotent, so a crash between steps 1
+   and 2 leaves an orphan bucket directory that the resume simply rewrites;
+2. a lineage row (bucket, doc/span/action counters, status=committed) is
+   appended only after the bucket's data is on disk.
+
+Resume = anti-join of the bucket domain against committed lineage: only
+missing buckets are recomputed.  Bucket metrics are aggregated from the
+WRITTEN output (column-pruned parquet read of the counter columns), never by
+re-running the UDF stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from deidcm_spark.operators.deidentify import deidentify_attributes
+
+
+def _lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def _data_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "data")
+
+
+def committed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> set[int]:
+    path = _lineage_path(out_dir)
+    try:
+        lineage = spark.read.parquet(path)
+    except Exception:
+        return set()
+    rows = (
+        lineage.filter((F.col("run_id") == run_id) & (F.col("status") == "committed"))
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    return {r["bucket"] for r in rows}
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(_lineage_path(out_dir))
+    except Exception:
+        return None
+
+
+def run_deid_job(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str,
+    org_root: str,
+    salt: str = "deidcm_spark",
+    n_buckets: int = 32,
+    run_id: str = "run0",
+    max_buckets_this_attempt: int | None = None,
+) -> dict:
+    """Process all not-yet-committed buckets; returns a summary dict.
+
+    ``max_buckets_this_attempt`` exists for failure-injection tests: it
+    commits only the first K pending buckets and stops, simulating a crash
+    partway through the corpus.
+    """
+    done = committed_buckets(spark, out_dir, run_id)
+    pending = sorted(set(range(n_buckets)) - done)
+    if max_buckets_this_attempt is not None:
+        pending = pending[:max_buckets_this_attempt]
+    summary = {"run_id": run_id, "committed_before": len(done), "processed": 0}
+    if not pending:
+        return summary
+
+    bucketed = documents.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(n_buckets)).cast("int"),
+    )
+    todo = bucketed.filter(F.col("bucket").isin(pending))
+    # salted repartition happens here: one shuffle, partitioned by bucket so
+    # the dynamic-overwrite write is aligned with the processing partitions
+    todo = todo.repartition(len(pending), "bucket")
+    result = deidentify_attributes(todo, org_root, salt, with_metrics=True)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        result.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(_data_path(out_dir))
+    )
+
+    # lineage metrics from the WRITTEN data (column-pruned scan, no recompute)
+    written = spark.read.parquet(_data_path(out_dir)).filter(
+        F.col("bucket").isin(pending)
+    )
+    # right-join against the full pending list so EMPTY buckets also commit
+    # (otherwise a doc-less bucket would be "pending" forever on resume)
+    pending_df = spark.createDataFrame([(b,) for b in pending], "bucket: int")
+    lineage_rows = (
+        written.groupBy("bucket")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum(F.col("n_removed") + F.col("n_erased") + F.col("n_pseudonymized") + F.col("n_kept"))
+            .cast("int")
+            .alias("n_spans_in"),
+            F.sum(F.size("spans")).cast("int").alias("n_spans_out"),
+            F.sum("n_removed").cast("int").alias("n_removed"),
+            F.sum("n_erased").cast("int").alias("n_erased"),
+            F.sum("n_pseudonymized").cast("int").alias("n_pseudonymized"),
+            F.sum("n_kept").cast("int").alias("n_kept"),
+        )
+        .join(pending_df, "bucket", "right")
+        .na.fill(0)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("status", F.lit("committed"))
+        .select(
+            "run_id", "bucket", "n_docs", "n_spans_in", "n_spans_out",
+            "n_removed", "n_erased", "n_pseudonymized", "n_kept", "status",
+        )
+    )
+    lineage_rows.write.mode("append").parquet(_lineage_path(out_dir))
+    summary["processed"] = len(pending)
+    return summary
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(_data_path(out_dir))

@@ -189,13 +189,14 @@ def deidentify_attributes(
     if num_partitions:
         df = df.repartition(num_partitions, F.xxhash64("doc_id", F.lit(salt)))
     result = df.withColumn("_deid", udf(F.col("doc_id"), F.col("spans")))
+    # preserve any extra caller columns (e.g. a bucket id) — no self-join needed
+    passthrough = [c for c in df.columns if c not in ("doc_id", "spans")]
+    cols = ["doc_id", F.col("_deid.spans").alias("spans"), *passthrough]
     if with_metrics:
-        return result.select(
-            "doc_id",
-            F.col("_deid.spans").alias("spans"),
+        cols += [
             F.col("_deid.n_removed").alias("n_removed"),
             F.col("_deid.n_erased").alias("n_erased"),
             F.col("_deid.n_pseudonymized").alias("n_pseudonymized"),
             F.col("_deid.n_kept").alias("n_kept"),
-        )
-    return result.select("doc_id", F.col("_deid.spans").alias("spans"))
+        ]
+    return result.select(*cols)

@@ -157,7 +157,7 @@ def redact_pixels_oracle(
     out = pixels.copy()
     if not boxes:
         return out
-    boxes = sorted(boxes, key=lambda b: b["offset"] if "offset" in b else 0)
+    boxes = sorted(boxes, key=lambda b: b.get("box_idx", 0))
     if boxes[0]["confidence"] <= 0.3:
         return out
     words = load_authorized_words()

@@ -62,6 +62,7 @@ MEDIA_PAYLOADS_SCHEMA = StructType(
 OCR_BOXES_SCHEMA = StructType(
     [
         StructField("media_ref", StringType(), False),
+        StructField("box_idx", IntegerType(), False),
         StructField("x1", IntegerType(), False),
         StructField("y1", IntegerType(), False),
         StructField("x2", IntegerType(), False),

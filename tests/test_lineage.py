@@ -1,0 +1,94 @@
+"""Failure-injection + resume tests for the lineage-checkpointed job."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deidcm_spark import corpus
+from deidcm_spark.lineage import (
+    committed_buckets,
+    read_lineage,
+    read_output,
+    run_deid_job,
+)
+from deidcm_spark.operators.deidentify import deidentify_attributes
+
+ORG_ROOT = "9.9.9.9.9"
+SALT = "lineage_salt"
+N_BUCKETS = 8
+
+
+def _docs(spark, n=150):
+    return corpus.synth_documents(spark, n, seed=21, media_rate=0.1, skew=0.05)
+
+
+def _snapshot(df):
+    rows = [r.asDict(recursive=True) for r in df.select("doc_id", "spans").collect()]
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"])
+            for s in sorted(r["spans"], key=lambda s: s["offset"])
+        ]
+        for r in rows
+    }
+
+
+def test_crash_and_resume_produces_single_shot_result(spark, tmp_path):
+    docs = _docs(spark)
+    out_crash = str(tmp_path / "crash")
+    out_clean = str(tmp_path / "clean")
+
+    # attempt 1 "crashes" after 3 buckets
+    s1 = run_deid_job(spark, docs, out_crash, ORG_ROOT, SALT, N_BUCKETS, "r1",
+                      max_buckets_this_attempt=3)
+    assert s1["processed"] == 3
+    assert committed_buckets(spark, out_crash, "r1") == {0, 1, 2}
+
+    # resume completes only the remaining buckets
+    s2 = run_deid_job(spark, docs, out_crash, ORG_ROOT, SALT, N_BUCKETS, "r1")
+    assert s2["committed_before"] == 3
+    assert s2["processed"] == N_BUCKETS - 3
+
+    # single-shot reference run
+    run_deid_job(spark, docs, out_clean, ORG_ROOT, SALT, N_BUCKETS, "rX")
+
+    got = _snapshot(read_output(spark, out_crash))
+    want = _snapshot(read_output(spark, out_clean))
+    assert got == want
+    assert len(got) == docs.count()  # no duplicates, no losses
+
+
+def test_rerun_is_noop_after_completion(spark, tmp_path):
+    docs = _docs(spark, 60)
+    out = str(tmp_path / "noop")
+    run_deid_job(spark, docs, out, ORG_ROOT, SALT, N_BUCKETS, "r1")
+    s = run_deid_job(spark, docs, out, ORG_ROOT, SALT, N_BUCKETS, "r1")
+    assert s["processed"] == 0 and s["committed_before"] == N_BUCKETS
+
+
+def test_lineage_metrics_consistent(spark, tmp_path):
+    docs = _docs(spark, 100)
+    out = str(tmp_path / "metrics")
+    run_deid_job(spark, docs, out, ORG_ROOT, SALT, N_BUCKETS, "r1")
+    lineage = read_lineage(spark, out)
+    assert lineage is not None
+    agg = lineage.agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_spans_out").alias("spans_out"),
+        F.sum("n_removed").alias("removed"),
+    ).collect()[0]
+    assert agg["docs"] == 100
+    output = read_output(spark, out)
+    assert agg["spans_out"] == output.agg(F.sum(F.size("spans"))).collect()[0][0]
+    assert agg["removed"] > 0
+    # every bucket committed exactly once
+    per_bucket = lineage.groupBy("bucket").count().collect()
+    assert len(per_bucket) == N_BUCKETS
+    assert all(r["count"] == 1 for r in per_bucket)
+
+
+def test_output_equals_direct_pipeline(spark, tmp_path):
+    docs = _docs(spark, 80)
+    out = str(tmp_path / "direct")
+    run_deid_job(spark, docs, out, ORG_ROOT, SALT, N_BUCKETS, "r1")
+    direct = deidentify_attributes(docs, ORG_ROOT, SALT)
+    assert _snapshot(read_output(spark, out)) == _snapshot(direct)
