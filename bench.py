@@ -1,0 +1,110 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners:
+* deid_synth      — the engine's flagship: synthesize a span corpus on
+  executors and run the full de-identification pipeline (docs/sec reported
+  in extras);
+* deid_ingest     — ingest the sf documents table into span form + deid;
+* relational/dedup/text/similarity operators over the sf tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from deidcm_spark.corpus import synth_documents
+from deidcm_spark.operators.deidentify import deidentify_attributes
+from deidcm_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# deid bench corpus size scales with sf (sf0.1 → 20k docs ≈ 800k spans)
+def _sf() -> float:
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf = _sf()
+    n_docs = max(2000, int(200_000 * sf))
+    spark = get_spark(
+        app_name="deidcm_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: synthesized corpus → full pipeline (count forces execution)
+    docs = synth_documents(
+        spark, n_docs, seed=97, tags_per_doc=40, media_rate=0.1, skew=0.02,
+        num_partitions=CPUS * 2,
+    ).persist()
+    n_actual = docs.count()  # materialize corpus outside the timed window
+
+    def deid_synth():
+        out = deidentify_attributes(docs, "9.9.9.9.9", "bench", num_partitions=CPUS * 2)
+        out.agg(F.sum(F.size("spans"))).collect()
+
+    run("deid_synth", deid_synth)
+    extras["deid_docs_per_sec"] = round(n_actual / timings["deid_synth"], 1)
+    extras["deid_n_docs"] = n_actual
+    docs.unpersist()
+
+    qs = entry_mod.queries()
+    for name in [
+        "deid_ingest_testdata",
+        "q1_pricing_summary",
+        "join_customer_nation_region",
+        "anti_join_customers_without_orders",
+        "events_hourly",
+        "rule_classification",
+        "minhash_signatures",
+        "lsh_candidate_pairs",
+        "dedup_exact",
+        "quality_score",
+        "simhash",
+        "ann_threshold",
+        "media_redaction",
+    ]:
+        run(name, lambda n=name: qs[n](spark, SF_DIR).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extras": extras,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

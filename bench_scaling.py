@@ -1,0 +1,98 @@
+"""Two-parallelism scaling evidence (sandbox substitute for N vs 4N executors).
+
+Writes one deterministic corpus to parquet, then runs the IDENTICAL deid job
+via separate ``spark-submit --master local[8]`` and ``local[32]`` processes
+(fresh JVMs — no shared cache), reports docs/sec at both plus
+``efficiency = (throughput_32 / throughput_8) / 4`` into BENCH/BASELINE.md.
+
+north_rule criterion: efficiency ≥ 0.8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "60000"))
+CORPUS = "/tmp/scaling_corpus.parquet"
+LOW, HIGH = 8, 32
+
+
+def prepare_corpus() -> None:
+    from deidcm_spark.corpus import synth_documents
+    from deidcm_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_prep", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_documents(
+        spark, N_DOCS, seed=55, tags_per_doc=40, media_rate=0.05, skew=0.02,
+        num_partitions=64,
+    ).write.mode("overwrite").parquet(CORPUS)
+    spark.stop()
+
+
+def run_level(cores: int) -> dict:
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    res = subprocess.run(
+        [
+            "spark-submit", "--master", f"local[{cores}]",
+            "--conf", "spark.driver.memory=12g",
+            "tools/scaling_worker.py", CORPUS, str(cores * 2),
+        ],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=1800,
+    )
+    for line in res.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no result from local[{cores}]: {res.stdout[-500:]} {res.stderr[-1500:]}")
+
+
+def main() -> None:
+    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        prepare_corpus()
+    lo = run_level(LOW)
+    hi = run_level(HIGH)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (HIGH / LOW)
+    result = {
+        "n_docs": N_DOCS,
+        f"local[{LOW}]": lo,
+        f"local[{HIGH}]": hi,
+        "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "criterion": "efficiency >= 0.8 (north_rule, N vs 4N)",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH baseline — deidcm_spark
+
+## Throughput scaling (north_rule: efficiency >= 0.8 from N to 4N)
+
+Sandbox evidence per BASELINE.json: the same de-identification job, the same
+pre-written parquet corpus ({N_DOCS} documents, seed 55, skew 0.02), run in
+two fresh spark-submit processes at two parallelism levels.
+
+| parallelism | elapsed (s) | docs/sec |
+|---|---|---|
+| local[{LOW}]  | {lo['elapsed_sec']} | {lo['docs_per_sec']} |
+| local[{HIGH}] | {hi['elapsed_sec']} | {hi['docs_per_sec']} |
+
+* speedup {LOW}→{HIGH} cores (4×): **{result['speedup']}×**
+* scaling efficiency = (t{HIGH}/t{LOW})/4 = **{result['scaling_efficiency']}**
+* criterion ≥ 0.8: **{'PASS' if result['pass'] else 'FAIL'}**
+
+The reference (Epiconcept-Paris/deidcm) is a single-process pandas loop with
+no published numbers (see BASELINE.md at repo root); any positive scaling
+beats it, and the engine's single-node docs/sec above is its like-for-like
+throughput baseline.
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design notes for 100 TB:
+
+* every stage is JVM-side Spark SQL (codegen), no Python UDFs;
+* MinHash uses LEXICOGRAPHIC MIN over salted md5 STRINGS — portable to the
+  DuckDB oracle bit-for-bit (no engine-specific integer hash), and at scale
+  swappable for ``xxhash64`` by changing one expression;
+* LSH: 16 signatures → 4 bands × 4 rows; band key = md5 of the band slice;
+  candidate generation is a self-equi-join on (band_idx, band_key) — a
+  shuffle join on a short key, skew-safe because identical docs cap band
+  cardinality at the duplicate-cluster size (AQE skew split handles hot
+  bands);
+* candidate pairs are verified with exact Jaccard via explode + count
+  (map-side partial aggregation; no array cross products on the hot path).
+
+Shared spec with the oracle: tokens = non-empty ``\\s+`` splits of
+lower(text); shingles = distinct word 3-grams joined by single spaces;
+minhash_i = min over shingles of md5(shingle || '#' || i), i in 0..15.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from deidcm_spark.operators.textops import TOKENS
+
+N_MINHASH = 16
+N_BANDS = 4
+BAND_ROWS = 4
+
+SHINGLES = (
+    f"case when size({TOKENS}) >= 3 then "
+    f"array_distinct(transform(sequence(0, size({TOKENS}) - 3),"
+    f" i -> concat_ws(' ', {TOKENS}[i], {TOKENS}[i+1], {TOKENS}[i+2])))"
+    f" else array() end"
+)
+
+
+def dedup_exact(df: DataFrame) -> DataFrame:
+    """Exact dedup on normalized text: keep the smallest doc_id per group."""
+    norm = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
+    return (
+        df.select(F.expr(norm).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def minhash_signatures(df: DataFrame) -> DataFrame:
+    """doc_id + minhash[16] (md5-string minima) + shingle count."""
+    sigs = [
+        F.expr(f"array_min(transform({SHINGLES}, s -> md5(concat(s, '#{i}'))))").alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return df.select("doc_id", F.expr(f"size({SHINGLES})").alias("n_shingles"), *sigs)
+
+
+def lsh_bands(df: DataFrame) -> DataFrame:
+    """Explode signatures into (doc_id, band_idx, band_key) bucket rows."""
+    sig = minhash_signatures(df).filter("n_shingles > 0")
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]))
+            for b in range(N_BANDS)
+        ]
+    )
+    return (
+        sig.select("doc_id", F.posexplode(bands).alias("band_idx", "band_key"))
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band."""
+    b = lsh_bands(df)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def shingle_rows(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard over word-3-gram sets for LSH candidate pairs.
+
+    |A∩B| via explode+join+count, |A∪B| = |A|+|B|−|A∩B|; near-dup when
+    jaccard ≥ threshold.
+    """
+    cands = lsh_candidate_pairs(df)
+    sizes = df.select("doc_id", F.expr(f"size({SHINGLES})").alias("n_sh"))
+    sh = shingle_rows(df)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    bsh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a").join(bsh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("round(n_common / (n_a + n_b - n_common), 4)").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over distinct tokens: per-bit majority vote of token hashes.
+
+    Token hash = first 8 hex chars of md5(token) as bigint (portable).
+    """
+    toks = f"array_distinct({TOKENS})"
+    h = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+    bit_sums = [
+        F.expr(
+            f"aggregate({toks}, 0L, (acc, t) -> acc + (({h} >> {j}) & 1) * 2 - 1)"
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    with_bits = df.select("doc_id", F.expr(f"size({toks})").alias("n_toks"), *bit_sums)
+    sim = None
+    for j in range(bits):
+        term = (F.when(F.col(f"b{j}") > 0, 1).otherwise(0) * (1 << j))
+        sim = term if sim is None else sim + term
+    return with_bits.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    Brute-force O(n²) via self-join — correct baseline at test scale; the
+    scale path buckets by LSH sign-prefix first (similarity.ann_lsh_bucketed)
+    so the join fans out only within buckets.
+    """
+    from deidcm_spark.operators.similarity import COSINE_EXPR
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr(COSINE_EXPR.format(x="ea", y="eb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+Beyond the reference's scope (it de-identifies; a 100 TB corpus pipeline also
+filters and scores).  Everything here is pure ``pyspark.sql.functions`` /
+Spark SQL — whole-stage-codegen'd JVM expressions, zero Python on the hot
+path.  Each operator has an exactly-matching ANSI-SQL oracle (see
+``__spark_entry__.oracle_sql``); definitions below are the shared spec:
+
+* tokens(text)  = non-empty pieces of lower(text) split on ``\\s+``;
+* token md5 int = first 8 hex chars of md5(token) as a bigint;
+* all ratios rounded where they feed the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+
+# tiny marker-word lists for the n-gram/stopword language heuristic
+LANG_WORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "et", "est", "que", "pour", "dans", "avec"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
+    "es": ["el", "los", "las", "y", "un", "una", "es", "que", "para", "por"],
+}
+
+EN_STOPWORDS = LANG_WORDS["en"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def with_tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("tokens", F.expr(TOKENS))
+
+
+def token_count(df: DataFrame) -> DataFrame:
+    """Whitespace token counting (BPE-ish heuristic: words + a chars/4 bound)."""
+    return df.select(
+        "doc_id",
+        F.expr(f"size({TOKENS})").alias("n_tokens"),
+        F.expr("cast(ceil(length(text) / 4.0) as bigint)").alias("n_bpe_est"),
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score."""
+    toks = f"size({TOKENS})"
+    stop = f"size(filter({TOKENS}, t -> array_contains({_sql_list(EN_STOPWORDS)}, t)))"
+    punct = "length(text) - length(regexp_replace(text, '[.,;:!?]', ''))"
+    return df.select(
+        "doc_id",
+        F.expr(toks).alias("n_tokens"),
+        F.expr(f"round(length(text) / greatest({toks}, 1), 3)").alias("avg_token_len"),
+        F.expr(f"round(({punct}) / greatest(length(text), 1), 4)").alias("punct_ratio"),
+        F.expr(f"round(({stop}) / greatest({toks}, 1), 4)").alias("stopword_ratio"),
+        F.expr(
+            f"round(least({toks} / 100.0, 1.0)"
+            f" * (1.0 - ({punct}) / greatest(length(text), 1))"
+            f" * (0.5 + 0.5 * least(5.0 * ({stop}) / greatest({toks}, 1), 1.0)), 4)"
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Marker-word language heuristic with fixed tie-break en>fr>de>es."""
+    counts = {
+        lang: f"size(filter({TOKENS}, t -> array_contains({_sql_list(words)}, t)))"
+        for lang, words in LANG_WORDS.items()
+    }
+    pred = (
+        f"case when {counts['en']} >= {counts['fr']} and {counts['en']} >= {counts['de']}"
+        f"  and {counts['en']} >= {counts['es']} then 'en' "
+        f"when {counts['fr']} >= {counts['de']} and {counts['fr']} >= {counts['es']} then 'fr' "
+        f"when {counts['de']} >= {counts['es']} then 'de' else 'es' end"
+    )
+    return df.select(
+        "doc_id",
+        F.expr(counts["en"]).alias("en_hits"),
+        F.expr(counts["fr"]).alias("fr_hits"),
+        F.expr(pred).alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame) -> DataFrame:
+    """Document fingerprints: whitespace-normalized md5 + a winnowing-style
+    sketch (md5 of the 4 smallest word-3-gram hashes)."""
+    shingles = (
+        f"case when size({TOKENS}) >= 3 then "
+        f"array_distinct(transform(sequence(0, size({TOKENS}) - 3),"
+        f" i -> concat_ws(' ', {TOKENS}[i], {TOKENS}[i+1], {TOKENS}[i+2])))"
+        f" else array() end"
+    )
+    hashes = f"array_sort(transform({shingles}, s -> md5(s)))"
+    return df.select(
+        "doc_id",
+        F.expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))").alias("fp_exact"),
+        F.expr(f"md5(concat_ws(',', slice({hashes}, 1, 4)))").alias("fp_sketch"),
+    )

@@ -1,0 +1,80 @@
+"""Driver-contract smoke tests: entry() runs, every queries() entry returns a
+DataFrame, and a fast subset of oracle_sql() matches DuckDB exactly
+(the full sweep is tools/check_oracle.py, run at sf0.01)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+FAST_ORACLE_SUBSET = [
+    "q1_pricing_summary",
+    "join_customer_nation_region",
+    "orders_priority_counts",
+    "rule_classification",
+    "scalar_hash_kernels",
+    "token_count",
+    "dedup_exact",
+    "ann_threshold",
+]
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.6g}"
+    return str(v)
+
+
+def _multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = {}
+    for r in rows:
+        k = "|".join(_canon(r[i]) for i in order)
+        out[k] = out.get(k, 0) + 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "doc_id", "n_spans_out", "n_removed", "n_erased", "n_pseudonymized", "n_kept"
+    }
+
+
+def test_every_query_key_has_callable():
+    qs = entry_mod.queries()
+    assert len(qs) >= 20
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(oracles) >= 15
+
+
+@pytest.mark.parametrize("name", FAST_ORACLE_SUBSET)
+def test_oracle_subset_matches(spark, duck, name):
+    sdf = entry_mod.queries()[name](spark, SF)
+    srows = sdf.collect()
+    res = duck.execute(entry_mod.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    sm = _multiset(sdf.columns, [[r[c] for c in sdf.columns] for r in srows])
+    om = _multiset(ocols, orows)
+    assert sm == om

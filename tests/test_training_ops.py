@@ -1,0 +1,133 @@
+"""Semantic tests for the training-data operators (dedup / similarity / text)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deidcm_spark.operators import dedup, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup of 1
+        (4, "completely different content about spark dataframes and shuffles here"),
+        (5, "le chat est sur la table et il regarde par la fenetre avec interet"),
+        (6, "short text"),
+        (7, ""),
+        (8, "the the the and and of of to to in in is is you you that that it for"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in textops.token_count(docs).collect()}
+    assert got[6] == 2
+    assert got[7] == 0
+    assert got[1] == 13
+
+
+def test_quality_score_ranges(spark, docs):
+    for r in textops.quality_score(docs).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in textops.lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[5] == "fr"
+    assert got[8] == "en"
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(1, "Hello   World  foo"), (2, "hello world FOO"), (3, "other text here")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r["fp_exact"] for r in textops.fingerprint(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup.dedup_exact(docs).collect()
+    dup_groups = [r for r in out if r["n_dupes"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keep_doc_id"] == 1
+    assert dup_groups[0]["n_dupes"] == 2
+
+
+def test_minhash_identical_docs_same_signature(spark, docs):
+    sig = {r["doc_id"]: [r[f"mh{i}"] for i in range(dedup.N_MINHASH)]
+           for r in dedup.minhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]
+    # near-dup: most signature positions agree
+    agree = sum(a == b for a, b in zip(sig[1], sig[3]))
+    assert agree >= dedup.N_MINHASH // 2
+    assert sig[1] != sig[4]
+
+
+def test_lsh_finds_exact_and_near_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    if (1, 3) in out:
+        assert 0.3 < out[(1, 3)] < 1.0
+
+
+def test_simhash_near_dup_close(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[1], sh[3]) <= 4
+    assert hamming(sh[1], sh[4]) >= 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+    rows = []
+    for i in range(50):
+        base = [math.sin(0.1 * (i + 1) * (d + 1)) for d in range(8)]
+        rows.append((i, [float(x) for x in base], i % 3))
+    # vec 50 = exact copy of vec 0
+    rows.append((50, rows[0][1], 0))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+
+
+def test_ann_brute_force_topk(spark, emb):
+    q = similarity.query_vector(emb, 0)
+    top = similarity.ann_brute_force(emb, q, k=3).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 0 and top[0]["cosine"] == 1.0
+    assert 50 in ids[:2]  # the exact copy
+
+
+def test_ann_threshold_membership(spark, emb):
+    q = similarity.query_vector(emb, 0)
+    hits = {r["vec_id"] for r in similarity.ann_threshold(emb, q, 0.9999).collect()}
+    assert {0, 50} <= hits
+
+
+def test_ann_lsh_recall(spark, emb):
+    q = similarity.query_vector(emb, 0)
+    exact = [r["vec_id"] for r in similarity.ann_brute_force(emb, q, k=5).collect()]
+    approx = [r["vec_id"] for r in similarity.ann_lsh_bucketed(emb, q, k=5, n_planes=2).collect()]
+    # the query's own bucket must contain the query itself and its exact copy
+    assert 0 in approx and 50 in approx
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.4
+
+
+def test_embedding_neardup(spark, emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.embedding_neardup_pairs(emb, 0.9999).collect()}
+    assert (0, 50) in pairs
