@@ -123,11 +123,17 @@ def rule_classification(spark, sf_dir):
     """Classify a deterministic tag universe: regex classes, odd private
     groups, recipe hits (lowercase join — reproducing the reference's
     dead-rule quirk for uppercase-keyed rows), zero-trust default."""
+    import pandas as pd
+
     rows = _hex_recipe_rows()
-    recipe_df = spark.createDataFrame(rows, "rtag: string, action: string")
-    universe = (
-        spark.createDataFrame([(t,) for t, _ in rows], "tag: string")
-        .union(spark.createDataFrame([(t,) for t in _REGEX_GOLDENS], "tag: string"))
+    # pandas → Arrow → JVM LocalRelation: no SQL-parse cost (a 20 KB VALUES
+    # string costs ~2s of planner time per reference), no Python workers at
+    # runtime (a python-list createDataFrame would ship pickled RDDs)
+    recipe_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["rtag", "action"])
+    )
+    universe = spark.createDataFrame(
+        pd.DataFrame({"tag": [t for t, _ in rows] + _REGEX_GOLDENS})
     )
     part = _load(spark, sf_dir, "part").filter("p_partkey <= 200")
     derived = part.select(
@@ -310,6 +316,34 @@ def deid_ingest_testdata(spark, sf_dir):
     )
 
 
+def series_group_count(spark, sf_dir):
+    """A2 analogue (show_series, utils.py:36-63): group documents by a tag's
+    value over the INGESTED span corpus; the oracle counts the same series
+    directly from the source table — validating ingest + explode + group."""
+    spans = documents_to_spans(_load(spark, sf_dir, "documents"))
+    exploded = spans.select(F.explode("spans").alias("s")).filter(
+        F.col("s.text").startswith("SpecificCharacterSet_0x00080005_CS_1____=")
+    )
+    return (
+        exploded.select(
+            F.expr("substring(s.text, length('SpecificCharacterSet_0x00080005_CS_1____=') + 1)").alias("series_value")
+        )
+        .groupBy("series_value")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def ocr_recognition_metrics(spark, sf_dir):
+    """A3/A4/A5 composite over the synthetic media corpus: stub detections
+    (gates applied) scored against embedded ground truth."""
+    from deidcm_spark.operators.verification import confusion_matrix, prf_metrics
+
+    payloads, boxes = synth_media(spark, 400, seed=23, media_rate=0.5)
+    detected = boxes.filter("confidence > 0.3 and length(word) > 1").select("media_ref", "word")
+    truth = boxes.select("media_ref", "word")
+    return prf_metrics(confusion_matrix(payloads.select("media_ref"), detected, truth))
+
+
 def media_redaction(spark, sf_dir):
     payloads, boxes = synth_media(spark, 200, seed=17, media_rate=0.5)
     red = redact_media(payloads, boxes, margin=8)
@@ -359,6 +393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deid_ingest_testdata": deid_ingest_testdata,
         "media_redaction": media_redaction,
         "ann_lsh": ann_lsh,
+        "ocr_recognition_metrics": ocr_recognition_metrics,
+        "series_group_count": series_group_count,
     }
 
 
@@ -418,7 +454,10 @@ def _bands_sql(source_sql: str) -> str:
 WITH src AS ({source_sql}),
 shs AS (SELECT doc_id, {_DSH} AS sh FROM src),
 sig AS (SELECT doc_id, {sig_cols} FROM shs WHERE len(sh) > 0),
-bands AS ({band_selects})
+bands_all AS ({band_selects}),
+small AS (SELECT band_idx, band_key FROM bands_all
+          GROUP BY band_idx, band_key HAVING count(*) <= 100),
+bands AS (SELECT bands_all.* FROM bands_all JOIN small USING (band_idx, band_key))
 """
 
 
@@ -584,6 +623,9 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
 WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
 """,
         "simhash": _simhash_sql(),
+        "series_group_count": """
+SELECT lang AS series_value, count(*) AS n_docs FROM documents GROUP BY lang
+""",
         "embedding_neardup": _NEARDUP_SQL,
         "ann_threshold": _COS_SQL,
     }

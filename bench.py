@@ -54,6 +54,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     # flagship: synthesized corpus → full pipeline (count forces execution)
     docs = synth_documents(

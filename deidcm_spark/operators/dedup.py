@@ -49,12 +49,22 @@ def dedup_exact(df: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame) -> DataFrame:
-    """doc_id + minhash[16] (md5-string minima) + shingle count."""
-    sigs = [
-        F.expr(f"array_min(transform({SHINGLES}, s -> md5(concat(s, '#{i}'))))").alias(f"mh{i}")
+    """doc_id + minhash[16] (md5-string minima) + shingle count.
+
+    Shape: explode(shingles) → hash-aggregate of 16 mins.  NOT 16 array_min
+    expressions over the array column — Catalyst inlines the (collapsed)
+    shingle construction into every signature expression (no CSE through
+    higher-order functions), tokenizing each document 16×; the explode form
+    builds shingles once and the mins combine map-side (partial aggregation),
+    which is also the shuffle-light shape at corpus scale."""
+    rows = df.select("doc_id", F.explode_outer(F.expr(SHINGLES)).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
-    return df.select("doc_id", F.expr(f"size({SHINGLES})").alias("n_shingles"), *sigs)
+    return rows.groupBy("doc_id").agg(
+        F.count("shingle").cast("int").alias("n_shingles"), *aggs
+    )
 
 
 def lsh_bands(df: DataFrame) -> DataFrame:
@@ -71,9 +81,25 @@ def lsh_bands(df: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(df: DataFrame) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing at least one LSH band."""
+def lsh_candidate_pairs(df: DataFrame, max_band_size: int = 100) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band.
+
+    HOT-BAND GUARD: a band bucket shared by more than ``max_band_size``
+    documents is non-discriminative (low-entropy corpora collapse many docs
+    into one band) and would make the self-join quadratic in a single
+    partition — the LSH analogue of the hot-study skew the north rule calls
+    out.  Such buckets are dropped before the join (standard LSH banding
+    practice); true near-dups still meet in their other, sharper bands.
+    The DuckDB oracle applies the identical cap.
+    """
     b = lsh_bands(df)
+    small = (
+        b.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_band_size)
+        .drop("_n")
+    )
+    b = b.join(small, ["band_idx", "band_key"])
     left = b.alias("l")
     right = b.alias("r")
     return (
@@ -124,16 +150,22 @@ def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over distinct tokens: per-bit majority vote of token hashes.
 
     Token hash = first 8 hex chars of md5(token) as bigint (portable).
+    Shape: explode(distinct tokens) → hash the token ONCE → 16 per-bit sums
+    in one hash aggregate (same rationale as minhash_signatures — an
+    aggregate() lambda per bit would re-tokenize and re-md5 16×).
     """
-    toks = f"array_distinct({TOKENS})"
-    h = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+    rows = df.select(
+        "doc_id", F.explode_outer(F.expr(f"array_distinct({TOKENS})")).alias("t")
+    ).withColumn(
+        "h", F.expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)")
+    )
     bit_sums = [
-        F.expr(
-            f"aggregate({toks}, 0L, (acc, t) -> acc + (({h} >> {j}) & 1) * 2 - 1)"
-        ).alias(f"b{j}")
+        F.sum(F.when(F.col("t").isNull(), 0).otherwise(
+            (F.shiftright("h", j).bitwiseAND(F.lit(1))) * 2 - 1
+        )).alias(f"b{j}")
         for j in range(bits)
     ]
-    with_bits = df.select("doc_id", F.expr(f"size({toks})").alias("n_toks"), *bit_sums)
+    with_bits = rows.groupBy("doc_id").agg(*bit_sums)
     sim = None
     for j in range(bits):
         term = (F.when(F.col(f"b{j}") > 0, 1).otherwise(0) * (1 << j))

@@ -110,6 +110,83 @@ def redact_array(
     return out
 
 
+def lut_window_level(data: np.ndarray, window: int, level: int) -> np.ndarray:
+    """Piecewise window/level LUT (get_LUT_value parity, deid_mammogram.py:83-90):
+    values below the window → 0, above → 255, inside → linear ramp."""
+    d = data.astype(np.float64)
+    lo = level - 0.5 - (window - 1) / 2
+    hi = level - 0.5 + (window - 1) / 2
+    out = ((d - (level - 0.5)) / (window - 1) + 0.5) * 255.0
+    out[d <= lo] = 0.0
+    out[d > hi] = 255.0
+    return out
+
+
+def normalize_to_uint8(pixels: np.ndarray, monochrome1: bool = False) -> np.ndarray:
+    """dicom2narray parity (dicom2png.py:15-51): optional MONOCHROME1
+    inversion (max - x), then min-max normalize to uint8."""
+    arr = pixels.astype(np.float64)
+    if monochrome1:
+        arr = arr.max() - arr
+    arr = arr - arr.min()
+    mx = arr.max()
+    if mx > 0:
+        arr = arr / mx
+    return (arr * 255).astype(np.uint8)
+
+
+def resize_area(pixels: np.ndarray, factor: int) -> np.ndarray:
+    """Integer-factor area downsample (reduce_PIL_img_size analogue,
+    utils.py:86-93 — PIL LANCZOS thumbnail replaced by block mean; PIL is
+    not in this container, contract = smaller image, content preserved)."""
+    h, w = pixels.shape[0] - pixels.shape[0] % factor, pixels.shape[1] - pixels.shape[1] % factor
+    crop = pixels[:h, :w].astype(np.float64)
+    if crop.ndim == 2:
+        blocks = crop.reshape(h // factor, factor, w // factor, factor)
+        return blocks.mean(axis=(1, 3)).astype(pixels.dtype)
+    c = crop.shape[2]
+    blocks = crop.reshape(h // factor, factor, w // factor, factor, c)
+    return blocks.mean(axis=(1, 3)).astype(pixels.dtype)
+
+
+def transform_media(
+    payloads: DataFrame,
+    normalize: bool = True,
+    monochrome1: bool = False,
+    window: int | None = None,
+    level: int | None = None,
+    resize_factor: int | None = None,
+) -> DataFrame:
+    """Pixel-transform stage (decode → LUT/normalize → resize → re-encode),
+    one mapInPandas over payload batches — the M5/M6 composition shape."""
+    schema = payloads.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                arr = decode_payload(row)
+                if window is not None and level is not None:
+                    arr = lut_window_level(arr, window, level).astype(np.uint8)
+                elif normalize:
+                    arr = normalize_to_uint8(arr, monochrome1)
+                if resize_factor and resize_factor > 1:
+                    arr = resize_area(arr, resize_factor)
+                out_rows.append(
+                    {
+                        "media_ref": row["media_ref"],
+                        "width": arr.shape[1],
+                        "height": arr.shape[0],
+                        "channels": 1 if arr.ndim == 2 else arr.shape[2],
+                        "bits": 8,
+                        "pixels": arr.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(out_rows, columns=[f.name for f in schema])
+
+    return payloads.mapInPandas(run, schema)
+
+
 def decode_payload(row: dict | pd.Series) -> np.ndarray:
     """binary column + typed metadata → ndarray (S8 analogue, dicom2png.py:15-51)."""
     dtype = np.uint16 if row["bits"] == 16 else np.uint8

