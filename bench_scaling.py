@@ -17,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_DOCS = int(os.environ.get("SCALING_N_DOCS", "60000"))
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "400000"))
 CORPUS = "/tmp/scaling_corpus.parquet"
 LOW, HIGH = 8, 32
 
@@ -30,18 +30,21 @@ def prepare_corpus() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     synth_documents(
         spark, N_DOCS, seed=55, tags_per_doc=40, media_rate=0.05, skew=0.02,
-        num_partitions=64,
+        num_partitions=128,
     ).write.mode("overwrite").parquet(CORPUS)
     spark.stop()
 
 
 def run_level(cores: int) -> dict:
     env = dict(os.environ, PYTHONPATH="/root/repo")
+    # IDENTICAL partitioning at both levels (128 partitions) so the comparison
+    # isolates parallelism — different partition counts would change Arrow
+    # batch sizes and per-task overheads, polluting the efficiency number
     res = subprocess.run(
         [
             "spark-submit", "--master", f"local[{cores}]",
             "--conf", "spark.driver.memory=12g",
-            "tools/scaling_worker.py", CORPUS, str(cores * 2),
+            "tools/scaling_worker.py", CORPUS, "128",
         ],
         capture_output=True, text=True, cwd="/root/repo", env=env, timeout=1800,
     )

@@ -358,10 +358,6 @@ def media_ground_truth(idx: int, seed: int) -> tuple[dict, list[dict]]:
     return payload, boxes
 
 
-def _media_indices(n_docs: int, media_rate: float) -> list[int]:
-    return [i for i in range(n_docs) if has_media(i, media_rate)]
-
-
 def synth_media(
     spark,
     n_docs: int,
@@ -371,15 +367,17 @@ def synth_media(
 ):
     """(media_payloads_df, ocr_boxes_df) aligned with synth_documents.
 
-    Generated executor-side from the media index list (small: n_docs ×
-    media_rate ids, bytes stay on executors).
+    The media index is derived JVM-side from ``spark.range`` with the same
+    arithmetic as :func:`has_media` (a python-list createDataFrame would ship
+    pickled RDDs and fork a Python worker per task); payload bytes are
+    generated executor-side in mapInPandas.
     """
     import pandas as pd
 
     from deidcm_spark.schema import MEDIA_PAYLOADS_SCHEMA, OCR_BOXES_SCHEMA
 
-    idx_df = spark.createDataFrame(
-        [(i,) for i in _media_indices(n_docs, media_rate)], "idx: long"
+    idx_df = spark.range(n_docs).selectExpr("id as idx").filter(
+        f"idx * 2246822519 % 1000 < {int(media_rate * 1_000)}"
     )
     if num_partitions:
         idx_df = idx_df.repartition(num_partitions)

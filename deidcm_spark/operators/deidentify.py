@@ -115,8 +115,8 @@ def deidentify_doc(doc_id: str, spans: list, org_root: str, salt: str):
         if offset > max_offset:
             max_offset = offset
         if span["kind"] != "text":
-            out.append(dict(span))
-            continue
+            out.append(span)  # media spans pass through untouched (no copy:
+            continue          # spans are read-only Arrow-decoded dicts)
         text = span["text"]
         eq = text.find("=")
         if eq < 0:
@@ -124,18 +124,26 @@ def deidentify_doc(doc_id: str, spans: list, org_root: str, salt: str):
         else:
             attr_key, value = text[:eq], text[eq + 1 :]
         action, vr, tags = resolve_action_cached(attr_key)
+        if action == CONSERVER and eq >= 0:
+            n_kp += 1
+            out.append(span)  # value unchanged → reuse the input span
+            continue
+        if action == CONSERVER:  # no '=' in text: normalize to "key=" form
+            n_kp += 1
+            out.append(
+                {"kind": "text", "text": f"{attr_key}=", "media_ref": span["media_ref"],
+                 "offset": offset}
+            )
+            continue
         if action == RETIRER:
             n_rm += 1
             continue
         if action == EFFACER:
             n_er += 1
             new_value = ""
-        elif action == PSEUDONYMISER:
+        else:  # PSEUDONYMISER
             n_ps += 1
             new_value = pseudonymize_value(vr, tags, value, org_root, salt, doc_id, attr_key)
-        else:  # CONSERVER
-            n_kp += 1
-            new_value = value
         out.append(
             {
                 "kind": "text",

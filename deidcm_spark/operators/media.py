@@ -221,12 +221,15 @@ def redact_media(
         # a real OCR backend would be constructed HERE, once per batch
         for pdf in batches:
             out_pixels = []
-            for _, row in pdf.iterrows():
-                blist = row["_boxes"]
+            cols = (pdf["pixels"], pdf["width"], pdf["height"],
+                    pdf["channels"], pdf["bits"], pdf["_boxes"])
+            for pixels, w, h, ch, bits, blist in zip(*[c.to_numpy() for c in cols]):
                 if blist is None or len(blist) == 0:
-                    out_pixels.append(row["pixels"])
+                    out_pixels.append(pixels)
                     continue
-                arr = decode_payload(row)
+                arr = decode_payload(
+                    {"pixels": pixels, "width": w, "height": h, "channels": ch, "bits": bits}
+                )
                 red = redact_array(
                     arr,
                     [dict(b) for b in blist],

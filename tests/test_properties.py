@@ -1,0 +1,81 @@
+"""Property-based cross-checks (hypothesis): the engine's rule/kernel modules
+must agree with the independent oracle on arbitrary generated inputs — not
+just the curated fixtures.  Pure Python, no Spark session."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from deidcm_spark import kernels, oracle
+from deidcm_spark.rules import resolve_action_cached
+
+hex_tag = st.integers(min_value=0, max_value=0xFFFFFFFF).map(lambda v: f"0x{v:08x}")
+keyword = st.text(alphabet=string.ascii_letters, min_size=0, max_size=12)
+vr = st.sampled_from(["UI", "DA", "DT", "TM", "PN", "SH", "LO", "OB", "UC",
+                      "IS", "DS", "CS", "LT", "SQ", "FD", "UN"])
+
+
+@st.composite
+def attr_keys(draw):
+    """Random attribute keys incl. nested sequence paths."""
+    def leaf(v=None):
+        kw = draw(keyword)
+        name = f"{kw}_" if kw else "_"
+        return f"{name}{draw(hex_tag)}_{v or draw(vr)}_1____"
+
+    depth = draw(st.integers(min_value=0, max_value=2))
+    parts = []
+    for i in range(depth):
+        kw = draw(keyword)
+        name = f"{kw}_" if kw else "_"
+        parts.append(f"{name}{draw(hex_tag)}_SQ_1____@{draw(st.integers(1, 3))}")
+    return ".".join(parts + [leaf()])
+
+
+@given(attr_keys())
+@settings(max_examples=500, deadline=None)
+def test_rule_resolution_matches_oracle(key):
+    action, vr_, tags = resolve_action_cached(key)
+    o_action, o_vr, o_tags = oracle._action_for_key(key)
+    assert action == o_action
+    assert vr_ == o_vr
+    assert list(tags) == o_tags
+
+
+@given(
+    st.text(min_size=0, max_size=64),
+    st.text(alphabet=string.ascii_letters + string.digits + ".", min_size=1, max_size=40),
+    st.text(alphabet=string.ascii_letters, min_size=1, max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_det_str_spec_shared(salt, doc_id, key):
+    assert kernels.dummy_letters(16, salt, doc_id, key) == oracle._det_str(
+        string.ascii_letters, 16, salt, doc_id, key, "letters"
+    )
+    assert kernels.dummy_digits(8, salt, doc_id, key) == oracle._det_str(
+        string.digits, 8, salt, doc_id, key, "digits"
+    )
+
+
+@given(st.text(min_size=0, max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_pseudonymize_doc_matches_oracle(value):
+    """Full single-doc pipeline vs oracle on an arbitrary value under every
+    recipe VR family tag."""
+    from deidcm_spark.corpus import attr_key
+    from deidcm_spark.operators.deidentify import deidentify_doc
+    from deidcm_spark.oracle import deidentify_doc_oracle
+
+    spans = []
+    for i, (tag, v) in enumerate(
+        [("0x00080018", "UI"), ("0x00080020", "DA"), ("0x00080030", "TM"),
+         ("0x00100010", "PN"), ("0x00181030", "LO"), ("0x00204000", "LT"),
+         ("0x00340007", "OB"), ("0x00189367", "UC")]
+    ):
+        spans.append({"kind": "text", "text": f"{attr_key(tag, v)}={value}",
+                      "media_ref": "", "offset": i})
+    got, *_ = deidentify_doc("doc", spans, "1.2.3", "s")
+    want = deidentify_doc_oracle("doc", spans, "1.2.3", "s")
+    assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got] == [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in want
+    ]

@@ -33,8 +33,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(corpus_path)
-    # warm-up: JVM + python workers + parquet footers (excluded from timing)
-    docs.limit(64).count()
+    # warm-up: JVM codegen, Arrow python workers (full UDF path), parquet
+    # footers — excluded from the timed window
+    warm = deidentify_attributes(docs.limit(512), "9.9.9.9.9", "warm")
+    warm.agg(F.count("*")).collect()
 
     t0 = time.perf_counter()
     out = deidentify_attributes(docs, "9.9.9.9.9", "scaling", num_partitions=n_partitions)
