@@ -24,18 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from deidcm_spark.operators.textops import TOKENS
+from deidcm_spark.operators.textops import SHINGLES, TOKENS
 
 N_MINHASH = 16
 N_BANDS = 4
 BAND_ROWS = 4
-
-SHINGLES = (
-    f"case when size({TOKENS}) >= 3 then "
-    f"array_distinct(transform(sequence(0, size({TOKENS}) - 3),"
-    f" i -> concat_ws(' ', {TOKENS}[i], {TOKENS}[i+1], {TOKENS}[i+2])))"
-    f" else array() end"
-)
 
 
 def dedup_exact(df: DataFrame) -> DataFrame:
