@@ -62,6 +62,11 @@ def main() -> None:
         num_partitions=CPUS * 2,
     ).persist()
     n_actual = docs.count()  # materialize corpus outside the timed window
+    # warm the Arrow python-worker pool + codegen so deid_synth measures
+    # steady-state throughput, not worker spin-up (matches scaling_worker)
+    deidentify_attributes(docs.limit(512), "9.9.9.9.9", "warm").agg(
+        F.count("*")
+    ).collect()
 
     def deid_synth():
         out = deidentify_attributes(docs, "9.9.9.9.9", "bench", num_partitions=CPUS * 2)

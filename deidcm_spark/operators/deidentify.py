@@ -83,10 +83,22 @@ def pseudonymize_value(
     salt: str,
     doc_id: str,
     attr_key: str,
+    date_mode: str = "first_day_year",
+    date_offset: int = 100000,
 ) -> str:
-    """VR/tag dispatch of deid_mammogram.py:407-438 over encoded values."""
+    """VR/tag dispatch of deid_mammogram.py:407-438 over encoded values.
+
+    ``date_mode='offset'`` selects the constant date-shifting variant the
+    reference keeps disabled (offset4date, deid_mammogram.py:421/477-480).
+    """
     if vr in ("DA", "DT"):
-        return get_first_day_year(value) if value != "" else value
+        if value == "":
+            return value
+        if date_mode == "offset":
+            from deidcm_spark.kernels import offset4date
+
+            return offset4date(value, date_offset)
+        return get_first_day_year(value)
     if vr == "TM":
         return hide_time()
     if vr == "PN" or "0x00100020" in tags:
@@ -105,7 +117,8 @@ def pseudonymize_value(
     return ""
 
 
-def deidentify_doc(doc_id: str, spans: list, org_root: str, salt: str):
+def deidentify_doc(doc_id: str, spans: list, org_root: str, salt: str,
+                   date_mode: str = "first_day_year", date_offset: int = 100000):
     """De-identify one document's span list.  Returns (spans, counters)."""
     out: list[dict] = []
     n_rm = n_er = n_ps = n_kp = 0
@@ -143,7 +156,8 @@ def deidentify_doc(doc_id: str, spans: list, org_root: str, salt: str):
             new_value = ""
         else:  # PSEUDONYMISER
             n_ps += 1
-            new_value = pseudonymize_value(vr, tags, value, org_root, salt, doc_id, attr_key)
+            new_value = pseudonymize_value(vr, tags, value, org_root, salt, doc_id,
+                                           attr_key, date_mode, date_offset)
         out.append(
             {
                 "kind": "text",
@@ -158,7 +172,8 @@ def deidentify_doc(doc_id: str, spans: list, org_root: str, salt: str):
     return out, n_rm, n_er, n_ps, n_kp
 
 
-def make_deidentify_udf(org_root: str, salt: str):
+def make_deidentify_udf(org_root: str, salt: str,
+                        date_mode: str = "first_day_year", date_offset: int = 100000):
     """Scalar pandas UDF: (doc_id, spans) → struct(spans, counters).
 
     org_root/salt are plain-value closures — they ship once per task like a
@@ -168,7 +183,7 @@ def make_deidentify_udf(org_root: str, salt: str):
     @F.pandas_udf(DEID_RESULT_SCHEMA)
     def deidentify_udf(doc_id: pd.Series, spans: pd.Series) -> pd.DataFrame:
         rows = [
-            deidentify_doc(d, s, org_root, salt)
+            deidentify_doc(d, s, org_root, salt, date_mode, date_offset)
             for d, s in zip(doc_id.to_numpy(), spans.to_numpy())
         ]
         return pd.DataFrame(
@@ -185,6 +200,8 @@ def deidentify_attributes(
     salt: str = "deidcm_spark",
     num_partitions: int | None = None,
     with_metrics: bool = False,
+    date_mode: str = "first_day_year",
+    date_offset: int = 100000,
 ) -> DataFrame:
     """Spark-native analogue of the reference's ``deidentify_attributes``
     (deid_mammogram.py:270-312): documents in, de-identified documents out.
@@ -193,7 +210,7 @@ def deidentify_attributes(
     hot-study skew (many spans under few doc_id prefixes): the hash spreads
     lexicographically adjacent ids, the salt de-correlates reruns.
     """
-    udf = make_deidentify_udf(org_root, salt)
+    udf = make_deidentify_udf(org_root, salt, date_mode, date_offset)
     if num_partitions:
         df = df.repartition(num_partitions, F.xxhash64("doc_id", F.lit(salt)))
     result = df.withColumn("_deid", udf(F.col("doc_id"), F.col("spans")))

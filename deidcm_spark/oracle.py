@@ -18,7 +18,7 @@ import base64
 import hashlib
 import re
 import string
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from deidcm_spark.config import load_authorized_words, load_general_rules, load_specific_rules
 
@@ -73,9 +73,16 @@ def _det_str(alphabet: str, length: int, *keys: str) -> str:
     return out[:length]
 
 
-def _pseudonymize(vr: str, tags: list[str], value: str, org_root: str, salt: str, doc_id: str, attr_key: str) -> str:
+def _pseudonymize(vr: str, tags: list[str], value: str, org_root: str, salt: str,
+                  doc_id: str, attr_key: str, date_mode: str = "first_day_year",
+                  date_offset: int = 100000) -> str:
     if vr in ("DA", "DT"):
-        return value[:4] + "0101" if value != "" else value
+        if value == "":
+            return value
+        if date_mode == "offset":
+            d = datetime.strptime(value[:8], "%Y%m%d") - timedelta(days=date_offset)
+            return d.strftime("%Y%m%d")
+        return value[:4] + "0101"
     if vr == "TM":
         return "000000"
     if vr == "PN" or "0x00100020" in tags:
@@ -98,7 +105,9 @@ def _pseudonymize(vr: str, tags: list[str], value: str, org_root: str, salt: str
     return ""
 
 
-def deidentify_doc_oracle(doc_id: str, spans: list[dict], org_root: str, salt: str) -> list[dict]:
+def deidentify_doc_oracle(doc_id: str, spans: list[dict], org_root: str, salt: str,
+                          date_mode: str = "first_day_year",
+                          date_offset: int = 100000) -> list[dict]:
     out: list[dict] = []
     max_offset = -1
     for s in spans:
@@ -114,7 +123,8 @@ def deidentify_doc_oracle(doc_id: str, spans: list[dict], org_root: str, salt: s
         if action == "EFFACER":
             new = ""
         elif action == "PSEUDONYMISER":
-            new = _pseudonymize(vr, tags, value, org_root, salt, doc_id, key)
+            new = _pseudonymize(vr, tags, value, org_root, salt, doc_id, key,
+                                date_mode, date_offset)
         else:
             new = value
         out.append({"kind": "text", "text": f"{key}={new}", "media_ref": s["media_ref"], "offset": s["offset"]})

@@ -1,0 +1,71 @@
+"""Raw-file source + span-level projection flags.
+
+S1/S2 analogue for raw files (the reference walks a directory and parses each
+file, ``deidcm/dicom/dicom2df.py:72-90``): ``spark.read.format("binaryFile")``
+enumerates the tree distributedly (Catalyst handles listing parallelism and
+partition sizing), and the parse to span form happens in pure SQL expressions
+— one text span per non-empty ``key=value`` line, offsets in file order;
+the filename stem is the document id.
+
+P1 projection flags (``flat_dicom(with_private, with_pixels, with_seqs)``,
+dicom2df.py:84-86) as an in-row span filter — ``filter()`` higher-order
+function, JVM-side, no explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_PARSE_SPANS = """
+filter(
+  transform(
+    split(decode(content, 'utf-8'), '\\n'),
+    (line, i) -> named_struct(
+      'kind', case when line like 'media:%' then 'media' else 'text' end,
+      'text', case when line like 'media:%' then '' else line end,
+      'media_ref', case when line like 'media:%' then substring(line, 7) else '' end,
+      'offset', i)
+  ),
+  s -> s.text != '' or s.media_ref != ''
+)
+"""
+
+
+def read_raw_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of ``<doc_id>.spans`` text files → (doc_id, spans)."""
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.regexp_replace(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"\.[^.]*$", ""
+        ).alias("doc_id"),
+        F.expr(_PARSE_SPANS).alias("spans"),
+    )
+
+
+# a span is "private" when any tag in its key path has an odd group number
+# (element.is_private, dicom2df.py:85); sequence content is any '@'-nested key
+_PRIVATE = (
+    "exists(regexp_extract_all(split(s.text, '=')[0], '0x([0-9a-f]{4})', 1),"
+    " g -> conv(g, 16, 10) % 2 = 1)"
+)
+_IN_SEQ = "instr(split(s.text, '=')[0], '@') > 0"
+
+
+def filter_spans(
+    df: DataFrame,
+    with_private: bool = False,
+    with_seqs: bool = True,
+    with_media: bool = True,
+) -> DataFrame:
+    """Span-level projection flags; pure in-row ``filter()`` HOF."""
+    conds = []
+    if not with_private:
+        conds.append(f"not (s.kind = 'text' and {_PRIVATE})")
+    if not with_seqs:
+        conds.append(f"not (s.kind = 'text' and {_IN_SEQ})")
+    if not with_media:
+        conds.append("s.kind != 'media'")
+    if not conds:
+        return df
+    pred = " and ".join(conds)
+    return df.withColumn("spans", F.expr(f"filter(spans, s -> {pred})"))
