@@ -256,6 +256,14 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_dedup_exact_salted(spark, sf_dir):
+    """Two-phase salted variant — same result set as dedup_exact (same
+    oracle SQL), hot keys split across reducers."""
+    return dedup.dedup_exact_salted(_doubled_docs(spark, sf_dir)).select(
+        "fp", "keep_doc_id", "n_dupes"
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     sig = dedup.minhash_signatures(_load(spark, sf_dir, "documents"))
     return sig.select(
@@ -381,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_salted": q_dedup_exact_salted,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -592,6 +601,11 @@ SELECT doc_id,
 FROM documents
 """,
         "dedup_exact": f"""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_doc_id, count(*) AS n_dupes
+FROM ({_DOUBLED_SQL}) GROUP BY 1
+""",
+        "dedup_exact_salted": f"""
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
        min(doc_id) AS keep_doc_id, count(*) AS n_dupes
 FROM ({_DOUBLED_SQL}) GROUP BY 1

@@ -41,6 +41,27 @@ def dedup_exact(df: DataFrame) -> DataFrame:
     )
 
 
+def dedup_exact_salted(df: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Two-phase (salted) exact dedup — identical semantics to
+    :func:`dedup_exact`, but a hot fingerprint (a document duplicated millions
+    of times at corpus scale) never lands on one reducer: phase 1 aggregates
+    per (fp, salt-bucket), phase 2 merges the per-bucket partials.  min and
+    count are algebraic, so the split is exact."""
+    norm = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
+    partial = (
+        df.select(
+            F.expr(norm).alias("fp"),
+            "doc_id",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("_salt"),
+        )
+        .groupBy("fp", "_salt")
+        .agg(F.min("doc_id").alias("_min_id"), F.count("*").alias("_cnt"))
+    )
+    return partial.groupBy("fp").agg(
+        F.min("_min_id").alias("keep_doc_id"), F.sum("_cnt").alias("n_dupes")
+    )
+
+
 def minhash_signatures(df: DataFrame) -> DataFrame:
     """doc_id + minhash[16] (md5-string minima) + shingle count.
 

@@ -54,3 +54,41 @@ def stream_deidentify(
     else:
         query = writer.start()
     return query
+
+
+def stream_event_counts(
+    spark: SparkSession,
+    in_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    window_len: str = "1 hour",
+    queryName: str = "event_counts",
+):
+    """Watermarked event-time windowed aggregation over a landing directory
+    of event parquet (late data beyond ``watermark`` is dropped; state is
+    bounded).  Complete-mode memory sink for inspection/tests; a production
+    run would use append mode into a table once windows close.
+    """
+    from pyspark.sql import functions as F
+
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(in_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -49,3 +49,28 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path):
 
     batch = deidentify_attributes(spark.read.parquet(in_dir), ORG_ROOT, SALT)
     assert _snapshot(out) == _snapshot(batch)
+
+
+def test_watermarked_event_windows_match_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from deidcm_spark.streaming import stream_event_counts
+
+    in_dir = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(in_dir)
+
+    q = stream_event_counts(spark, in_dir, str(tmp_path / "ck"), queryName="ec_test")
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from ec_test").collect()
+    }
+    batch = (
+        spark.read.parquet(in_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    want = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
+    assert got == want
