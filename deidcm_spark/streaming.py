@@ -56,6 +56,98 @@ def stream_deidentify(
     return query
 
 
+def sessionize_events(
+    spark: SparkSession,
+    in_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+    queryName: str = "sessions",
+):
+    """Event-time sessionization: ``session_window`` groups a user's events
+    separated by < ``gap`` into one session; the watermark closes sessions and
+    bounds state.  Append mode — a session row emits once, when it can no
+    longer grow."""
+    from pyspark.sql import functions as F
+
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(in_dir)
+    )
+    sessions = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def running_user_totals(
+    spark: SparkSession,
+    in_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "user_totals",
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total, updated every micro-batch.  The shape
+    the engine would use for any bespoke accumulating state the built-in
+    aggregations can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 3)]}
+        )
+
+    out = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_event_counts(
     spark: SparkSession,
     in_dir: str,

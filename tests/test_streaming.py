@@ -74,3 +74,76 @@ def test_watermarked_event_windows_match_batch(spark, tmp_path):
     )
     want = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
     assert got == want
+
+
+def test_sessionization_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from deidcm_spark.streaming import sessionize_events
+
+    in_dir = str(tmp_path / "sess_events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # sentinel far-future event per user forces every real session past the
+    # watermark so append mode emits them all during the availableNow drain
+    sentinel = ev.groupBy("user_id").agg(F.max("ts").alias("ts")).select(
+        F.lit(-1).alias("event_id"),
+        F.expr("timestampadd(YEAR, 10, ts)").alias("ts"),
+        "user_id", F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"), F.lit("").alias("props"),
+    )
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props").union(
+        sentinel
+    ).write.parquet(in_dir)
+
+    q = sessionize_events(spark, in_dir, str(tmp_path / "sck"), queryName="sess_test")
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            "select * from sess_test where n_events > 1 or sum_value != 0.0"
+        ).collect()
+    }
+    batch = (
+        spark.read.parquet(in_dir)
+        .filter("event_type != 'sentinel'")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("s"))
+    )
+    want = {
+        (r["user_id"], r["w"]["start"]): (r["n"], r["s"])
+        for r in batch.collect()
+        if not (r["n"] == 1 and r["s"] == 0.0)
+    }
+    assert got == want and len(got) > 0
+
+
+def test_applyinpandaswithstate_running_totals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from deidcm_spark.streaming import running_user_totals
+
+    in_dir = str(tmp_path / "rt_events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(8).write.parquet(in_dir)
+
+    q = running_user_totals(spark, in_dir, str(tmp_path / "rck"), queryName="rt_test")
+    q.awaitTermination(180)
+
+    # the LAST update per user must equal the batch totals (state accumulated
+    # across micro-batches)
+    updates = spark.sql("select * from rt_test")
+    final = {r["user_id"]: (r["n_events"], r["total_value"])
+             for r in updates.collect()}  # memory sink keeps every update;
+    # take max n_events per user as the final state
+    agg = {}
+    for r in updates.collect():
+        cur = agg.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            agg[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(in_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("t"))
+        .collect()
+    }
+    assert agg == batch
