@@ -78,7 +78,7 @@ def main() -> None:
     docs.unpersist()
 
     qs = entry_mod.queries()
-    for name in [
+    headliners = [
         "deid_ingest_testdata",
         "q1_pricing_summary",
         "join_customer_nation_region",
@@ -92,7 +92,12 @@ def main() -> None:
         "simhash",
         "ann_threshold",
         "media_redaction",
-    ]:
+    ]
+    # warm pass at the smallest sf: compiles/plans every code path and spins
+    # the python-worker pool so the timed loop measures steady-state execution
+    for name in headliners:
+        qs[name](spark, "/root/testdata/sf0.001").collect()
+    for name in headliners:
         run(name, lambda n=name: qs[n](spark, SF_DIR).collect())
 
     total = round(sum(timings.values()), 3)
