@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from deidcm_spark.config import load_general_rules
 from deidcm_spark.corpus import case_documents_df, synth_documents, synth_media
 from deidcm_spark.ingest import documents_to_spans
-from deidcm_spark.operators import dedup, similarity, textops
+from deidcm_spark.operators import dedup, extract, similarity, textops
 from deidcm_spark.operators.deidentify import deidentify_attributes
 from deidcm_spark.operators.media import redact_media
 
@@ -297,6 +297,47 @@ def q_ann_threshold(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# main-content extraction lane (north_rule: HTML boilerplate strip, DOM
+# heuristics, layout parse) — SQL tiers oracle-checked, DOM tier rows-only
+# ---------------------------------------------------------------------------
+
+def q_html_strip_tags(spark, sf_dir):
+    """Boilerplate strip tier: synthetic page per document (shared template,
+    both dialects), script/style dropped, tags stripped, entities decoded."""
+    html = extract.with_html(_load(spark, sf_dir, "documents"))
+    return extract.strip_tags(html).select(
+        "doc_id", "plain_text", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def q_html_link_density(spark, sf_dir):
+    """Densitometric boilerplate signal (anchor chars / text chars)."""
+    html = extract.with_html(_load(spark, sf_dir, "documents"))
+    return extract.link_density(html)
+
+
+def q_extract_main_content(spark, sf_dir):
+    """DOM-heuristic extraction into the interleaved span schema (rows-only:
+    the tokenizer/classifier is not ANSI-SQL-expressible; pytest-verified
+    against the independent template oracle in tests/test_extract.py)."""
+    html = extract.with_html(_load(spark, sf_dir, "documents"))
+    out = extract.extract_main_content(html)
+    return out.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select("doc_id", "pos", "span.kind", "span.text", "span.media_ref")
+
+
+def q_layout_parse(spark, sf_dir):
+    """PDF/layout lane: deterministic LAYOUT1 payloads parsed into
+    reading-order spans, page chrome dropped (rows-only)."""
+    lay = extract.with_layout(_load(spark, sf_dir, "documents"))
+    out = extract.parse_layout(lay)
+    return out.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select("doc_id", "pos", "span.kind", "span.text", "span.media_ref")
+
+
+# ---------------------------------------------------------------------------
 # deid pipeline + media lane (rows-only: not ANSI-SQL-expressible)
 # ---------------------------------------------------------------------------
 
@@ -396,7 +437,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_threshold": q_ann_threshold,
+        "html_strip_tags": q_html_strip_tags,
+        "html_link_density": q_html_link_density,
         # rows-only (non-SQL-expressible; pytest-verified vs independent oracle)
+        "extract_main_content": q_extract_main_content,
+        "layout_parse": q_layout_parse,
         "deid_pipeline": deid_pipeline,
         "deid_recipe_cases": deid_recipe_cases,
         "deid_ingest_testdata": deid_ingest_testdata,
@@ -483,6 +528,22 @@ alldocs AS (SELECT doc_id FROM documents)
 SELECT alldocs.doc_id, CAST(coalesce({total}, 0) AS bigint) AS simhash
 FROM alldocs LEFT JOIN bitsums ON alldocs.doc_id = bitsums.doc_id
 """
+
+
+def _html_strip_sql() -> str:
+    h = extract.html_expr("duckdb")
+    strip = extract.strip_tags_expr(h, "duckdb")
+    return f"""
+SELECT doc_id, {strip} AS plain_text, CAST(length({strip}) AS bigint) AS n_chars
+FROM documents
+"""
+
+
+def _html_link_density_sql() -> str:
+    h = extract.html_expr("duckdb")
+    cols = extract.link_density_cols(h, "duckdb")
+    sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
+    return f"SELECT doc_id, {sel} FROM documents"
 
 
 _COS_SQL = """
@@ -637,6 +698,8 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
 WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
 """,
         "simhash": _simhash_sql(),
+        "html_strip_tags": _html_strip_sql(),
+        "html_link_density": _html_link_density_sql(),
         "series_group_count": """
 SELECT lang AS series_value, count(*) AS n_docs FROM documents GROUP BY lang
 """,

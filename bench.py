@@ -92,6 +92,9 @@ def main() -> None:
         "simhash",
         "ann_threshold",
         "media_redaction",
+        "html_strip_tags",
+        "extract_main_content",
+        "layout_parse",
     ]
     # warm pass at the smallest sf: compiles/plans every code path and spins
     # the python-worker pool so the timed loop measures steady-state execution
