@@ -138,3 +138,78 @@ def run_deid_job(
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(_data_path(out_dir))
+
+
+def run_extract_job(
+    spark: SparkSession,
+    raw_documents: DataFrame,
+    out_dir: str,
+    salt: str = "deidcm_spark",
+    n_buckets: int = 32,
+    run_id: str = "run0",
+    max_buckets_this_attempt: int | None = None,
+) -> dict:
+    """Resumable main-content extraction (north_rule lane) under the same
+    bucket-commit protocol as ``run_deid_job``: salted hash buckets, dynamic
+    partition overwrite (idempotent bucket rewrite), lineage row appended
+    only after the bucket's data is on disk, metrics aggregated from the
+    WRITTEN output.  ``raw_documents`` = (doc_id, text, lang, source).
+    """
+    from deidcm_spark.operators import extract
+
+    done = committed_buckets(spark, out_dir, run_id)
+    pending = sorted(set(range(n_buckets)) - done)
+    if max_buckets_this_attempt is not None:
+        pending = pending[:max_buckets_this_attempt]
+    summary = {"run_id": run_id, "committed_before": len(done), "processed": 0}
+    if not pending:
+        return summary
+
+    # cast doc_id to string FIRST: the extractor emits string doc_ids, and
+    # the bucket recomputation below must hash the identical value
+    bucketed = raw_documents.withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    ).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(n_buckets)).cast("int"),
+    )
+    todo = bucketed.filter(F.col("bucket").isin(pending))
+    todo = todo.repartition(len(pending), "bucket")
+    html = todo.select("doc_id", "bucket", F.expr(extract.html_expr("spark")).alias("html"))
+    # mapInPandas consumes all columns; re-attach bucket afterwards is not
+    # needed — extract preserves only (doc_id, spans), so compute the bucket
+    # again from doc_id (pure function of doc_id+salt, no join)
+    result = extract.extract_main_content(html).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(n_buckets)).cast("int"),
+    )
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    result.write.mode("overwrite").partitionBy("bucket").parquet(_data_path(out_dir))
+
+    written = spark.read.parquet(_data_path(out_dir)).filter(
+        F.col("bucket").isin(pending)
+    )
+    pending_df = spark.createDataFrame([(b,) for b in pending], "bucket: int")
+    lineage_rows = (
+        written.groupBy("bucket")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum(F.size("spans")).cast("int").alias("n_spans_out"),
+            F.sum(F.size(F.filter("spans", lambda s: s["kind"] == "text")))
+            .cast("int").alias("n_text_spans"),
+            F.sum(F.size(F.filter("spans", lambda s: s["kind"] == "media")))
+            .cast("int").alias("n_media_spans"),
+        )
+        .join(pending_df, "bucket", "right")
+        .na.fill(0)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("status", F.lit("committed"))
+        .select(
+            "run_id", "bucket", "n_docs", "n_spans_out",
+            "n_text_spans", "n_media_spans", "status",
+        )
+    )
+    lineage_rows.write.mode("append").parquet(_lineage_path(out_dir))
+    summary["processed"] = len(pending)
+    return summary

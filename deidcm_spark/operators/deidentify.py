@@ -202,6 +202,7 @@ def deidentify_attributes(
     with_metrics: bool = False,
     date_mode: str = "first_day_year",
     date_offset: int = 100000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Spark-native analogue of the reference's ``deidentify_attributes``
     (deid_mammogram.py:270-312): documents in, de-identified documents out.
@@ -209,13 +210,45 @@ def deidentify_attributes(
     Explicit salted repartition on ``xxhash64(doc_id, salt)`` defeats
     hot-study skew (many spans under few doc_id prefixes): the hash spreads
     lexicographically adjacent ids, the salt de-correlates reruns.
+
+    ``impl='arrow'`` (default) runs the vectorized mapInArrow kernel
+    (operators/deidentify_arrow.py — no per-span Python objects);
+    ``impl='pandas'`` runs the original scalar pandas UDF (kept as the
+    equality cross-check and readability reference).
     """
-    udf = make_deidentify_udf(org_root, salt, date_mode, date_offset)
     if num_partitions:
         df = df.repartition(num_partitions, F.xxhash64("doc_id", F.lit(salt)))
+    passthrough = [c for c in df.columns if c not in ("doc_id", "spans")]
+
+    if impl == "arrow":
+        from pyspark.sql.types import StructType as _St
+
+        from deidcm_spark.operators.deidentify_arrow import (
+            make_deidentify_arrow_fn,
+        )
+
+        out_schema = _St(
+            [df.schema["doc_id"], df.schema["spans"]]
+            + [df.schema[c] for c in passthrough]
+            + [
+                StructField("n_removed", IntegerType(), False),
+                StructField("n_erased", IntegerType(), False),
+                StructField("n_pseudonymized", IntegerType(), False),
+                StructField("n_kept", IntegerType(), False),
+            ]
+        )
+        fn = make_deidentify_arrow_fn(org_root, salt, date_mode, date_offset)
+        result = df.mapInArrow(fn, out_schema)
+        cols = ["doc_id", "spans", *passthrough]
+        if with_metrics:
+            cols += ["n_removed", "n_erased", "n_pseudonymized", "n_kept"]
+        return result.select(*cols)
+
+    if impl != "pandas":
+        raise ValueError(f"unknown impl {impl!r}")
+    udf = make_deidentify_udf(org_root, salt, date_mode, date_offset)
     result = df.withColumn("_deid", udf(F.col("doc_id"), F.col("spans")))
     # preserve any extra caller columns (e.g. a bucket id) — no self-join needed
-    passthrough = [c for c in df.columns if c not in ("doc_id", "spans")]
     cols = ["doc_id", F.col("_deid.spans").alias("spans"), *passthrough]
     if with_metrics:
         cols += [

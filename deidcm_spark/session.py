@@ -19,6 +19,32 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Allocator / thread-pool profile for the Python workers (they inherit the
+# driver's environment in local mode; on a cluster these ride
+# spark.executorEnv.*).  Measured on the bench VM (see BENCH/BASELINE.md):
+#
+# * jemalloc decay off — pyarrow's pool returning pages to the OS on every
+#   batch caused an mmap/TLB-shootdown storm (50-70% kernel time at 32
+#   workers);
+# * OMP_NUM_THREADS=1 — Arrow sizes its internal pool to ALL cores in EVERY
+#   worker (32 workers x 32 threads thrash); parallelism belongs to Spark.
+WORKER_ENV = {
+    "MALLOC_CONF": "dirty_decay_ms:-1,muzzy_decay_ms:-1",
+    "ARROW_JEMALLOC_CONF": "dirty_decay_ms:-1,muzzy_decay_ms:-1",
+    "OMP_NUM_THREADS": "1",
+}
+
+# Driver JVM profile: ParallelGC beats G1 by >2x on this allocation pattern
+# (short-lived Arrow batch buffers, 32 allocating task threads).
+DRIVER_JAVA_OPTIONS = "-XX:+UseParallelGC"
+
+
+def apply_worker_env() -> None:
+    """Set the worker env vars on the current process so forked Python
+    workers inherit them.  Must run before the JVM / first Arrow import."""
+    for k, v in WORKER_ENV.items():
+        os.environ.setdefault(k, v)
+
 
 def get_spark(
     app_name: str = "deidcm_spark",
@@ -27,9 +53,15 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    apply_worker_env()
+    local_dir = (
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp/spark-local"
+    )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.extraJavaOptions", DRIVER_JAVA_OPTIONS)
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,84 @@
+"""Arrow-native deid kernel vs the pandas-UDF reference implementation:
+span-for-span equality (kind, text, media_ref, offset, order) plus counter
+equality on every corpus shape we have — synthetic skewed corpora (media
+mixed in), the 9 recipe cases, the ingested driver table, both date modes,
+and passthrough columns."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deidcm_spark.corpus import case_documents_df, synth_documents
+from deidcm_spark.ingest import documents_to_spans
+from deidcm_spark.operators.deidentify import deidentify_attributes
+
+ORG = "9.9.9.9.9"
+
+
+def _canon(df):
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        d = r.asDict()
+        spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d.pop("spans")
+        ]
+        out[d.pop("doc_id")] = (spans, tuple(sorted(d.items())))
+    return out
+
+
+def _assert_impls_equal(docs, **kw):
+    a = _canon(deidentify_attributes(docs, ORG, "s1", impl="arrow", **kw))
+    p = _canon(deidentify_attributes(docs, ORG, "s1", impl="pandas", **kw))
+    assert set(a) == set(p)
+    for doc_id in p:
+        assert a[doc_id] == p[doc_id], f"doc {doc_id}"
+
+
+def test_arrow_equals_pandas_synth(spark):
+    docs = synth_documents(spark, 400, seed=31, media_rate=0.25, skew=0.05)
+    _assert_impls_equal(docs, with_metrics=True)
+
+
+def test_arrow_equals_pandas_recipe_cases(spark):
+    _assert_impls_equal(case_documents_df(spark), with_metrics=True)
+
+
+def test_arrow_equals_pandas_ingested(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _assert_impls_equal(documents_to_spans(d), with_metrics=True)
+
+
+def test_arrow_equals_pandas_offset_mode(spark):
+    docs = synth_documents(spark, 150, seed=7, media_rate=0.1)
+    _assert_impls_equal(
+        docs, with_metrics=True, date_mode="offset", date_offset=365
+    )
+
+
+def test_arrow_passthrough_columns(spark):
+    docs = synth_documents(spark, 100, seed=3).withColumn(
+        "bucket", (F.xxhash64("doc_id") % 8).cast("int")
+    )
+    _assert_impls_equal(docs, with_metrics=False)
+
+
+def test_arrow_empty_spans_doc(spark):
+    # a document with zero spans still gains the marker (offset 0)
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["empty1"], "spans": [[]]}),
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    _assert_impls_equal(docs, with_metrics=True)
+    out = deidentify_attributes(docs, ORG, "s1", impl="arrow").collect()
+    assert [tuple(s) for s in out[0]["spans"]] == [
+        ("text", "PatientIdentityRemoved_0x00120062_CS_1____=YES", "", 0)
+    ]
+
+
+def test_arrow_rejects_unknown_impl(spark):
+    docs = synth_documents(spark, 5, seed=1)
+    with pytest.raises(ValueError):
+        deidentify_attributes(docs, ORG, "s1", impl="rdd")

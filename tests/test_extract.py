@@ -199,6 +199,47 @@ def test_layout_rejects_bad_magic():
 
 
 # ---------------------------------------------------------------------------
+# resumable extraction job (north_rule: checkpointed lineage + metrics)
+# ---------------------------------------------------------------------------
+
+def test_extract_job_resume_after_failure(spark, docs_pdf, tmp_path):
+    from deidcm_spark import lineage
+
+    out_dir = str(tmp_path / "extract_job")
+    docs = spark.createDataFrame(docs_pdf)
+
+    # attempt 1 "crashes" after 3 of 8 buckets
+    s1 = lineage.run_extract_job(
+        spark, docs, out_dir, n_buckets=8, max_buckets_this_attempt=3
+    )
+    assert s1["processed"] == 3
+    # attempt 2 resumes: only the 5 missing buckets are recomputed
+    s2 = lineage.run_extract_job(spark, docs, out_dir, n_buckets=8)
+    assert s2["committed_before"] == 3 and s2["processed"] == 5
+    # attempt 3 is a no-op (idempotent)
+    s3 = lineage.run_extract_job(spark, docs, out_dir, n_buckets=8)
+    assert s3["processed"] == 0
+
+    # output equals a direct single-pass extraction, span-for-span
+    out = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in lineage.read_output(spark, out_dir).collect()
+    }
+    assert len(out) == len(docs_pdf)
+    for _, row in docs_pdf.iterrows():
+        assert out[str(row["doc_id"])] == _expected_spans(row["doc_id"], row["text"])
+
+    # lineage metrics reconcile with the written output
+    lin = lineage.read_lineage(spark, out_dir).toPandas()
+    assert lin["status"].eq("committed").all()
+    assert lin["n_docs"].sum() == len(docs_pdf)
+    assert lin["n_media_spans"].sum() == len(docs_pdf)  # one image per doc
+    assert (lin["n_text_spans"] + lin["n_media_spans"]).equals(lin["n_spans_out"])
+
+
+# ---------------------------------------------------------------------------
 # plan quality: the lane is shuffle-free (narrow stages only)
 # ---------------------------------------------------------------------------
 

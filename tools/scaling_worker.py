@@ -16,12 +16,14 @@ from pyspark.sql import SparkSession, functions as F
 
 sys.path.insert(0, "/root/repo")
 
+from deidcm_spark.operators import extract  # noqa: E402
 from deidcm_spark.operators.deidentify import deidentify_attributes  # noqa: E402
 
 
 def main() -> None:
     corpus_path = sys.argv[1]
     n_partitions = int(sys.argv[2])
+    html_corpus_path = sys.argv[3] if len(sys.argv) > 3 else None
     spark = (
         SparkSession.builder.appName("scaling_worker")
         .config("spark.sql.adaptive.enabled", "true")
@@ -44,12 +46,30 @@ def main() -> None:
         F.count("*"), F.sum(F.size("spans"))
     ).collect()[0]
     elapsed = time.perf_counter() - t0
-    print(json.dumps({
+    result = {
         "n_docs": n_docs,
         "n_spans_out": int(n_spans),
         "elapsed_sec": round(elapsed, 3),
         "docs_per_sec": round(n_docs / elapsed, 1),
-    }))
+    }
+
+    if html_corpus_path:
+        # extraction lane (north_rule): same two-level evidence, same input
+        raw = spark.read.parquet(html_corpus_path)
+        ex_warm = extract.extract_main_content(extract.with_html(raw.limit(512)))
+        ex_warm.agg(F.count("*")).collect()
+        t0 = time.perf_counter()
+        ex = extract.extract_main_content(extract.with_html(raw))
+        ex_docs, ex_spans = ex.agg(F.count("*"), F.sum(F.size("spans"))).collect()[0]
+        ex_elapsed = time.perf_counter() - t0
+        result.update({
+            "extract_n_docs": ex_docs,
+            "extract_n_spans": int(ex_spans),
+            "extract_elapsed_sec": round(ex_elapsed, 3),
+            "extract_docs_per_sec": round(ex_docs / ex_elapsed, 1),
+        })
+
+    print(json.dumps(result))
     spark.stop()
 
 
