@@ -284,6 +284,17 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_load(spark, sf_dir, "documents"))
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """Pigeonhole band-blocked simhash near-dup pairs (hamming <= 3).
+
+    32-bit simhash: at 16 bits a shared-vocabulary corpus saturates the
+    hash space (measured ~340k pairs from 1k docs); 32 bits keeps the
+    candidate set to the true near-dup neighborhood."""
+    return dedup.simhash_neardup_pairs(
+        _doubled_docs(spark, sf_dir), max_hamming=3, bits=32
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     dup = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label")
@@ -405,6 +416,14 @@ def ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_bucketed(emb, qv, k=10)
 
 
+def ann_ivf(spark, sf_dir):
+    """IVF ANN (rows-only: k-means refinement is iterative, not
+    SQL-expressible; recall vs brute force is pytest-verified)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = similarity.query_vector(emb, 0)
+    return similarity.ann_ivf(emb, qv, k=10, n_centroids=8, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -435,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "ann_threshold": q_ann_threshold,
         "html_strip_tags": q_html_strip_tags,
@@ -442,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible; pytest-verified vs independent oracle)
         "extract_main_content": q_extract_main_content,
         "layout_parse": q_layout_parse,
+        "ann_ivf": ann_ivf,
         "deid_pipeline": deid_pipeline,
         "deid_recipe_cases": deid_recipe_cases,
         "deid_ingest_testdata": deid_ingest_testdata,
@@ -515,18 +536,48 @@ bands AS (SELECT bands_all.* FROM bands_all JOIN small USING (band_idx, band_key
 """
 
 
-def _simhash_sql() -> str:
+def _simhash_core(source_sql: str, bits: int = 16) -> str:
     h = "CAST(concat('0x', substr(md5(t), 1, 8)) AS bigint)"
     bit_sums = ", ".join(
-        f"sum((({h} >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(16)
+        f"sum((({h} >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(bits)
     )
-    total = " + ".join(f"(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(16))
+    total = " + ".join(f"(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(bits))
     return f"""
-WITH toks AS (SELECT doc_id, unnest(list_distinct({_DT})) AS t FROM documents),
+WITH src AS ({source_sql}),
+toks AS (SELECT doc_id, unnest(list_distinct({_DT})) AS t FROM src),
 bitsums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
-alldocs AS (SELECT doc_id FROM documents)
-SELECT alldocs.doc_id, CAST(coalesce({total}, 0) AS bigint) AS simhash
-FROM alldocs LEFT JOIN bitsums ON alldocs.doc_id = bitsums.doc_id
+alldocs AS (SELECT doc_id FROM src),
+sims AS (
+  SELECT alldocs.doc_id, CAST(coalesce({total}, 0) AS bigint) AS simhash
+  FROM alldocs LEFT JOIN bitsums ON alldocs.doc_id = bitsums.doc_id
+)"""
+
+
+def _simhash_sql() -> str:
+    return _simhash_core("SELECT doc_id, text FROM documents") + """
+SELECT doc_id, simhash FROM sims
+"""
+
+
+def _simhash_neardup_sql() -> str:
+    """Band blocking: 4 bands x 4 bits; pairs sharing a band, exact
+    hamming via bit_count(xor()) <= 3 — mirrors dedup.simhash_neardup_pairs."""
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, "
+        f"(simhash >> {b * 8}) & 255 AS band_key FROM sims"
+        for b in range(4)
+    )
+    return _simhash_core(_DOUBLED_SQL, bits=32) + f""",
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.simhash AS sa, r.simhash AS sb
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS int) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 
@@ -698,6 +749,7 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
 WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
 """,
         "simhash": _simhash_sql(),
+        "simhash_neardup": _simhash_neardup_sql(),
         "html_strip_tags": _html_strip_sql(),
         "html_link_density": _html_link_density_sql(),
         "series_group_count": """

@@ -187,6 +187,62 @@ def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
     return with_bits.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame, max_hamming: int = 3, bits: int = 16
+) -> DataFrame:
+    """SimHash near-duplicate pairs with pigeonhole band blocking.
+
+    Split the ``bits``-bit simhash into ``max_hamming + 1`` equal bands:
+    any pair within ``max_hamming`` bit flips agrees EXACTLY on at least
+    one band (pigeonhole), so candidates = pairs sharing a
+    ``(band_idx, band_key)`` — an equi-join, never an O(n²) cross join —
+    then the exact Hamming distance (``bit_count(a ^ b)``) filters.
+    100% recall at the guaranteed radius, unlike probabilistic LSH.
+    """
+    n_bands = max_hamming + 1
+    assert bits % n_bands == 0, "bits must split evenly into bands"
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sim = simhash(df, bits)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftright("simhash", b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band_idx", "bk.band_key")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("cast(bit_count(sa ^ sb) as int)").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.
 

@@ -16,7 +16,11 @@ ROUNDED (4 dp) when they feed the DuckDB oracle hash.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import IntegerType
 
 # cosine(x, y) assuming non-zero vectors; {x}/{y} are column names
 COSINE_EXPR = (
@@ -67,6 +71,84 @@ def hyperplane_sign_expr(col: str, plane: int, dim: int) -> str:
 def signature_expr(col: str, n_planes: int, dim: int) -> str:
     bits = [hyperplane_sign_expr(col, p, dim) for p in range(n_planes)]
     return "concat(" + ", ".join(f"cast({b} as string)" for b in bits) + ")"
+
+
+def _assign_udf(centroids):
+    """Vectorized cluster assignment: stack the Arrow batch into one (n, d)
+    matrix, one matmul against the normalized centroid matrix, argmax.
+    This is the IVF scale path — numpy BLAS per batch, no per-row Python."""
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @F.pandas_udf(IntegerType())
+    def assign(embedding: pd.Series) -> pd.Series:
+        M = np.stack(embedding.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16, lloyd_iters: int = 1
+                  ) -> list[list[float]]:
+    """Deterministic IVF codebook: initialize from a hash-ordered sample
+    (no RNG state — reproducible on retry), then ``lloyd_iters`` k-means
+    refinement passes expressed as DataFrame ops (assign via the matmul
+    UDF, re-center via explode + groupBy avg).  The codebook is tiny
+    (k x d) — it rides a broadcast/closure, never a shuffle."""
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_centroids)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [list(r["embedding"]) for r in seeds]
+    for _ in range(lloyd_iters):
+        assigned = emb.withColumn("cluster", _assign_udf(centroids)(F.col("embedding")))
+        means = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        centroids = [
+            [by_cluster[c][d] for d in sorted(by_cluster[c])]
+            if c in by_cluster else centroids[c]  # empty cluster keeps its seed
+            for c in range(n_centroids)
+        ]
+    return centroids
+
+
+def ann_ivf(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into ``n_centroids`` inverted
+    lists, probe the ``nprobe`` lists nearest to the query, exact-rerank
+    inside them.  At 10^12 rows the cluster id is the Iceberg partition
+    key, so probing prunes partitions at scan time; assignment is one
+    numpy matmul per Arrow batch.  Recall vs ann_brute_force is measured
+    in tests (test_training_ops)."""
+    C = centroids if centroids is not None else ivf_centroids(emb, n_centroids)
+    Cn = np.asarray(C, dtype=np.float64)
+    Cn = Cn / np.linalg.norm(Cn, axis=1, keepdims=True)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(Cn @ q))[:nprobe].tolist()
+
+    assigned = emb.withColumn("cluster", _assign_udf(C)(F.col("embedding")))
+    in_lists = assigned.filter(F.col("cluster").isin([int(p) for p in probe]))
+    scored = in_lists.withColumn("q", _lit_array(query)).select(
+        "vec_id", F.expr(COSINE_EXPR.format(x="embedding", y="q")).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
 def ann_lsh_bucketed(

@@ -131,3 +131,39 @@ def test_ann_lsh_recall(spark, emb):
 def test_embedding_neardup(spark, emb):
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.embedding_neardup_pairs(emb, 0.9999).collect()}
     assert (0, 50) in pairs
+
+
+def test_ann_ivf_recall_and_determinism(spark, emb):
+    q = similarity.query_vector(emb, 0)
+    cents1 = similarity.ivf_centroids(emb, n_centroids=4)
+    cents2 = similarity.ivf_centroids(emb, n_centroids=4)
+    assert cents1 == cents2  # hash-sampled init + Lloyd pass are deterministic
+    exact = [r["vec_id"] for r in similarity.ann_brute_force(emb, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ann_ivf(
+            emb, q, k=5, n_centroids=4, nprobe=2, centroids=cents1
+        ).collect()
+    ]
+    assert 0 in approx and 50 in approx  # query + its exact copy found
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.6
+    # probing ALL lists must recover brute force exactly
+    full = [
+        r["vec_id"]
+        for r in similarity.ann_ivf(
+            emb, q, k=5, n_centroids=4, nprobe=4, centroids=cents1
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_simhash_neardup_pairs(spark, docs):
+    d = docs.select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    pairs = dedup.simhash_neardup_pairs(d.union(dup), max_hamming=3)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    # every exact duplicate pair is found at hamming 0 (pigeonhole guarantee)
+    for i in [r["doc_id"] for r in d.collect()]:
+        assert got.get((i, i + 1000)) == 0, f"missing dup pair {i}"
+    assert all(h <= 3 for h in got.values())
