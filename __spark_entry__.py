@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from deidcm_spark.config import load_general_rules
 from deidcm_spark.corpus import case_documents_df, synth_documents, synth_media
 from deidcm_spark.ingest import documents_to_spans
-from deidcm_spark.operators import dedup, extract, similarity, textops
+from deidcm_spark.operators import dedup, extract, scrub, similarity, textops
 from deidcm_spark.operators.deidentify import deidentify_attributes
 from deidcm_spark.operators.media import redact_media
 
@@ -338,6 +338,45 @@ def q_extract_main_content(spark, sf_dir):
     ).select("doc_id", "pos", "span.kind", "span.text", "span.media_ref")
 
 
+_PHI_NAMES = ["dupont", "martin", "bernard"]
+
+# deterministic PHI salting of the documents text — one spec, two dialects
+def _phi_text_expr(dialect: str) -> str:
+    s = "string" if dialect == "spark" else "varchar"
+    return (
+        f"concat(text, ' seen 2022-03-', lpad(cast(doc_id % 28 + 1 as {s}), 2, '0'),"
+        f" ' at 09:1', cast(doc_id % 10 as {s}), ':33 by user',"
+        f" cast(doc_id as {s}), '@site.fr')"
+    )
+
+
+def q_phi_scrub(spark, sf_dir):
+    """Free-text PHI scrub (dates/times/emails/name dictionary) — the
+    north_star's regex+dictionary scrubbing, oracle-checked byte-for-byte."""
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_phi_text_expr("spark")).alias("text")
+    )
+    return scrub.scrub_text(d, _PHI_NAMES).select("doc_id", "text")
+
+
+def _phi_scrub_sql() -> str:
+    inner = _phi_text_expr("duckdb")
+    expr = scrub.scrub_text_expr(inner, _PHI_NAMES, dialect="duckdb")
+    return f"SELECT doc_id, {expr} AS text FROM documents"
+
+
+def q_phi_scrub_uids(spark, sf_dir):
+    """Full scrub incl. consistent salted-hash UID remapping (rows-only:
+    sha256→decimal; UID-consistency is pytest-verified in test_scrub)."""
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' uid 1.2.840.', cast(doc_id % 50 as string), '.99')"
+        ).alias("text"),
+    )
+    return scrub.scrub_documents(d, ORG_ROOT, _PHI_NAMES).select("doc_id", "text")
+
+
 def q_layout_parse(spark, sf_dir):
     """PDF/layout lane: deterministic LAYOUT1 payloads parsed into
     reading-order spans, page chrome dropped (rows-only)."""
@@ -459,7 +498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_threshold": q_ann_threshold,
         "html_strip_tags": q_html_strip_tags,
         "html_link_density": q_html_link_density,
+        "phi_scrub": q_phi_scrub,
         # rows-only (non-SQL-expressible; pytest-verified vs independent oracle)
+        "phi_scrub_uids": q_phi_scrub_uids,
         "extract_main_content": q_extract_main_content,
         "layout_parse": q_layout_parse,
         "ann_ivf": ann_ivf,
@@ -752,6 +793,7 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
         "simhash_neardup": _simhash_neardup_sql(),
         "html_strip_tags": _html_strip_sql(),
         "html_link_density": _html_link_density_sql(),
+        "phi_scrub": _phi_scrub_sql(),
         "series_group_count": """
 SELECT lang AS series_value, count(*) AS n_docs FROM documents GROUP BY lang
 """,

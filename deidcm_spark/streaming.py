@@ -56,6 +56,39 @@ def stream_deidentify(
     return query
 
 
+def stream_extract(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incrementally run the main-content extraction lane (north_rule) over
+    raw documents landing in ``in_dir``: each micro-batch synthesizes the
+    page, extracts interleaved main-content spans, and appends the span
+    table — same stateless stages as the batch job, exactly-once via the
+    streaming commit log."""
+    from deidcm_spark.operators import extract
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .option("maxFilesPerTrigger", 16)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract.extract_main_content(extract.with_html(batch_df))
+        out.write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
 def sessionize_events(
     spark: SparkSession,
     in_dir: str,

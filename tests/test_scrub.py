@@ -1,0 +1,134 @@
+"""Free-text PHI scrub lane: regex date/time/email coarsening, dictionary
+name redaction, consistent salted-hash UID remapping — vs DuckDB (SQL
+chain) and the shared kernel (UID stage)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from deidcm_spark.kernels import gen_dicom_uid
+from deidcm_spark.operators import scrub
+
+ORG = "9.9.9.9.9"
+
+CASES = [
+    ("visit on 2021-07-19 at 14:31:07 ok", "visit on 2021-01-01 at 00:00:00 ok"),
+    ("seen 19/07/2021 and 20210719 both", "seen 01/01/2021 and 20210101 both"),
+    ("mail alice.smith+x@hospital.org now", "mail [EMAIL]@hospital.org now"),
+    ("no phi here at all", "no phi here at all"),
+    # bare-date rule requires a valid month, so 4+4 digit ids survive
+    ("code 12345678 stays 99999999 stays", "code 12345678 stays 99999999 stays"),
+]
+
+NAMES = ["dupont", "martin"]
+
+
+def test_sql_chain_golden_cases(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(CASES)), "text": [c[0] for c in CASES]})
+    )
+    got = {r["doc_id"]: r["text"] for r in scrub.scrub_text(df).collect()}
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want
+
+
+def test_name_dictionary_word_boundary(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["Dr DUPONT saw Martin but not martini"]})
+    )
+    out = scrub.scrub_text(df, names=NAMES).collect()[0]["text"]
+    assert out == "Dr [NAME] saw [NAME] but not martini"
+
+
+def test_uid_remap_consistency(spark):
+    txt1 = "study 1.2.840.10008.5 image 1.2.840.10008.5 other 1.2.3.4.5"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": [txt1, "again 1.2.840.10008.5"]})
+    )
+    rows = {r["doc_id"]: r["text"] for r in scrub.scrub_uids(df, ORG).collect()}
+    ps = gen_dicom_uid("", "1.2.840.10008.5", ORG)
+    assert rows[0] == f"study {ps} image {ps} other " + gen_dicom_uid("", "1.2.3.4.5", ORG)
+    # SAME uid in a different document maps to the SAME pseudonym
+    assert rows[1] == f"again {ps}"
+    # and matches the structured recipe lane's kernel exactly
+    assert ps.startswith(ORG + ".") and len(ps) == len(ORG) + 1 + 30
+
+
+def test_full_scrub_order(spark):
+    # the OID must be remapped BEFORE the bare-date rule could corrupt it
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["uid 1.2.19890312.44.5 on 19890312"]})
+    )
+    out = scrub.scrub_documents(df, ORG).collect()[0]["text"]
+    assert out == f"uid {gen_dicom_uid('', '1.2.19890312.44.5', ORG)} on 19890101"
+
+
+def test_scrub_matches_duckdb(spark):
+    base = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' LIMIT 100"
+    ).df()
+    # salt the corpus with synthetic PHI deterministically
+    base["text"] = [
+        f"{t} seen 2022-03-{(i % 28) + 1:02d} at 09:1{i % 10}:33 "
+        f"by user{i}@site.fr"
+        for i, t in zip(base["doc_id"], base["text"])
+    ]
+    df = spark.createDataFrame(base)
+    got = {r["doc_id"]: r["text"] for r in scrub.scrub_text(df, NAMES).collect()}
+    duck = duckdb.connect()
+    duck.register("docs", base)
+    expr = scrub.scrub_text_expr("text", NAMES, dialect="duckdb")
+    want = dict(duck.execute(f"SELECT doc_id, {expr} FROM docs").fetchall())
+    assert got == want
+
+
+def test_scrub_spans_in_row(spark):
+    spans = [
+        {"kind": "text", "text": "op on 2020-05-06 at 11:22:33", "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": "m1.png", "offset": 1},
+        {"kind": "text", "text": "bob@x.org wrote", "media_ref": "", "offset": 2},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "spans": [spans]}),
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = scrub.scrub_spans(df).collect()[0]["spans"]
+    assert [tuple(s) for s in out] == [
+        ("text", "op on 2020-01-01 at 00:00:00", "", 0),
+        ("media", "", "m1.png", 1),
+        ("text", "[EMAIL]@x.org wrote", "", 2),
+    ]
+
+
+def test_scrub_spans_plan_stays_jvm(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "spans": [[]]}),
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    plan = scrub.scrub_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stream_extract(spark, tmp_path):
+    from deidcm_spark import streaming
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    docs = duckdb.sql(
+        "SELECT doc_id, text, lang, source FROM "
+        "'/root/testdata/sf0.001/documents.parquet' LIMIT 40"
+    ).df()
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(src)
+    q = streaming.stream_extract(spark, src, out, ck)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    # incremental restart: nothing new to do, output unchanged
+    q2 = streaming.stream_extract(spark, src, out, ck)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 40
+    one = got.filter(F.col("doc_id") == str(int(docs["doc_id"].iloc[0]))).first()
+    assert [s["kind"] for s in one["spans"]].count("media") == 1
