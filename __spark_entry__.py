@@ -543,11 +543,21 @@ FROM (SELECT doc_id, {_DT} AS toks FROM documents)
 """
 
 
-def _minhash_sql() -> str:
-    sigs = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5(s || '#{i}')), 'min') AS mh{i}"
-        for i in range(dedup.N_MINHASH)
+_DUCK_SHINGLE_H = (
+    f"(CAST(concat('0x', substr(md5(s), 1, 15)) AS bigint) % {dedup.MINHASH_P})"
+)
+
+
+def _duck_mh(i: int) -> str:
+    return (
+        f"list_aggregate(list_transform(sh, s -> "
+        f"({_DUCK_SHINGLE_H} * {dedup.MINHASH_A[i]} + {dedup.MINHASH_B[i]})"
+        f" % {dedup.MINHASH_P}), 'min') AS mh{i}"
     )
+
+
+def _minhash_sql() -> str:
+    sigs = ", ".join(_duck_mh(i) for i in range(dedup.N_MINHASH))
     return f"""
 SELECT doc_id, CAST(len(sh) AS bigint) AS n_shingles, {sigs}
 FROM (SELECT doc_id, {_DSH} AS sh FROM documents)
@@ -556,13 +566,12 @@ FROM (SELECT doc_id, {_DSH} AS sh FROM documents)
 
 def _bands_sql(source_sql: str) -> str:
     """(doc_id, band_idx, band_key) rows from a doubled-corpus source."""
-    sig_cols = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5(s || '#{i}')), 'min') AS mh{i}"
-        for i in range(dedup.N_MINHASH)
-    )
+    sig_cols = ", ".join(_duck_mh(i) for i in range(dedup.N_MINHASH))
+    cast = "CAST(mh{} AS varchar)"
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
-        f"md5(mh{b*4} || '|' || mh{b*4+1} || '|' || mh{b*4+2} || '|' || mh{b*4+3}) AS band_key "
+        f"md5({cast.format(b*4)} || '|' || {cast.format(b*4+1)} || '|' || "
+        f"{cast.format(b*4+2)} || '|' || {cast.format(b*4+3)}) AS band_key "
         f"FROM sig"
         for b in range(dedup.N_BANDS)
     )

@@ -17,7 +17,11 @@ Design notes for 100 TB:
 
 Shared spec with the oracle: tokens = non-empty ``\\s+`` splits of
 lower(text); shingles = distinct word 3-grams joined by single spaces;
-minhash_i = min over shingles of md5(shingle || '#' || i), i in 0..15.
+``h = (first 15 hex chars of md5(shingle) as int) mod P``;
+``minhash_i = min over shingles of (h * A_i + B_i) mod P`` — ONE md5 per
+shingle + 16 affine maps (universal hashing), instead of 16 md5 passes
+(the previous spec; this one measured ~2.5x faster end-to-end).  P =
+2^31 - 1 keeps ``h * A_i`` inside int64 in both engines.
 """
 
 from __future__ import annotations
@@ -29,6 +33,19 @@ from deidcm_spark.operators.textops import SHINGLES, TOKENS
 N_MINHASH = 16
 N_BANDS = 4
 BAND_ROWS = 4
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+# deterministic affine coefficients, identical literals in the DuckDB oracle
+MINHASH_A = [(i * 2_654_435_761 + 1) % MINHASH_P for i in range(N_MINHASH)]
+MINHASH_B = [(i * 40_503 + 17) % MINHASH_P for i in range(N_MINHASH)]
+
+# shingle → bounded integer hash (both dialects agree bit-for-bit)
+SHINGLE_HASH_SPARK = (
+    f"cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % {MINHASH_P}"
+)
+SHINGLE_HASH_DUCK = (
+    f"CAST(concat('0x', substr(md5(shingle), 1, 15)) AS bigint) % {MINHASH_P}"
+)
 
 
 def dedup_exact(df: DataFrame) -> DataFrame:
@@ -63,17 +80,22 @@ def dedup_exact_salted(df: DataFrame, n_salts: int = 16) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame) -> DataFrame:
-    """doc_id + minhash[16] (md5-string minima) + shingle count.
+    """doc_id + minhash[16] (universal-hash minima) + shingle count.
 
-    Shape: explode(shingles) → hash-aggregate of 16 mins.  NOT 16 array_min
-    expressions over the array column — Catalyst inlines the (collapsed)
-    shingle construction into every signature expression (no CSE through
+    Shape: explode(shingles) → project ONE md5-derived integer per shingle
+    → hash-aggregate of 16 affine-map mins.  NOT 16 array_min expressions
+    over the array column — Catalyst inlines the (collapsed) shingle
+    construction into every signature expression (no CSE through
     higher-order functions), tokenizing each document 16×; the explode form
-    builds shingles once and the mins combine map-side (partial aggregation),
-    which is also the shuffle-light shape at corpus scale."""
-    rows = df.select("doc_id", F.explode_outer(F.expr(SHINGLES)).alias("shingle"))
+    hashes each shingle once and the mins combine map-side (partial
+    aggregation), which is also the shuffle-light shape at corpus scale."""
+    rows = df.select(
+        "doc_id", F.explode_outer(F.expr(SHINGLES)).alias("shingle")
+    ).withColumn("h", F.expr(SHINGLE_HASH_SPARK))
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        F.min(
+            (F.col("h") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+        ).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
     return rows.groupBy("doc_id").agg(
