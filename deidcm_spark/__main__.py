@@ -1,0 +1,159 @@
+"""spark-submit entry point: ``spark-submit --py-files deidcm_spark.zip -m``
+or ``python -m deidcm_spark <command> ...``.
+
+The north rule's submission path is ``spark-submit --py-files`` on a
+multi-executor cluster; this module is the job main that path runs.
+Subcommands map 1:1 to the engine's lanes, each resumable where the lane
+supports it:
+
+  deid     span-form documents → de-identified documents (+ metrics cols)
+           [--resume: bucket-committed lineage job, lineage.run_deid_job]
+  extract  raw (doc_id, text, lang, source) documents → interleaved
+           main-content span table [--resume via lineage.run_extract_job]
+  scrub    raw documents → PHI-scrubbed text (dates/times/emails/names/UIDs)
+  ingest   raw documents → span-form table (ingest.documents_to_spans)
+  export   de-identified span table → rendered JSON + meta CSV
+
+Examples:
+
+  spark-submit --master local[32] --py-files deidcm_spark.zip \\
+      -m deidcm_spark deid --input in.parquet --output out/ \\
+      --org-root 9.9.9.9.9 --salt s1 --resume
+
+(For ``spark-submit`` + ``-m`` on Spark versions without module support,
+an equivalent one-line driver script works: ``from deidcm_spark.__main__
+import main; main()``.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str, shuffle_partitions: int):
+    from deidcm_spark.session import get_spark
+
+    return get_spark(app_name=app, shuffle_partitions=shuffle_partitions)
+
+
+def cmd_deid(args) -> dict:
+    spark = _spark("deidcm_deid", args.shuffle_partitions)
+    docs = spark.read.parquet(args.input)
+    if args.resume:
+        from deidcm_spark import lineage
+
+        summary = lineage.run_deid_job(
+            spark, docs, args.output, args.org_root, args.salt,
+            n_buckets=args.buckets, run_id=args.run_id,
+        )
+        return summary
+    from deidcm_spark.operators.deidentify import deidentify_attributes
+
+    out = deidentify_attributes(
+        docs, args.org_root, args.salt,
+        num_partitions=args.shuffle_partitions, with_metrics=True,
+        date_mode=args.date_mode, date_offset=args.date_offset,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    return {"docs": spark.read.parquet(args.output).count()}
+
+
+def cmd_extract(args) -> dict:
+    spark = _spark("deidcm_extract", args.shuffle_partitions)
+    docs = spark.read.parquet(args.input)
+    if args.resume:
+        from deidcm_spark import lineage
+
+        return lineage.run_extract_job(
+            spark, docs, args.output, args.salt,
+            n_buckets=args.buckets, run_id=args.run_id,
+        )
+    from deidcm_spark.operators import extract
+
+    out = extract.extract_main_content(extract.with_html(docs))
+    out.write.mode("overwrite").parquet(args.output)
+    return {"docs": spark.read.parquet(args.output).count()}
+
+
+def cmd_scrub(args) -> dict:
+    spark = _spark("deidcm_scrub", args.shuffle_partitions)
+    docs = spark.read.parquet(args.input)
+    from deidcm_spark.operators import scrub
+
+    names = args.names.split(",") if args.names else []
+    out = scrub.scrub_documents(docs, args.org_root, names)
+    out.write.mode("overwrite").parquet(args.output)
+    return {"docs": spark.read.parquet(args.output).count()}
+
+
+def cmd_ingest(args) -> dict:
+    spark = _spark("deidcm_ingest", args.shuffle_partitions)
+    from deidcm_spark.ingest import documents_to_spans
+
+    out = documents_to_spans(spark.read.parquet(args.input))
+    out.write.mode("overwrite").parquet(args.output)
+    return {"docs": spark.read.parquet(args.output).count()}
+
+
+def cmd_export(args) -> dict:
+    spark = _spark("deidcm_export", args.shuffle_partitions)
+    from deidcm_spark.export import export_corpus
+
+    export_corpus(spark.read.parquet(args.input), args.output)
+    return {"out_dir": args.output}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="deidcm_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, org_root=False):
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--output", required=True)
+        sp.add_argument("--shuffle-partitions", type=int, default=32)
+        sp.add_argument("--salt", default="deidcm_spark")
+        if org_root:
+            sp.add_argument("--org-root", required=True)
+
+    d = sub.add_parser("deid")
+    common(d, org_root=True)
+    d.add_argument("--resume", action="store_true")
+    d.add_argument("--buckets", type=int, default=32)
+    d.add_argument("--run-id", default="run0")
+    d.add_argument("--date-mode", default="first_day_year",
+                   choices=["first_day_year", "offset"])
+    d.add_argument("--date-offset", type=int, default=100000)
+    d.set_defaults(fn=cmd_deid)
+
+    e = sub.add_parser("extract")
+    common(e)
+    e.add_argument("--resume", action="store_true")
+    e.add_argument("--buckets", type=int, default=32)
+    e.add_argument("--run-id", default="run0")
+    e.set_defaults(fn=cmd_extract)
+
+    s = sub.add_parser("scrub")
+    common(s, org_root=True)
+    s.add_argument("--names", default="")
+    s.set_defaults(fn=cmd_scrub)
+
+    i = sub.add_parser("ingest")
+    common(i)
+    i.set_defaults(fn=cmd_ingest)
+
+    x = sub.add_parser("export")
+    common(x)
+    x.set_defaults(fn=cmd_export)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    summary = args.fn(args)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

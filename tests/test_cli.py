@@ -1,0 +1,77 @@
+"""The spark-submit job main (``python -m deidcm_spark``): each subcommand
+end-to-end in-process, including the resumable paths."""
+
+import json
+
+import pytest
+
+from deidcm_spark.__main__ import build_parser, main
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(capsys, argv):
+    main(argv)
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_ingest_then_deid(tmp_path, capsys, spark):
+    spans = str(tmp_path / "spans")
+    out = str(tmp_path / "deid")
+    r = _run(capsys, ["ingest", "--input", f"{SF}/documents.parquet", "--output", spans])
+    assert r["docs"] == 500
+    r = _run(capsys, [
+        "deid", "--input", spans, "--output", out, "--org-root", "9.9.9.9.9",
+        "--shuffle-partitions", "8",
+    ])
+    assert r["docs"] == 500
+    back = spark.read.parquet(out)
+    assert back.filter("n_removed > 0").count() > 0
+
+
+def test_cli_deid_resume(tmp_path, capsys, spark):
+    spans = str(tmp_path / "spans")
+    out = str(tmp_path / "deid_resume")
+    _run(capsys, ["ingest", "--input", f"{SF}/documents.parquet", "--output", spans])
+    r = _run(capsys, [
+        "deid", "--input", spans, "--output", out, "--org-root", "9.9.9.9.9",
+        "--resume", "--buckets", "8",
+    ])
+    assert r["processed"] == 8
+    r2 = _run(capsys, [
+        "deid", "--input", spans, "--output", out, "--org-root", "9.9.9.9.9",
+        "--resume", "--buckets", "8",
+    ])
+    assert r2["processed"] == 0 and r2["committed_before"] == 8
+
+
+def test_cli_extract_and_scrub(tmp_path, capsys, spark):
+    ex = str(tmp_path / "extract")
+    sc = str(tmp_path / "scrub")
+    r = _run(capsys, ["extract", "--input", f"{SF}/documents.parquet", "--output", ex])
+    assert r["docs"] == 500
+    r = _run(capsys, [
+        "scrub", "--input", f"{SF}/documents.parquet", "--output", sc,
+        "--org-root", "9.9.9.9.9", "--names", "dupont,martin",
+    ])
+    assert r["docs"] == 500
+
+
+def test_cli_export(tmp_path, capsys, spark):
+    import os
+
+    spans = str(tmp_path / "spans")
+    out = str(tmp_path / "exported")
+    _run(capsys, ["ingest", "--input", f"{SF}/documents.parquet", "--output", spans])
+    r = _run(capsys, ["export", "--input", spans, "--output", out])
+    assert r["out_dir"] == out
+    assert os.path.exists(os.path.join(out, "meta")) and os.path.exists(
+        os.path.join(out, "rendered")
+    )
+    meta = spark.read.option("header", True).csv(os.path.join(out, "meta"))
+    assert meta.count() == 500
+
+
+def test_cli_requires_command():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args([])
