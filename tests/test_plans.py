@@ -90,3 +90,47 @@ def test_salted_repartition_balances_skewed_corpus(spark):
     assert len(counts) == parts
     mean = sum(counts) / len(counts)
     assert max(counts) < 3.0 * mean, f"partition skew too high: {sorted(counts)}"
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE must split a skewed shuffle-join partition (north rule: skew
+    handled explicitly — this is the runtime half; salting is the static
+    half, test_deid_pipeline_single_exchange)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) > 0  # execute THIS df → AQE finalizes its plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_small_shuffle(spark):
+    """AQE shrinks over-partitioned shuffles at runtime (the 100 TB story:
+    shuffle_partitions is sized for the big corpus; small stages coalesce)."""
+    df = spark.range(0, 10_000).groupBy((F.col("id") % 97).alias("g")).count()
+    assert len(df.collect()) == 97  # execute THIS df → final adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
