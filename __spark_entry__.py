@@ -499,10 +499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip_tags": q_html_strip_tags,
         "html_link_density": q_html_link_density,
         "phi_scrub": q_phi_scrub,
-        # rows-only (non-SQL-expressible; pytest-verified vs independent oracle)
-        "phi_scrub_uids": q_phi_scrub_uids,
         "extract_main_content": q_extract_main_content,
         "layout_parse": q_layout_parse,
+        # rows-only (non-SQL-expressible; pytest-verified vs independent oracle)
+        "phi_scrub_uids": q_phi_scrub_uids,
         "ann_ivf": ann_ivf,
         "deid_pipeline": deid_pipeline,
         "deid_recipe_cases": deid_recipe_cases,
@@ -628,6 +628,59 @@ cand AS (
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS int) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+def _extract_main_sql() -> str:
+    """Independent SQL derivation of the DOM extraction over the template
+    corpus: spans are [h1, p1?, img, p2?] — the halves survive the 3-word
+    gate; positions shift when a half is dropped (tests/test_extract.py is
+    the same oracle in pandas form)."""
+    half = "CAST(ceil(length(text) / 2.0) AS int)"
+    h1 = f"trim(regexp_replace(substr(text, 1, {half}), '\\s+', ' ', 'g'))"
+    h2 = f"trim(regexp_replace(substr(text, {half} + 1), '\\s+', ' ', 'g'))"
+    words = "len(list_filter(regexp_split_to_array({}, '\\s+'), x -> x != ''))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {h1} AS p1, {h2} AS p2,
+         ({words.format(h1)} >= 3) AS k1, ({words.format(h2)} >= 3) AS k2
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, 0 AS pos, 'text' AS kind,
+         'Document ' || CAST(doc_id AS varchar) AS text, '' AS media_ref
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1, 'text', p1, '' FROM base WHERE k1
+  UNION ALL
+  SELECT doc_id, 1 + CASE WHEN k1 THEN 1 ELSE 0 END, 'media', '',
+         'media/' || CAST(doc_id AS varchar) || '_0.png' FROM base
+  UNION ALL
+  SELECT doc_id, 2 + CASE WHEN k1 THEN 1 ELSE 0 END, 'text', p2, ''
+  FROM base WHERE k2
+)
+SELECT CAST(doc_id AS varchar) AS doc_id, pos, kind, text, media_ref FROM spans
+"""
+
+
+def _layout_parse_sql() -> str:
+    """Layout lane oracle: reading order of the two-page template is fixed
+    — [heading, body1, img, body2]; chrome roles never emit."""
+    half = "CAST(ceil(length(text) / 2.0) AS int)"
+    return f"""
+WITH spans AS (
+  SELECT doc_id, 0 AS pos, 'text' AS kind,
+         'Document ' || CAST(doc_id AS varchar) AS text, '' AS media_ref
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'text', substr(text, 1, {half}), '' FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'media', '',
+         'media/' || CAST(doc_id AS varchar) || '_0.png' FROM documents
+  UNION ALL
+  SELECT doc_id, 3, 'text', substr(text, {half} + 1), '' FROM documents
+)
+SELECT CAST(doc_id AS varchar) AS doc_id, pos, kind, text, media_ref FROM spans
 """
 
 
@@ -803,6 +856,8 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
         "html_strip_tags": _html_strip_sql(),
         "html_link_density": _html_link_density_sql(),
         "phi_scrub": _phi_scrub_sql(),
+        "extract_main_content": _extract_main_sql(),
+        "layout_parse": _layout_parse_sql(),
         "series_group_count": """
 SELECT lang AS series_value, count(*) AS n_docs FROM documents GROUP BY lang
 """,
