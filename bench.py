@@ -77,6 +77,36 @@ def main() -> None:
     extras["deid_n_docs"] = n_actual
     docs.unpersist()
 
+    # extraction-lane throughput (north_rule lane): sf documents replicated
+    # x16 so runtime >> per-job overhead, persisted outside the timed window
+    from deidcm_spark.operators import extract
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    reps = base
+    for i in range(1, 16):
+        reps = reps.unionByName(
+            base.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                "text", "lang", "source",
+            )
+        )
+    html_corpus = extract.with_html(reps.repartition(CPUS * 2)).persist()
+    n_html = html_corpus.count()
+    extract.extract_main_content(html_corpus.limit(256)).agg(
+        F.count("*")
+    ).collect()  # warm the python workers
+
+    def extract_bulk():
+        out = extract.extract_main_content(html_corpus)
+        out.agg(F.sum(F.size("spans"))).collect()
+
+    run("extract_bulk", extract_bulk)
+    extras["extract_docs_per_sec"] = round(n_html / timings["extract_bulk"], 1)
+    extras["extract_n_docs"] = n_html
+    html_corpus.unpersist()
+
     qs = entry_mod.queries()
     headliners = [
         "deid_ingest_testdata",

@@ -82,3 +82,52 @@ def test_arrow_rejects_unknown_impl(spark):
     docs = synth_documents(spark, 5, seed=1)
     with pytest.raises(ValueError):
         deidentify_attributes(docs, ORG, "s1", impl="rdd")
+
+
+def test_arrow_giant_and_empty_docs_mixed(spark):
+    """Hot-study shape: one 20k-span document among empties and normal docs
+    — segment reductions (offsets, counters, marker placement) must hold at
+    both extremes within one Arrow batch."""
+    import pandas as pd
+
+    from deidcm_spark.corpus import synth_documents
+
+    normal = synth_documents(spark, 30, seed=11, media_rate=0.2)
+    giant_spans = [
+        {
+            "kind": "text",
+            "text": f"PatientName_0x00100010_PN_1____=HOT^{i}",
+            "media_ref": "",
+            "offset": i,
+        }
+        for i in range(20_000)
+    ]
+    extremes = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": ["giant", "empty_a", "empty_b"],
+             "spans": [giant_spans, [], []]}
+        ),
+        schema=normal.schema,
+    )
+    docs = normal.unionByName(extremes)
+    _assert_impls_equal(docs, with_metrics=True)
+    out = {
+        r["doc_id"]: r
+        for r in deidentify_attributes(docs, ORG, "s1", with_metrics=True).collect()
+    }
+    g = out["giant"]
+    assert g["n_pseudonymized"] == 20_000
+    assert g["spans"][-1]["text"].endswith("=YES")
+    assert g["spans"][-1]["offset"] == 20_000
+    # one attr_key shared by all 20k spans → ONE deterministic replacement
+    # (keyed on salt+doc_id+attr_key; parity with the pandas impl asserted
+    # above by _assert_impls_equal)
+    from deidcm_spark.kernels import patient_name
+
+    texts = {s["text"] for s in g["spans"][:-1]}
+    assert texts == {
+        "PatientName_0x00100010_PN_1____="
+        + patient_name("s1", "giant", "PatientName_0x00100010_PN_1____")
+    }
+    for d in ("empty_a", "empty_b"):
+        assert [s["offset"] for s in out[d]["spans"]] == [0]
