@@ -62,6 +62,8 @@ def get_spark(
         .master(master)
         .config("spark.driver.extraJavaOptions", DRIVER_JAVA_OPTIONS)
         .config("spark.local.dir", local_dir)
+        # bucketed tables (co-located joins) land here, not in the repo cwd
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -69,3 +69,26 @@ def filter_spans(
         return df
     pred = " and ".join(conds)
     return df.withColumn("spans", F.expr(f"filter(spans, s -> {pred})"))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist a table bucketed (and sorted) on its join key.
+
+    At 100 TB the big-big joins (e.g. span table x media-payload table, or
+    repeated joins against the same doc_id key) should be co-located: both
+    sides bucketed on the key with the same bucket count → the sort-merge
+    join reads matching buckets file-to-file with NO exchange and (sorted)
+    no sort.  ``test_plans.test_bucketed_join_no_exchange`` asserts the
+    plan shape.  Spark-native bucketing (in-memory/warehouse catalog), the
+    sandbox stand-in for Iceberg's ``bucket(N, key)`` partition transform.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)

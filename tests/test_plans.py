@@ -134,3 +134,29 @@ def test_aqe_coalesces_small_shuffle(spark):
     assert len(df.collect()) == 97  # execute THIS df → final adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Co-located join: both sides bucketed on the key → sort-merge join
+    with ZERO Exchange (the Iceberg bucket(N, key) analogue)."""
+    from deidcm_spark.sources import write_bucketed
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(c, "bt_customer", "c_custkey", 8)
+        write_bucketed(o, "bt_orders", "o_custkey", 8)
+        j = spark.table("bt_customer").join(
+            spark.table("bt_orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS bt_customer")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
