@@ -234,6 +234,18 @@ def q_fingerprint(spark, sf_dir):
     return textops.fingerprint(_load(spark, sf_dir, "documents"))
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic hash-based train/val assignment + sample membership."""
+    d = _load(spark, sf_dir, "documents")
+    split = textops.deterministic_split(d, val_permille=1500)
+    sample = textops.hash_sample(d, keep_permille=2500).select(
+        "doc_id", F.lit(1).alias("in_sample")
+    )
+    return split.join(sample, "doc_id", "left").select(
+        "doc_id", "split", F.coalesce("in_sample", F.lit(0)).alias("in_sample")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family (oracle-checked) — corpus doubled so duplicates exist
 # ---------------------------------------------------------------------------
@@ -487,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "dataset_split": q_dataset_split,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_salted": q_dedup_exact_salted,
         "minhash_signatures": q_minhash_signatures,
@@ -809,6 +822,17 @@ SELECT doc_id,
 FROM (SELECT doc_id, text, {_DT} AS toks FROM documents)
 """,
         "lang_id": _lang_sql(),
+        "dataset_split": """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint) % 10000 AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN hv < 1500 THEN 'val' ELSE 'train' END AS split,
+       CASE WHEN hv < 2500 THEN 1 ELSE 0 END AS in_sample
+FROM h
+""",
         "fingerprint": f"""
 SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_exact,

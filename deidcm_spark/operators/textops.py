@@ -105,3 +105,33 @@ def fingerprint(df: DataFrame) -> DataFrame:
         F.expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))").alias("fp_exact"),
         F.expr(f"md5(concat_ws(',', slice({hashes}, 1, 4)))").alias("fp_sketch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset splitting / sampling (training-pipeline staples)
+# ---------------------------------------------------------------------------
+# Hash-based, not RNG-based: assignment is a pure function of doc_id, so it
+# is stable across retries, executors, and engines (md5 exists in both
+# Spark and DuckDB → oracle-checkable), and a document never migrates
+# between train and val when the corpus grows.
+
+SPLIT_HASH = "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10000"
+
+
+def deterministic_split(df: DataFrame, val_permille: int = 1000) -> DataFrame:
+    """Assign each document to train/val by doc_id hash (val_permille/10000
+    of documents land in val)."""
+    return df.select(
+        "doc_id",
+        F.expr(
+            f"case when {SPLIT_HASH} < {val_permille} then 'val' else 'train' end"
+        ).alias("split"),
+    )
+
+
+def hash_sample(df: DataFrame, keep_permille: int = 1000) -> DataFrame:
+    """Deterministic corpus sample: keep documents whose doc_id hash falls
+    under the threshold — the distributed, reproducible analogue of
+    ``df.sample(fraction)`` (which is per-partition RNG and not stable
+    under repartitioning)."""
+    return df.filter(F.expr(f"{SPLIT_HASH} < {keep_permille}"))

@@ -167,3 +167,19 @@ def test_simhash_neardup_pairs(spark, docs):
     for i in [r["doc_id"] for r in d.collect()]:
         assert got.get((i, i + 1000)) == 0, f"missing dup pair {i}"
     assert all(h <= 3 for h in got.values())
+
+
+def test_deterministic_split_and_sample(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = {r["doc_id"]: r["split"] for r in textops.deterministic_split(d, 1500).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in textops.deterministic_split(d, 1500).collect()}
+    assert s1 == s2  # pure function of doc_id
+    n_val = sum(1 for v in s1.values() if v == "val")
+    assert 0.05 < n_val / len(s1) < 0.35  # ~15% +- hash noise at n=500
+    # sample ⊆ corpus, stable under repartitioning
+    a = {r["doc_id"] for r in textops.hash_sample(d, 2500).collect()}
+    b = {r["doc_id"] for r in textops.hash_sample(d.repartition(13), 2500).collect()}
+    assert a == b and 0 < len(a) < d.count()
+    # monotone: a smaller threshold is a subset of a bigger one
+    c = {r["doc_id"] for r in textops.hash_sample(d, 500).collect()}
+    assert c <= a
