@@ -152,3 +152,39 @@ def scrub_spans(df: DataFrame, names: list[str] | None = None) -> DataFrame:
             "'media_ref', s.media_ref, 'offset', s.offset), s))"
         ),
     )
+
+
+def scrub_spans_full(
+    df: DataFrame, org_root: str, names: list[str] | None = None
+) -> DataFrame:
+    """Complete span-table scrub: UID remap FIRST (an OID arc that looks
+    like a bare date would otherwise be chewed by the date rule — same
+    ordering as scrub_documents; a remapped 30-digit arc can never match
+    the 8-digit \\b-bounded date pattern), then the SQL chain via in-row
+    ``transform()``.  Media spans and order untouched; same memo-per-batch
+    as scrub_uids so repeated UIDs hash once."""
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, str] = {}
+
+        def remap(m: re.Match) -> str:
+            uid = m.group(0)
+            hit = memo.get(uid)
+            if hit is None:
+                hit = memo[uid] = gen_dicom_uid("", uid, org_root)
+            return hit
+
+        for pdf in batches:
+            pdf["spans"] = [
+                [
+                    {**s, "text": _UID_PAT.sub(remap, s["text"])}
+                    if s["kind"] == "text" and s["text"]
+                    else s
+                    for s in spans
+                ]
+                for spans in pdf["spans"]
+            ]
+            yield pdf
+
+    return scrub_spans(df.mapInPandas(run, schema), names)

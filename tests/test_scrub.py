@@ -132,3 +132,33 @@ def test_stream_extract(spark, tmp_path):
     assert spark.read.parquet(out).count() == 40
     one = got.filter(F.col("doc_id") == str(int(docs["doc_id"].iloc[0]))).first()
     assert [s["kind"] for s in one["spans"]].count("media") == 1
+
+
+def test_scrub_spans_full_uids_and_order(spark):
+    spans = [
+        {"kind": "text", "text": "uid 1.2.840.99.5 on 2021-03-04", "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": "m.png", "offset": 1},
+        {"kind": "text", "text": "same 1.2.840.99.5 again", "media_ref": "", "offset": 2},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "spans": [spans]}),
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = scrub.scrub_spans_full(df, ORG).collect()[0]["spans"]
+    ps = gen_dicom_uid("", "1.2.840.99.5", ORG)
+    assert [tuple(s) for s in out] == [
+        ("text", f"uid {ps} on 2021-01-01", "", 0),
+        ("media", "", "m.png", 1),
+        ("text", f"same {ps} again", "", 2),
+    ]
+
+
+def test_scrub_spans_full_uid_first_ordering(spark):
+    # a date-like OID arc must be remapped as part of the UID, not coarsened
+    spans = [{"kind": "text", "text": "s 1.2.19890312.44.5 e", "media_ref": "", "offset": 0}]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "spans": [spans]}),
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = scrub.scrub_spans_full(df, ORG).collect()[0]["spans"][0]["text"]
+    assert out == f"s {gen_dicom_uid('', '1.2.19890312.44.5', ORG)} e"
