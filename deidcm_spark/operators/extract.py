@@ -436,10 +436,16 @@ def parse_layout_payload(payload: str) -> list[tuple[str, str, str, int]]:
 
 
 def parse_layout(df: DataFrame, layout_col: str = "layout",
-                 backend: str = "layout1") -> DataFrame:
+                 backend: str = "layout1", on_error: str = "fail") -> DataFrame:
     """(doc_id, layout) -> (doc_id, spans).  ``backend='pdf'`` is the
     pluggable real-PDF hook — the decode libs are absent in this
-    container, so it is stubbed per the brief."""
+    container, so it is stubbed per the brief.
+
+    ``on_error='skip'`` maps a malformed payload to an EMPTY span array
+    instead of failing the task — at 10^12 documents one corrupt payload
+    must not kill the job (the reference escalates a ValueError instead,
+    df2dicom.py:87-88; empty-span docs are countable downstream via
+    ``size(spans) = 0``)."""
     if backend == "pdf":
         raise NotImplementedError(
             "real PDF parsing requires a PDF library not present in this "
@@ -448,18 +454,27 @@ def parse_layout(df: DataFrame, layout_col: str = "layout",
         )
     if backend != "layout1":
         raise ValueError(f"unknown layout backend {backend!r}")
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def parse_one(p: str) -> list:
+        try:
+            return [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in parse_layout_payload(p)
+            ]
+        except (ValueError, IndexError):
+            if on_error == "skip":
+                return []
+            raise
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            spans = [
-                [
-                    {"kind": k, "text": t, "media_ref": m, "offset": o}
-                    for k, t, m, o in parse_layout_payload(p)
-                ]
-                for p in pdf[layout_col]
-            ]
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].astype(str), "spans": spans}
+                {
+                    "doc_id": pdf["doc_id"].astype(str),
+                    "spans": [parse_one(p) for p in pdf[layout_col]],
+                }
             )
 
     return df.mapInPandas(run, DOCUMENTS_SCHEMA)

@@ -64,6 +64,9 @@ def get_spark(
         .config("spark.local.dir", local_dir)
         # bucketed tables (co-located joins) land here, not in the repo cwd
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+        # zstd: ~30% smaller than snappy at comparable speed — at 100 TB the
+        # storage + scan-bandwidth saving dominates the extra encode CPU
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -256,3 +256,40 @@ def test_extract_plan_has_no_shuffle(spark, docs_pdf):
     )
     assert "Exchange" not in strip_plan
     assert "BatchEvalPython" not in strip_plan  # pure codegen, no Python
+
+
+def test_layout_on_error_skip(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["good", "bad_magic", "bad_line"],
+            "layout": [
+                "LAYOUT1\nBLOCK 1 72 700 body hello there world",
+                "NOTLAYOUT\nBLOCK 1 1 1 body x",
+                "LAYOUT1\nBLOCK 1 72",
+            ],
+        })
+    )
+    with pytest.raises(Exception):
+        extract.parse_layout(df).collect()  # default on_error='fail'
+    out = {r["doc_id"]: r["spans"] for r in
+           extract.parse_layout(df, on_error="skip").collect()}
+    assert [s["text"] for s in out["good"]] == ["hello there world"]
+    assert out["bad_magic"] == [] and out["bad_line"] == []
+
+
+def test_kernel_documented_edges():
+    """Documented tokenizer contract edges: quoted '>' inside attributes
+    ends the tag early (regex tokenizer, [^>]*); unclosed block tags flush
+    at document end; doubly-nested anchors count link chars once per
+    depth level."""
+    # unclosed <p> still yields its text
+    spans = extract.extract_spans_from_html("<body><p>unclosed block with words")
+    assert [s[1] for s in spans] == ["unclosed block with words"]
+    # nested anchors: all inner text counts as link chars -> dropped
+    spans = extract.extract_spans_from_html(
+        '<body><p><a href="/"><a href="/x">deep linked words here</a></a></p>'
+        "<p>normal words stay here fine</p></body>"
+    )
+    assert [s[1] for s in spans] == ["normal words stay here fine"]
