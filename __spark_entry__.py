@@ -339,6 +339,12 @@ def q_html_link_density(spark, sf_dir):
     return extract.link_density(html)
 
 
+def q_page_metadata(spark, sf_dir):
+    """Title / first-heading / lang-attr / anchor-count page metadata."""
+    html = extract.with_html(_load(spark, sf_dir, "documents"))
+    return extract.page_metadata(html)
+
+
 def q_extract_main_content(spark, sf_dir):
     """DOM-heuristic extraction into the interleaved span schema (rows-only:
     the tokenizer/classifier is not ANSI-SQL-expressible; pytest-verified
@@ -511,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_threshold": q_ann_threshold,
         "html_strip_tags": q_html_strip_tags,
         "html_link_density": q_html_link_density,
+        "page_metadata": q_page_metadata,
         "phi_scrub": q_phi_scrub,
         "extract_main_content": q_extract_main_content,
         "layout_parse": q_layout_parse,
@@ -713,6 +720,13 @@ def _html_link_density_sql() -> str:
     return f"SELECT doc_id, {sel} FROM documents"
 
 
+def _page_metadata_sql() -> str:
+    h = extract.html_expr("duckdb")
+    cols = extract.page_metadata_cols(h, "duckdb")
+    sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
+    return f"SELECT doc_id, {sel} FROM documents"
+
+
 _COS_SQL = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 pairs AS (
@@ -879,6 +893,7 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
         "simhash_neardup": _simhash_neardup_sql(),
         "html_strip_tags": _html_strip_sql(),
         "html_link_density": _html_link_density_sql(),
+        "page_metadata": _page_metadata_sql(),
         "phi_scrub": _phi_scrub_sql(),
         "extract_main_content": _extract_main_sql(),
         "layout_parse": _layout_parse_sql(),

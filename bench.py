@@ -125,6 +125,8 @@ def main() -> None:
         "html_strip_tags",
         "extract_main_content",
         "layout_parse",
+        "phi_scrub",
+        "dataset_split",
     ]
     # warm pass at the smallest sf: compiles/plans every code path and spins
     # the python-worker pool so the timed loop measures steady-state execution

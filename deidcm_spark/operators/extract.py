@@ -478,3 +478,30 @@ def parse_layout(df: DataFrame, layout_col: str = "layout",
             )
 
     return df.mapInPandas(run, DOCUMENTS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# page metadata (title / first heading / anchor count) — pure SQL tier
+# ---------------------------------------------------------------------------
+
+def page_metadata_cols(html_col: str, dialect: str = "spark") -> dict[str, str]:
+    """Document-level metadata every extraction pipeline emits alongside the
+    main text; regexp_extract group-1 semantics agree across dialects."""
+    def ex(pat: str) -> str:
+        return f"regexp_extract({html_col}, '{pat}', 1)"
+    n_anchors = (
+        f"size(regexp_extract_all({html_col}, '{_ANCHOR_RE}', 1))"
+        if dialect == "spark"
+        else f"len(regexp_extract_all({html_col}, '{_ANCHOR_RE}', 1))"
+    )
+    return {
+        "title": ex("<title>([^<]*)</title>"),
+        "h1": ex("<h1>([^<]*)</h1>"),
+        "lang_attr": ex('<html lang="([^"]*)"'),
+        "n_anchors": f"cast({n_anchors} as bigint)",
+    }
+
+
+def page_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
+    cols = page_metadata_cols(html_col)
+    return df.select("doc_id", *[F.expr(e).alias(n) for n, e in cols.items()])
