@@ -79,3 +79,71 @@ def test_pseudonymize_doc_matches_oracle(value):
     assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got] == [
         (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in want
     ]
+
+
+# ---------------------------------------------------------------------------
+# extraction + scrub lanes (pure-Python kernels, no Spark session)
+# ---------------------------------------------------------------------------
+
+_htmlish = st.text(
+    alphabet=string.ascii_letters + string.digits + " <>/=\"'&;#!-.\n\t",
+    max_size=400,
+)
+
+
+@given(_htmlish)
+@settings(max_examples=500, deadline=None)
+def test_extract_kernel_total_and_offsets_contiguous(html):
+    """The DOM tokenizer is total (no input crashes it) and emitted span
+    offsets are exactly 0..n-1 in order — the span-sequence invariant."""
+    from deidcm_spark.operators.extract import extract_spans_from_html
+
+    spans = extract_spans_from_html(html)
+    assert [s[3] for s in spans] == list(range(len(spans)))
+    for kind, text, media_ref, _ in spans:
+        assert kind in ("text", "media")
+        if kind == "text":
+            assert text == " ".join(text.split())  # whitespace-normalized
+            assert media_ref == ""
+
+
+_phiish = st.text(
+    alphabet=string.ascii_letters + string.digits + " .-/:@%+_",
+    max_size=200,
+)
+
+
+@given(_phiish)
+@settings(max_examples=500, deadline=None)
+def test_scrub_chain_idempotent(text):
+    """One scrub pass is a fixpoint: scrubbing scrubbed text changes
+    nothing (dates are already 01-01, [EMAIL] has no charset char before
+    the '@', times are 00:00:00 — each rule's output escapes its own
+    pattern)."""
+    import re as _re
+
+    from deidcm_spark.operators import scrub
+
+    def py_chain(t: str) -> str:
+        for pat, rep in [
+            (scrub.DATE_ISO_RE, r"\g<1>-01-01"),
+            (scrub.DATE_EU_RE, r"01/01/\g<3>"),
+            (scrub.DATE_BARE_RE, r"\g<1>0101"),
+            (scrub.TIME_RE, "00:00:00"),
+            (scrub.EMAIL_RE, r"[EMAIL]@\g<1>"),
+        ]:
+            t = _re.sub(pat, rep, t)
+        return t
+
+    once = py_chain(text)
+    assert py_chain(once) == once
+
+
+@given(_phiish)
+@settings(max_examples=300, deadline=None)
+def test_uid_remap_total_and_stable(text):
+    from deidcm_spark.operators.scrub import remap_uids_in_text
+
+    a = remap_uids_in_text(text, "9.9")
+    b = remap_uids_in_text(text, "9.9")
+    assert a == b  # deterministic
