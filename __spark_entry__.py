@@ -433,6 +433,50 @@ def deid_ingest_testdata(spark, sf_dir):
     )
 
 
+def q_ingest_spans(spark, sf_dir):
+    """The ingest encoding itself (S2/S3): documents_to_spans posexploded —
+    value-hash-checked against a DuckDB re-derivation of the span layout."""
+    spans = documents_to_spans(_load(spark, sf_dir, "documents"))
+    return spans.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select("doc_id", "pos", "span.kind", "span.text", "span.media_ref")
+
+
+def _ingest_spans_sql() -> str:
+    d = "CAST(doc_id AS varchar)"
+    n_chunks = "CAST(greatest(ceil(length(text) / 200.0) - 1, 0) AS int)"
+    return f"""
+WITH meta AS (
+  SELECT {d} AS doc_id, 0 AS pos, 'text' AS kind,
+         'SOPInstanceUID_0x00080018_UI_1____=1.2.840.' || {d} AS text,
+         '' AS media_ref FROM documents
+  UNION ALL
+  SELECT {d}, 1, 'text',
+         'PatientName_0x00100010_PN_1____=Doc ' || {d} || ' Author', ''
+  FROM documents
+  UNION ALL
+  SELECT {d}, 2, 'text',
+         'StudyDate_0x00080020_DA_1____=2023'
+         || lpad(CAST(doc_id % 12 + 1 AS varchar), 2, '0')
+         || lpad(CAST(doc_id % 28 + 1 AS varchar), 2, '0'), ''
+  FROM documents
+  UNION ALL
+  SELECT {d}, 3, 'text',
+         'SpecificCharacterSet_0x00080005_CS_1____=' || lang, '' FROM documents
+  UNION ALL
+  SELECT {d}, 4, 'text',
+         'InstitutionName_0x00080080_LO_1____=' || source, '' FROM documents
+),
+chunks AS (
+  SELECT {d} AS doc_id, 5 + i AS pos, 'text' AS kind,
+         'ImageComments_0x00204000_LT_1____=' || substr(text, i * 200 + 1, 200) AS text,
+         '' AS media_ref
+  FROM documents, unnest(generate_series(0, {n_chunks})) AS t(i)
+)
+SELECT * FROM meta UNION ALL SELECT * FROM chunks
+"""
+
+
 def series_group_count(spark, sf_dir):
     """A2 analogue (show_series, utils.py:36-63): group documents by a tag's
     value over the INGESTED span corpus; the oracle counts the same series
@@ -518,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip_tags": q_html_strip_tags,
         "html_link_density": q_html_link_density,
         "page_metadata": q_page_metadata,
+        "ingest_spans": q_ingest_spans,
         "phi_scrub": q_phi_scrub,
         "extract_main_content": q_extract_main_content,
         "layout_parse": q_layout_parse,
@@ -894,6 +939,7 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
         "html_strip_tags": _html_strip_sql(),
         "html_link_density": _html_link_density_sql(),
         "page_metadata": _page_metadata_sql(),
+        "ingest_spans": _ingest_spans_sql(),
         "phi_scrub": _phi_scrub_sql(),
         "extract_main_content": _extract_main_sql(),
         "layout_parse": _layout_parse_sql(),
