@@ -284,6 +284,12 @@ def _segment_blocks(html: str) -> list[dict]:
             src = _SRC_RE.search(m.group(0))
             cur_items.append(("media", src.group(1) if src else ""))
             continue
+        if tag in ("br", "hr"):
+            # line breaks separate words, they must not glue "a<br>b" -> "ab"
+            cur_parts.append(" ")
+            if cur_items and cur_items[-1][0] == "text":
+                cur_items[-1] = ("text", cur_items[-1][1] + " ")
+            continue
         if tag == "a":
             anchor_depth += 0 if closing else 1
             if closing and anchor_depth > 0:

@@ -293,3 +293,10 @@ def test_kernel_documented_edges():
         "<p>normal words stay here fine</p></body>"
     )
     assert [s[1] for s in spans] == ["normal words stay here fine"]
+
+
+def test_kernel_br_separates_words():
+    spans = extract.extract_spans_from_html(
+        "<body><p>line one text<br>line two text<hr>line three text</p></body>"
+    )
+    assert [s[1] for s in spans] == ["line one text line two text line three text"]
