@@ -308,30 +308,50 @@ def _segment_blocks(html: str) -> list[dict]:
     return blocks
 
 
-def _classify(block: dict) -> bool:
+# mini function-word list for the jusText-style mode (deterministic,
+# self-contained; a production deployment would broadcast a full per-language
+# list exactly like the recipe table travels in the deid kernel closure)
+STOPWORDS = frozenset(
+    "the a an and of to in is it for that with as on at by this be are was".split()
+)
+MIN_STOPWORD_DENSITY = 0.08
+
+
+def _classify(block: dict, mode: str = "default") -> bool:
     """True = main content.  DOM heuristic (chrome containers out), then
     densitometric link-density gate, then a short-block gate that spares
-    headings (boilerpipe keeps headlines adjacent to body text)."""
+    headings (boilerpipe keeps headlines adjacent to body text).
+
+    ``mode='justext'`` adds the jusText core signal: real prose contains
+    function words; a block of label-like text (nav crumbs, copyright
+    lines, product grids) has near-zero stopword density and is dropped
+    even when it is long and link-free."""
     if block["chrome"]:
         return False
     n_chars = len(block["text"])
     if n_chars:
         if block["link_chars"] / n_chars > MAX_LINK_DENSITY:
             return False
-    n_words = len(block["text"].split()) if block["text"] else 0
-    if n_words < MIN_WORDS and block["tag"] not in HEADING_TAGS:
+    words = block["text"].split() if block["text"] else []
+    if len(words) < MIN_WORDS and block["tag"] not in HEADING_TAGS:
         # image-only blocks survive on their media items
         return any(k == "media" for k, _ in block["items"])
+    if mode == "justext" and words and block["tag"] not in HEADING_TAGS:
+        stop = sum(1 for w in words if w.lower().strip(".,;:!?") in STOPWORDS)
+        if stop / len(words) < MIN_STOPWORD_DENSITY:
+            return False
     return True
 
 
-def extract_spans_from_html(html: str) -> list[tuple[str, str, str, int]]:
+def extract_spans_from_html(
+    html: str, mode: str = "default"
+) -> list[tuple[str, str, str, int]]:
     """Pure-Python kernel (unit-tested directly): HTML -> ordered
     (kind, text, media_ref, offset) main-content spans."""
     out: list[tuple[str, str, str, int]] = []
     off = 0
     for block in _segment_blocks(html):
-        if not _classify(block):
+        if not _classify(block, mode):
             continue
         for kind, payload in block["items"]:
             if kind == "media":
@@ -342,13 +362,17 @@ def extract_spans_from_html(html: str) -> list[tuple[str, str, str, int]]:
     return out
 
 
-def extract_main_content(df: DataFrame, html_col: str = "html") -> DataFrame:
+def extract_main_content(
+    df: DataFrame, html_col: str = "html", mode: str = "default"
+) -> DataFrame:
     """(doc_id, html) -> (doc_id, spans) interleaved main-content spans.
 
     Arrow-batched ``mapInPandas`` — one narrow stage, no shuffle; the
     tokenizer is pure CPU per document so the stage scales linearly with
     partitions (the scaling-efficiency evidence for this lane rides the
-    same harness as the deid stage)."""
+    same harness as the deid stage).  ``mode`` selects the block
+    classifier ('default' boilerpipe-style gates, 'justext' adds the
+    stopword-density signal)."""
     fields = [f.name for f in DOCUMENTS_SCHEMA.fields]
     assert fields == ["doc_id", "spans"]
 
@@ -357,7 +381,7 @@ def extract_main_content(df: DataFrame, html_col: str = "html") -> DataFrame:
             spans = [
                 [
                     {"kind": k, "text": t, "media_ref": m, "offset": o}
-                    for k, t, m, o in extract_spans_from_html(h)
+                    for k, t, m, o in extract_spans_from_html(h, mode)
                 ]
                 for h in pdf[html_col]
             ]

@@ -300,3 +300,32 @@ def test_kernel_br_separates_words():
         "<body><p>line one text<br>line two text<hr>line three text</p></body>"
     )
     assert [s[1] for s in spans] == ["line one text line two text line three text"]
+
+
+def test_justext_mode_stopword_density():
+    html = (
+        "<body><p>Copyright Widgets Inc Product Catalog Spring Collection</p>"
+        "<p>this is a real sentence with plenty of function words in it</p></body>"
+    )
+    default = [s[1] for s in extract.extract_spans_from_html(html)]
+    justext = [s[1] for s in extract.extract_spans_from_html(html, mode="justext")]
+    assert len(default) == 2  # default keeps both (long, link-free)
+    assert justext == ["this is a real sentence with plenty of function words in it"]
+    # headings are exempt from the density gate
+    h = "<body><h1>Spring Catalog</h1><p>the body text is right here now</p></body>"
+    assert [s[1] for s in extract.extract_spans_from_html(h, mode="justext")] == [
+        "Spring Catalog", "the body text is right here now",
+    ]
+
+
+def test_pipeline_compositions(spark):
+    from deidcm_spark import pipeline
+
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    ex = pipeline.scrub_extract(raw, "9.9.9.9.9").collect()
+    assert len(ex) == 50 and all(len(r["spans"]) >= 2 for r in ex)
+    de = pipeline.ingest_deidentify(raw, "9.9.9.9.9", num_partitions=4,
+                                    with_metrics=True).collect()
+    assert len(de) == 50
+    assert all(r["spans"][-1]["text"].endswith("=YES") for r in de)
+    assert all(r["n_pseudonymized"] > 0 for r in de)
