@@ -88,6 +88,19 @@ def cmd_scrub(args) -> dict:
     return {"docs": spark.read.parquet(args.output).count()}
 
 
+def cmd_pipeline(args) -> dict:
+    """Free-text lane end-to-end: PHI scrub → main-content extraction."""
+    spark = _spark("deidcm_pipeline", args.shuffle_partitions)
+    from deidcm_spark import pipeline
+
+    names = args.names.split(",") if args.names else []
+    out = pipeline.scrub_extract(
+        spark.read.parquet(args.input), args.org_root, names
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    return {"docs": spark.read.parquet(args.output).count()}
+
+
 def cmd_ingest(args) -> dict:
     spark = _spark("deidcm_ingest", args.shuffle_partitions)
     from deidcm_spark.ingest import documents_to_spans
@@ -138,6 +151,11 @@ def build_parser() -> argparse.ArgumentParser:
     common(s, org_root=True)
     s.add_argument("--names", default="")
     s.set_defaults(fn=cmd_scrub)
+
+    pl = sub.add_parser("pipeline")
+    common(pl, org_root=True)
+    pl.add_argument("--names", default="")
+    pl.set_defaults(fn=cmd_pipeline)
 
     i = sub.add_parser("ingest")
     common(i)

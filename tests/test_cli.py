@@ -75,3 +75,15 @@ def test_cli_export(tmp_path, capsys, spark):
 def test_cli_requires_command():
     with pytest.raises(SystemExit):
         build_parser().parse_args([])
+
+
+def test_cli_pipeline_free_text_lane(tmp_path, capsys, spark):
+    out = str(tmp_path / "pipeline")
+    r = _run(capsys, [
+        "pipeline", "--input", f"{SF}/documents.parquet", "--output", out,
+        "--org-root", "9.9.9.9.9", "--names", "dupont",
+    ])
+    assert r["docs"] == 500
+    back = spark.read.parquet(out)
+    one = back.first()
+    assert one["spans"][0]["text"].startswith("Document ")
