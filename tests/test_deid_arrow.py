@@ -131,3 +131,42 @@ def test_arrow_giant_and_empty_docs_mixed(spark):
     }
     for d in ("empty_a", "empty_b"):
         assert [s["offset"] for s in out[d]["spans"]] == [0]
+
+
+def test_record_batch_slice_and_empty_paths():
+    """Drive deidentify_record_batch directly on a SLICED batch (non-zero
+    Arrow offsets — the normalization path Spark may or may not exercise)
+    and on an empty batch."""
+    import pyarrow as pa
+
+    from deidcm_spark.operators.deidentify_arrow import deidentify_record_batch
+
+    span_t = pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32()),
+    ])
+    docs = []
+    for i in range(5):
+        docs.append([
+            {"kind": "text", "text": f"StudyDate_0x00080020_DA_1____=2021050{i}",
+             "media_ref": "", "offset": 0},
+            {"kind": "media", "text": "", "media_ref": f"m{i}", "offset": 1},
+        ])
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([f"d{i}" for i in range(5)]), pa.array(docs, pa.list_(span_t))],
+        names=["doc_id", "spans"],
+    )
+
+    def rows(b):
+        out = deidentify_record_batch(b, "9.9", "s")
+        return out.to_pylist()
+
+    full = rows(batch)
+    sliced = rows(batch.slice(2, 2))
+    assert sliced == full[2:4]
+    assert sliced[0]["spans"][0]["text"] == "StudyDate_0x00080020_DA_1____=20210101"
+    assert sliced[0]["spans"][1]["media_ref"] == "m2"
+    assert sliced[0]["spans"][2]["text"].endswith("=YES")
+
+    empty = rows(batch.slice(0, 0))
+    assert empty == []
