@@ -46,7 +46,11 @@ DATE_ISO_RE = r"(\d{4})-(\d{2})-(\d{2})"          # 2021-07-19
 DATE_EU_RE = r"(\d{2})/(\d{2})/(\d{4})"            # 19/07/2021
 DATE_BARE_RE = r"\b(\d{4})(0[1-9]|1[0-2])(\d{2})\b"  # 20210719
 TIME_RE = r"\b(\d{2}):(\d{2}):(\d{2})\b"
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+)"
+# the local part must not be preceded by '@' or another local-part char —
+# otherwise "a@b@c" rescrubs forever ("[EMAIL]@b@c" → "[EMAIL]@[EMAIL]@c").
+# RE2 (the DuckDB oracle) has no lookbehind, so the preceding char is a
+# captured prefix group re-emitted in the replacement.
+EMAIL_RE = r"(^|[^@A-Za-z0-9._%+-])([A-Za-z0-9._%+-]+)@([A-Za-z0-9.-]+)"
 UID_RE = r"\b\d+(?:\.\d+){3,}\b"                   # dotted OID, >= 4 arcs
 
 # (pattern, spark_replacement, duckdb_replacement) applied in ORDER
@@ -55,7 +59,7 @@ _SQL_STEPS: list[tuple[str, str, str]] = [
     (DATE_EU_RE, "01/01/$3", r"01/01/\3"),
     (DATE_BARE_RE, "$10101", r"\10101"),
     (TIME_RE, "00:00:00", "00:00:00"),
-    (EMAIL_RE, "[EMAIL]@$1", r"[EMAIL]@\1"),
+    (EMAIL_RE, "$1[EMAIL]@$3", r"\1[EMAIL]@\3"),
 ]
 
 

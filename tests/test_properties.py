@@ -130,7 +130,7 @@ def test_scrub_chain_idempotent(text):
             (scrub.DATE_EU_RE, r"01/01/\g<3>"),
             (scrub.DATE_BARE_RE, r"\g<1>0101"),
             (scrub.TIME_RE, "00:00:00"),
-            (scrub.EMAIL_RE, r"[EMAIL]@\g<1>"),
+            (scrub.EMAIL_RE, r"\g<1>[EMAIL]@\g<3>"),
         ]:
             t = _re.sub(pat, rep, t)
         return t
