@@ -47,6 +47,7 @@ def cmd_deid(args) -> dict:
         summary = lineage.run_deid_job(
             spark, docs, args.output, args.org_root, args.salt,
             n_buckets=args.buckets, run_id=args.run_id,
+            date_mode=args.date_mode, date_offset=args.date_offset,
         )
         return summary
     from deidcm_spark.operators.deidentify import deidentify_attributes

@@ -70,6 +70,8 @@ def run_deid_job(
     n_buckets: int = 32,
     run_id: str = "run0",
     max_buckets_this_attempt: int | None = None,
+    date_mode: str = "first_day_year",
+    date_offset: int = 100000,
 ) -> dict:
     """Process all not-yet-committed buckets; returns a summary dict.
 
@@ -93,7 +95,10 @@ def run_deid_job(
     # salted repartition happens here: one shuffle, partitioned by bucket so
     # the dynamic-overwrite write is aligned with the processing partitions
     todo = todo.repartition(len(pending), "bucket")
-    result = deidentify_attributes(todo, org_root, salt, with_metrics=True)
+    result = deidentify_attributes(
+        todo, org_root, salt, with_metrics=True,
+        date_mode=date_mode, date_offset=date_offset,
+    )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
