@@ -55,7 +55,9 @@ def get_spark(
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     apply_worker_env()
     local_dir = (
-        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp/spark-local"
+        "/dev/shm/spark-local"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else "/tmp/spark-local"
     )
     b = (
         SparkSession.builder.appName(app_name)
