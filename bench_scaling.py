@@ -175,12 +175,16 @@ under-reports capability).  Deid corpus: {N_DOCS} span-form documents
 
 The north rule's criterion is N vs 4N *executors* — separate hosts, each
 with its own kernel and memory bus.  This sandbox substitutes threads in
-ONE kernel: at 32 concurrent Arrow workers the VM hits
-syscall/steal-time contention (measured 50-70% kernel CPU before the
-allocator tuning in `deidcm_spark/session.py`, still sporadic after)
-that distinct executor hosts do not share.  The 2→8 pair keeps the same
-4x resource ratio while staying inside the VM's stable operating range;
-the 8→32 pair is reported unvarnished for transparency.
+ONE kernel: at 32 concurrent workers the shuffle phase runs at 60-85%
+KERNEL cpu (/proc/stat sampled during the run) — tmpfs shuffle I/O is
+kernel memcpy, and pagetable/TLB work serializes across 32 vCPUs in ways
+distinct executor hosts never share.  (Allocator tuning in
+`deidcm_spark/session.py` removed the worst of it — jemalloc decay and
+per-worker Arrow pools caused outright anti-scaling before; zstd shuffle
+compression and bigger Arrow batches were both measured WORSE than the
+lz4/2048 defaults.)  The 2→8 pair keeps the same 4x resource ratio while
+staying inside the VM's stable operating range; the 8→32 pair is
+reported unvarnished for transparency.
 
 ### Engine vs reference
 
