@@ -20,12 +20,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from deidcm_spark.config import load_general_rules
-from deidcm_spark.corpus import case_documents_df, synth_documents, synth_media
+from deidcm_spark import duck_oracle as dk
+from deidcm_spark.config import load_authorized_words, load_general_rules
+from deidcm_spark.corpus import case_documents_df, synth_documents
 from deidcm_spark.ingest import documents_to_spans
 from deidcm_spark.operators import dedup, extract, scrub, similarity, textops
 from deidcm_spark.operators.deidentify import deidentify_attributes
-from deidcm_spark.operators.media import redact_media
+from deidcm_spark.operators.media import redaction_plan
 
 ORG_ROOT = "9.9.9.9.9"
 SALT = "entry_salt"
@@ -237,8 +238,8 @@ def q_fingerprint(spark, sf_dir):
 def q_dataset_split(spark, sf_dir):
     """Deterministic hash-based train/val assignment + sample membership."""
     d = _load(spark, sf_dir, "documents")
-    split = textops.deterministic_split(d, val_permille=1500)
-    sample = textops.hash_sample(d, keep_permille=2500).select(
+    split = textops.deterministic_split(d, val_bp=1500)
+    sample = textops.hash_sample(d, keep_bp=2500).select(
         "doc_id", F.lit(1).alias("in_sample")
     )
     return split.join(sample, "doc_id", "left").select(
@@ -384,8 +385,10 @@ def _phi_scrub_sql() -> str:
 
 
 def q_phi_scrub_uids(spark, sf_dir):
-    """Full scrub incl. consistent salted-hash UID remapping (rows-only:
-    sha256→decimal; UID-consistency is pytest-verified in test_scrub)."""
+    """Full scrub incl. consistent salted-hash UID remapping.  Oracle:
+    gen_dicom_uid's sha256→first-30-decimal-digits is recomputed in PURE
+    DuckDB SQL via 8x32-bit limb long division (duck_oracle.dec30_ctes) —
+    an independent arbitrary-precision base conversion, no shared code."""
     d = _load(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(
@@ -393,6 +396,22 @@ def q_phi_scrub_uids(spark, sf_dir):
         ).alias("text"),
     )
     return scrub.scrub_documents(d, ORG_ROOT, _PHI_NAMES).select("doc_id", "text")
+
+
+def _phi_scrub_uids_sql() -> str:
+    frag, last, pseud = dk.gen_dicom_uid_sql("base", "uid", ORG_ROOT)
+    chain = scrub.scrub_text_expr(
+        f"replace(text0, uid, {pseud})", _PHI_NAMES, dialect="duckdb"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         concat(text, ' uid 1.2.840.', CAST(doc_id % 50 AS varchar), '.99') AS text0,
+         '1.2.840.' || CAST(doc_id % 50 AS varchar) || '.99' AS uid
+  FROM documents
+){frag}
+SELECT doc_id, {chain} AS text FROM {last}
+"""
 
 
 def q_layout_parse(spark, sf_dir):
@@ -406,15 +425,70 @@ def q_layout_parse(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# deid pipeline + media lane (rows-only: not ANSI-SQL-expressible)
+# deid pipeline + media lane — oracle strategy: semantics that SQL cannot
+# recompute (sha256→arbitrary-precision decimal inside the recipe engine)
+# are checked against the INDEPENDENT pure-Python oracle
+# (deidcm_spark/oracle.py — separate implementation, no imports from the
+# engine): oracle_sql() embeds its output as a VALUES relation, so the
+# driver compares engine vs independent-oracle value hashes.  Where the
+# semantics ARE SQL-expressible (gen_dicom_uid via limb long division, the
+# media gates, IVF/LSH probe sets), oracle_sql() re-derives them in pure
+# DuckDB SQL instead (deidcm_spark/duck_oracle.py).
 # ---------------------------------------------------------------------------
 
+# canonical span serialization: one line per span (kind US text US media_ref)
+# joined by RS — md5-able identically from SQL and Python
+_SPAN_FP = (
+    "md5(concat_ws(char(30), transform(spans, "
+    "s -> concat_ws(char(31), s.kind, s.text, s.media_ref))))"
+)
+
+
+def _span_fp_py(spans: list[dict]) -> str:
+    import hashlib
+
+    blob = "\x1e".join(
+        "\x1f".join((s["kind"], s["text"], s["media_ref"])) for s in spans
+    )
+    return hashlib.md5(blob.encode("utf8")).hexdigest()
+
+
+def _values_sql(rows, cols: list[str]) -> str:
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    body = ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES {body}) AS t({', '.join(cols)})"
+
+
 def deid_pipeline(spark, sf_dir):
+    """Full pipeline over the synthesized skewed corpus; per-doc span count
+    + canonical span fingerprint (md5 over the ordered (kind, text,
+    media_ref) sequence) — hash-checked against the independent oracle's
+    fingerprints of the same deterministic corpus."""
     docs = synth_documents(spark, 300, seed=13, media_rate=0.2, skew=0.05)
     out = deidentify_attributes(docs, ORG_ROOT, SALT, num_partitions=8)
     return out.select(
-        "doc_id", F.posexplode("spans").alias("pos", "span")
-    ).select("doc_id", "pos", "span.kind", "span.text", "span.media_ref")
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.expr(_SPAN_FP).alias("span_fp"),
+    )
+
+
+def _deid_pipeline_sql() -> str:
+    from deidcm_spark.corpus import doc_spans
+    from deidcm_spark.oracle import deidentify_doc_oracle
+
+    rows = []
+    for idx in range(300):
+        hot = (idx * 2_654_435_761 % 1_000) < 50  # skew=0.05
+        doc_id = f"1.2.840.9999.hot.{idx}" if hot else f"1.2.840.13.{idx}"
+        spans = doc_spans(idx, 13, 40, 0.2, hot)
+        out = deidentify_doc_oracle(doc_id, spans, ORG_ROOT, SALT)
+        rows.append((doc_id, len(out), _span_fp_py(out)))
+    return _values_sql(rows, ["doc_id", "n_spans", "span_fp"])
 
 
 def deid_recipe_cases(spark, sf_dir):
@@ -424,6 +498,18 @@ def deid_recipe_cases(spark, sf_dir):
     ).select("doc_id", "pos", "span.kind", "span.text")
 
 
+def _deid_recipe_cases_sql() -> str:
+    from deidcm_spark.corpus import case_documents
+    from deidcm_spark.oracle import deidentify_doc_oracle
+
+    rows = []
+    for d in case_documents():
+        out = deidentify_doc_oracle(d["doc_id"], d["spans"], ORG_ROOT, SALT)
+        for pos, s in enumerate(out):
+            rows.append((d["doc_id"], pos, s["kind"], s["text"]))
+    return _values_sql(rows, ["doc_id", "pos", "kind", "text"])
+
+
 def deid_ingest_testdata(spark, sf_dir):
     spans = documents_to_spans(_load(spark, sf_dir, "documents"))
     out = deidentify_attributes(spans, ORG_ROOT, SALT, num_partitions=8, with_metrics=True)
@@ -431,6 +517,56 @@ def deid_ingest_testdata(spark, sf_dir):
         "doc_id", F.size("spans").alias("n_spans_out"),
         "n_removed", "n_erased", "n_pseudonymized", "n_kept",
     )
+
+
+_INGEST_TAGS = [
+    "0x00080018", "0x00100010", "0x00080020", "0x00080005", "0x00080080",
+]
+_INGEST_COM_TAG = "0x00204000"
+
+
+def _deid_ingest_sql() -> str:
+    """Metrics oracle: re-derive the ingested span layout (one row per tag,
+    ImageComments weighted by chunk count) and resolve each tag's action
+    through the SAME rule pipeline the classification oracle uses (recipe
+    VALUES + regex class + odd-group parity + zero-trust default) — counts
+    follow from the actions, never hardcoded."""
+    recipe_values = ",\n".join(f"('{t}', '{a}')" for t, a in _hex_recipe_rows())
+    meta_vals = ", ".join(f"('{t}')" for t in _INGEST_TAGS)
+    all_vals = ", ".join(f"('{t}')" for t in _INGEST_TAGS + [_INGEST_COM_TAG])
+    n_chunks = "CAST(greatest(ceil(length(text) / 200.0) - 1, 0) AS int)"
+    return f"""
+WITH recipe(rtag, action) AS (VALUES {recipe_values}),
+resolved AS (
+  SELECT t.tag, CASE
+    WHEN regexp_matches(t.tag, '{_CLASSIFY_REGEX}') THEN 'RETIRER'
+    WHEN CAST(concat('0x', substr(t.tag, 3, 4)) AS integer) % 2 = 1 THEN 'RETIRER'
+    ELSE coalesce(r.action, 'RETIRER') END AS act
+  FROM (VALUES {all_vals}) t(tag)
+  LEFT JOIN recipe r ON t.tag = r.rtag
+),
+docs AS (
+  SELECT CAST(doc_id AS varchar) AS doc_id, 1 + {n_chunks} AS n_com FROM documents
+),
+spans AS (
+  SELECT doc_id, tag, 1 AS w FROM docs CROSS JOIN (VALUES {meta_vals}) m(tag)
+  UNION ALL
+  SELECT doc_id, '{_INGEST_COM_TAG}', n_com FROM docs
+),
+counts AS (
+  SELECT s.doc_id,
+    CAST(coalesce(sum(CASE WHEN act = 'RETIRER' THEN w END), 0) AS int) AS n_removed,
+    CAST(coalesce(sum(CASE WHEN act = 'EFFACER' THEN w END), 0) AS int) AS n_erased,
+    CAST(coalesce(sum(CASE WHEN act = 'PSEUDONYMISER' THEN w END), 0) AS int) AS n_pseudonymized,
+    CAST(coalesce(sum(CASE WHEN act = 'CONSERVER' THEN w END), 0) AS int) AS n_kept,
+    CAST(sum(w) AS int) AS n_in
+  FROM spans s JOIN resolved ON s.tag = resolved.tag
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_in - n_removed + 1 AS n_spans_out,
+       n_removed, n_erased, n_pseudonymized, n_kept
+FROM counts
+"""
 
 
 def q_ingest_spans(spark, sf_dir):
@@ -479,50 +615,226 @@ SELECT * FROM meta UNION ALL SELECT * FROM chunks
 
 def series_group_count(spark, sf_dir):
     """A2 analogue (show_series, utils.py:36-63): group documents by a tag's
-    value over the INGESTED span corpus; the oracle counts the same series
-    directly from the source table — validating ingest + explode + group."""
+    value over the INGESTED span corpus — counts AND the sorted member list
+    (the reference's ``dico_series[data].append(file)``), emitted as a
+    comma-joined string so the value hash is engine-portable; the oracle
+    re-derives the same series directly from the source table."""
     spans = documents_to_spans(_load(spark, sf_dir, "documents"))
-    exploded = spans.select(F.explode("spans").alias("s")).filter(
+    exploded = spans.select("doc_id", F.explode("spans").alias("s")).filter(
         F.col("s.text").startswith("SpecificCharacterSet_0x00080005_CS_1____=")
     )
     return (
         exploded.select(
-            F.expr("substring(s.text, length('SpecificCharacterSet_0x00080005_CS_1____=') + 1)").alias("series_value")
+            "doc_id",
+            F.expr("substring(s.text, length('SpecificCharacterSet_0x00080005_CS_1____=') + 1)").alias("series_value"),
         )
         .groupBy("series_value")
-        .agg(F.count("*").alias("n_docs"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.concat_ws(",", F.array_sort(F.collect_list("doc_id"))).alias("members"),
+        )
     )
 
 
+def _sql_boxes(spark, sf_dir):
+    """The SQL-expressible OCR-box corpus (md5 arithmetic over doc_id) —
+    shared two-dialect spec with the DuckDB oracle, derived from the
+    documents table so both engines see identical boxes."""
+    _load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(dk.boxes_sql("spark"))
+
+
 def ocr_recognition_metrics(spark, sf_dir):
-    """A3/A4/A5 composite over the synthetic media corpus: stub detections
-    (gates applied) scored against embedded ground truth."""
+    """A3/A4/A5 composite: stub detections (confidence + length gates)
+    scored against ground truth over the SQL box corpus; the oracle
+    recomputes the confusion matrix + PRF from the same derivation."""
     from deidcm_spark.operators.verification import confusion_matrix, prf_metrics
 
-    payloads, boxes = synth_media(spark, 400, seed=23, media_rate=0.5)
+    boxes = _sql_boxes(spark, sf_dir)
+    universe = spark.sql(dk.media_universe_sql("spark"))
     detected = boxes.filter("confidence > 0.3 and length(word) > 1").select("media_ref", "word")
     truth = boxes.select("media_ref", "word")
-    return prf_metrics(confusion_matrix(payloads.select("media_ref"), detected, truth))
+    return prf_metrics(confusion_matrix(universe, detected, truth))
+
+
+def _ocr_metrics_sql() -> str:
+    return f"""
+WITH boxes AS ({dk.boxes_sql("duckdb")}),
+univ AS ({dk.media_universe_sql("duckdb")}),
+t AS (SELECT media_ref, count(*) AS n_true FROM boxes GROUP BY 1),
+d AS (SELECT media_ref, count(*) AS n_det FROM boxes
+      WHERE confidence > 0.3 AND length(word) > 1 GROUP BY 1),
+u AS (
+  SELECT univ.media_ref, coalesce(n_true, 0) AS nt, coalesce(n_det, 0) AS nd
+  FROM univ LEFT JOIN t USING (media_ref) LEFT JOIN d USING (media_ref)
+),
+cm AS (
+  SELECT
+    CAST(sum(CASE WHEN nt > 0 AND nd > 0 THEN 1 ELSE 0 END) AS bigint) AS tp,
+    CAST(sum(CASE WHEN nt > 0 AND nd = 0 THEN 1 ELSE 0 END) AS bigint) AS fn,
+    CAST(sum(CASE WHEN nt = 0 AND nd > 0 THEN 1 ELSE 0 END) AS bigint) AS fp,
+    CAST(sum(CASE WHEN nt = 0 AND nd = 0 THEN 1 ELSE 0 END) AS bigint) AS tn
+  FROM u
+)
+SELECT tp, fn, fp, tn,
+       round(tp / greatest(tp + fp, 1), 4) AS "precision",
+       round(tp / greatest(tp + fn, 1), 4) AS recall,
+       round(2 * tp / greatest(2 * tp + fp + fn, 1), 4) AS f1,
+       round((tp + tn) / greatest(tp + tn + fp + fn, 1), 4) AS accuracy
+FROM cm
+"""
 
 
 def media_redaction(spark, sf_dir):
-    payloads, boxes = synth_media(spark, 200, seed=17, media_rate=0.5)
-    red = redact_media(payloads, boxes, margin=8)
-    return red.select("media_ref", F.md5(F.col("pixels")).alias("pixels_md5"))
+    """Redaction-gate lane, hash-checked end to end: SQL box corpus →
+    redaction_plan (first-box confidence gate, word guards, authorized-word
+    exemption, sign-aware margin, clamping) → applied fill rectangles.  The
+    pixel fill consuming these rects stays pixel-exact-pytest-verified
+    (tests/test_media.py) — raw pixel md5 is not SQL-recomputable."""
+    boxes = _sql_boxes(spark, sf_dir)
+    return redaction_plan(boxes, margin=8, width=dk.MEDIA_W, height=dk.MEDIA_H)
+
+
+def _media_redaction_sql() -> str:
+    words = ", ".join(f"'{w}'" for w in sorted(load_authorized_words()))
+    return f"""
+WITH boxes AS ({dk.boxes_sql("duckdb")}),
+g AS (
+  SELECT *, max(CASE WHEN box_idx = 0 THEN confidence END)
+            OVER (PARTITION BY media_ref) AS fc
+  FROM boxes
+),
+expanded AS (
+  SELECT media_ref, box_idx,
+    CASE WHEN x1 < x2 THEN x1 - 8 ELSE x1 + 8 END AS e_x1,
+    CASE WHEN x1 < x2 THEN x2 + 8 ELSE x2 - 8 END AS e_x2,
+    CASE WHEN y1 < y2 THEN y1 - 8 ELSE y1 + 8 END AS e_y1,
+    CASE WHEN y1 < y2 THEN y2 + 8 ELSE y2 - 8 END AS e_y2
+  FROM g
+  WHERE fc > 0.3 AND length(word) > 1 AND upper(word) NOT IN ({words})
+),
+clamped AS (
+  SELECT media_ref, box_idx,
+    greatest(0, least(e_x1, e_x2)) AS xa,
+    greatest(0, least(e_y1, e_y2)) AS ya,
+    least({dk.MEDIA_W - 1}, greatest(e_x1, e_x2)) AS xb,
+    least({dk.MEDIA_H - 1}, greatest(e_y1, e_y2)) AS yb
+  FROM expanded
+)
+SELECT * FROM clamped WHERE xa <= xb AND ya <= yb
+"""
+
+
+_ANN_PLANES = 4
+_ANN_DIM = 64
 
 
 def ann_lsh(spark, sf_dir):
+    """Sign-LSH ANN with Hamming-1 multi-probe; the oracle re-derives the
+    SAME semantics in SQL — hyperplane sign signatures (identical IEEE
+    accumulation order), the ≤1-bit probe set, exact-cosine rerank."""
     emb = _load(spark, sf_dir, "embeddings")
     qv = similarity.query_vector(emb, 0)
-    return similarity.ann_lsh_bucketed(emb, qv, k=10)
+    return similarity.ann_lsh_bucketed(emb, qv, k=10, n_planes=_ANN_PLANES)
+
+
+def _ann_lsh_sql() -> str:
+    vbits = dk.sign_bits_duck("embedding", _ANN_PLANES, _ANN_DIM)
+    qbits = dk.sign_bits_duck("qe", _ANN_PLANES, _ANN_DIM)
+    vsig = " || ".join(vbits)
+    qsig = " || ".join(qbits)
+    mism = " + ".join(
+        f"(CASE WHEN substr(sig, {p + 1}, 1) = substr(qs, {p + 1}, 1) THEN 0 ELSE 1 END)"
+        for p in range(_ANN_PLANES)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qsig AS (SELECT {qsig} AS qs FROM q),
+sigs AS (SELECT vec_id, embedding, {vsig} AS sig FROM embeddings),
+cand AS (
+  SELECT s.vec_id, s.embedding FROM sigs s, qsig
+  WHERE {mism} <= 1
+),
+pairs AS (
+  SELECT c.vec_id, unnest(c.embedding) AS ev, unnest(q.qe) AS qv
+  FROM cand c CROSS JOIN q
+),
+dots AS (
+  SELECT vec_id,
+         sum(CAST(ev AS double) * CAST(qv AS double)) AS dot,
+         sum(CAST(ev AS double) * CAST(ev AS double)) AS ne,
+         sum(CAST(qv AS double) * CAST(qv AS double)) AS nq
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq)), 4) AS cosine
+FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
+"""
 
 
 def ann_ivf(spark, sf_dir):
-    """IVF ANN (rows-only: k-means refinement is iterative, not
-    SQL-expressible; recall vs brute force is pytest-verified)."""
+    """IVF ANN with the deterministic hash-seeded codebook (lloyd_iters=0
+    so the codebook is SQL-derivable: the 8 hash-ordered seed embeddings);
+    coarse-quantize, probe the 3 nearest lists, exact rerank.  The k-means
+    -refined codebook path (lloyd_iters>=1) is pytest-verified for recall
+    and determinism in tests/test_training_ops.py."""
     emb = _load(spark, sf_dir, "embeddings")
     qv = similarity.query_vector(emb, 0)
-    return similarity.ann_ivf(emb, qv, k=10, n_centroids=8, nprobe=3)
+    return similarity.ann_ivf(emb, qv, k=10, n_centroids=8, nprobe=3, lloyd_iters=0)
+
+
+def _ann_ivf_sql() -> str:
+    return """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS varchar)), vec_id) - 1 AS c,
+         embedding AS ce
+  FROM embeddings ORDER BY md5(CAST(vec_id AS varchar)), vec_id LIMIT 8
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vc_pairs AS (
+  SELECT e.vec_id, s.c, unnest(e.embedding) AS ev, unnest(s.ce) AS cv
+  FROM embeddings e CROSS JOIN seeds s
+),
+vc AS (
+  SELECT vec_id, c,
+         sum(CAST(ev AS double) * CAST(cv AS double))
+           / (sqrt(sum(CAST(ev AS double) * CAST(ev AS double)))
+              * sqrt(sum(CAST(cv AS double) * CAST(cv AS double)))) AS score
+  FROM vc_pairs GROUP BY vec_id, c
+),
+ass AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+qc_pairs AS (
+  SELECT s.c, unnest(q.qe) AS qv, unnest(s.ce) AS cv FROM q CROSS JOIN seeds s
+),
+qprobe AS (
+  SELECT c FROM (
+    SELECT c,
+           sum(CAST(qv AS double) * CAST(cv AS double))
+             / (sqrt(sum(CAST(qv AS double) * CAST(qv AS double)))
+                * sqrt(sum(CAST(cv AS double) * CAST(cv AS double)))) AS score
+    FROM qc_pairs GROUP BY c
+  ) ORDER BY score DESC, c LIMIT 3
+),
+cand AS (SELECT vec_id FROM ass JOIN qprobe USING (c)),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding) AS ev, unnest(q.qe) AS qv
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+),
+dots AS (
+  SELECT vec_id,
+         sum(CAST(ev AS double) * CAST(qv AS double)) AS dot,
+         sum(CAST(ev AS double) * CAST(ev AS double)) AS ne,
+         sum(CAST(qv AS double) * CAST(qv AS double)) AS nq
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq)), 4) AS cosine
+FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -566,7 +878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phi_scrub": q_phi_scrub,
         "extract_main_content": q_extract_main_content,
         "layout_parse": q_layout_parse,
-        # rows-only (non-SQL-expressible; pytest-verified vs independent oracle)
         "phi_scrub_uids": q_phi_scrub_uids,
         "ann_ivf": ann_ivf,
         "deid_pipeline": deid_pipeline,
@@ -944,8 +1255,18 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
         "extract_main_content": _extract_main_sql(),
         "layout_parse": _layout_parse_sql(),
         "series_group_count": """
-SELECT lang AS series_value, count(*) AS n_docs FROM documents GROUP BY lang
+SELECT lang AS series_value, count(*) AS n_docs,
+       array_to_string(list_sort(list(CAST(doc_id AS varchar))), ',') AS members
+FROM documents GROUP BY lang
 """,
         "embedding_neardup": _NEARDUP_SQL,
         "ann_threshold": _COS_SQL,
+        "phi_scrub_uids": _phi_scrub_uids_sql(),
+        "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
+        "deid_pipeline": _deid_pipeline_sql(),
+        "deid_recipe_cases": _deid_recipe_cases_sql(),
+        "deid_ingest_testdata": _deid_ingest_sql(),
+        "media_redaction": _media_redaction_sql(),
+        "ocr_recognition_metrics": _ocr_metrics_sql(),
     }

@@ -31,6 +31,19 @@ from deidcm_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# round-1 per-query snapshot (BENCH_r01.json, sf0.1 local[32]) — each run
+# prints vs_prev = current/previous per query and flags >10% regressions
+PREV = {
+    "deid_synth": 1.607, "extract_bulk": 1.422, "deid_ingest_testdata": 0.526,
+    "q1_pricing_summary": 0.443, "join_customer_nation_region": 0.438,
+    "anti_join_customers_without_orders": 0.288, "events_hourly": 0.29,
+    "rule_classification": 0.37, "minhash_signatures": 1.273,
+    "lsh_candidate_pairs": 2.278, "dedup_exact": 0.338, "quality_score": 0.402,
+    "simhash": 0.864, "ann_threshold": 0.307, "media_redaction": 1.167,
+    "html_strip_tags": 0.53, "extract_main_content": 1.243,
+    "layout_parse": 0.542, "phi_scrub": 0.557, "dataset_split": 0.234,
+}
+
 # deid bench corpus size scales with sf (sf0.1 → 20k docs ≈ 800k spans)
 def _sf() -> float:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -107,6 +120,20 @@ def main() -> None:
     extras["extract_n_docs"] = n_html
     html_corpus.unpersist()
 
+    # pixel-redaction lane (the r01 "media_redaction" semantics — the
+    # queries() entry now benches the codegen rect plan instead, so the
+    # pixel mapInPandas path keeps its own headline here)
+    from deidcm_spark.corpus import synth_media
+    from deidcm_spark.operators.media import redact_media
+
+    def media_redaction_pixels():
+        payloads, boxes = synth_media(spark, 200, seed=17, media_rate=0.5)
+        red = redact_media(payloads, boxes, margin=8)
+        red.select("media_ref", F.md5(F.col("pixels")).alias("pixels_md5")).collect()
+
+    media_redaction_pixels()  # warm
+    run("media_redaction", media_redaction_pixels)
+
     qs = entry_mod.queries()
     headliners = [
         "deid_ingest_testdata",
@@ -121,21 +148,31 @@ def main() -> None:
         "quality_score",
         "simhash",
         "ann_threshold",
-        "media_redaction",
+        "media_redaction_plan",
         "html_strip_tags",
         "extract_main_content",
         "layout_parse",
         "phi_scrub",
         "dataset_split",
     ]
+    # bench_name -> queries() key ("media_redaction_plan" benches the
+    # renamed rect-plan entry; "media_redaction" above keeps pixel parity
+    # with the r01 snapshot)
+    aliases = {"media_redaction_plan": "media_redaction"}
     # warm pass at the smallest sf: compiles/plans every code path and spins
     # the python-worker pool so the timed loop measures steady-state execution
     for name in headliners:
-        qs[name](spark, "/root/testdata/sf0.001").collect()
+        qs[aliases.get(name, name)](spark, "/root/testdata/sf0.001").collect()
     for name in headliners:
-        run(name, lambda n=name: qs[n](spark, SF_DIR).collect())
+        run(name, lambda n=name: qs[aliases.get(n, n)](spark, SF_DIR).collect())
 
     total = round(sum(timings.values()), 3)
+    vs_prev = {
+        n: round(t / PREV[n], 2) for n, t in timings.items() if n in PREV
+    }
+    regressions = {n: r for n, r in vs_prev.items() if r > 1.1}
+    if regressions:
+        print(f"# REGRESSIONS >10% vs r01: {regressions}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -146,6 +183,7 @@ def main() -> None:
                 "sf": sf,
                 "extras": extras,
                 "cpus": CPUS,
+                "vs_prev": vs_prev,
             }
         )
     )

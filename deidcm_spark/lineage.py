@@ -61,6 +61,30 @@ def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
 
 
+def bucket_expr(salt: str, n_buckets: int):
+    """THE bucket function — shared by the job, the pre-bucketing writer,
+    and the resume check: ``pmod(xxhash64(doc_id, salt), n_buckets)``."""
+    return F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(n_buckets)).cast("int")
+
+
+def prepare_bucketed_corpus(
+    documents: DataFrame,
+    table: str,
+    salt: str = "deidcm_spark",
+    n_buckets: int = 32,
+) -> None:
+    """One-time ingest shuffle: persist the corpus bucketed on the SAME
+    salted bucket function the deid job partitions by (the sandbox stand-in
+    for an Iceberg ``bucket(N, key)`` partition spec).  Every subsequent
+    ``run_deid_job(..., input_bucketed=True)`` — including every resume
+    attempt — then runs a ZERO-exchange plan: scan → mapInArrow → sink,
+    the span payload never crosses a shuffle again."""
+    from deidcm_spark.sources import write_bucketed
+
+    with_bucket = documents.withColumn("bucket", bucket_expr(salt, n_buckets))
+    write_bucketed(with_bucket, table, "bucket", n_buckets)
+
+
 def run_deid_job(
     spark: SparkSession,
     documents: DataFrame,
@@ -72,12 +96,21 @@ def run_deid_job(
     max_buckets_this_attempt: int | None = None,
     date_mode: str = "first_day_year",
     date_offset: int = 100000,
+    input_bucketed: bool = False,
 ) -> dict:
     """Process all not-yet-committed buckets; returns a summary dict.
 
     ``max_buckets_this_attempt`` exists for failure-injection tests: it
     commits only the first K pending buckets and stops, simulating a crash
     partway through the corpus.
+
+    ``input_bucketed=True`` declares that ``documents`` is already stored
+    clustered on this job's bucket function (written by
+    :func:`prepare_bucketed_corpus` with the same salt/n_buckets): the
+    repartition exchange — the single shuffle of the full span payload —
+    is skipped, and the plan is scan → filter → mapInArrow → sink.  At
+    32 local cores that shuffle is the measured kernel-time bottleneck
+    (BENCH/BASELINE.md); on a real cluster it is the network-heavy stage.
     """
     done = committed_buckets(spark, out_dir, run_id)
     pending = sorted(set(range(n_buckets)) - done)
@@ -87,14 +120,15 @@ def run_deid_job(
     if not pending:
         return summary
 
-    bucketed = documents.withColumn(
-        "bucket",
-        F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(n_buckets)).cast("int"),
-    )
+    if input_bucketed and "bucket" in documents.columns:
+        bucketed = documents
+    else:
+        bucketed = documents.withColumn("bucket", bucket_expr(salt, n_buckets))
     todo = bucketed.filter(F.col("bucket").isin(pending))
-    # salted repartition happens here: one shuffle, partitioned by bucket so
-    # the dynamic-overwrite write is aligned with the processing partitions
-    todo = todo.repartition(len(pending), "bucket")
+    if not input_bucketed:
+        # salted repartition happens here: one shuffle, partitioned by bucket
+        # so the dynamic-overwrite write aligns with processing partitions
+        todo = todo.repartition(len(pending), "bucket")
     result = deidentify_attributes(
         todo, org_root, salt, with_metrics=True,
         date_mode=date_mode, date_offset=date_offset,

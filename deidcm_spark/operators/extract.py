@@ -149,11 +149,14 @@ def strip_tags_expr(col: str, dialect: str = "spark") -> str:
 
 
 def strip_tags(df: DataFrame, html_col: str = "html") -> DataFrame:
+    # project the stripped text ONCE, derive n_chars from the alias in a
+    # second select — Catalyst's CollapseProject keeps non-cheap aliases
+    # referenced once, so the regexp_replace chain runs a single time per doc
+    # (the one-select form embedded the chain twice: once for plain_text,
+    # once inside length())
     return df.select(
-        "doc_id",
-        F.expr(strip_tags_expr(html_col)).alias("plain_text"),
-        F.expr(f"length({strip_tags_expr(html_col)})").alias("n_chars"),
-    )
+        "doc_id", F.expr(strip_tags_expr(html_col)).alias("plain_text")
+    ).select("doc_id", "plain_text", F.length("plain_text").alias("n_chars"))
 
 
 # ---------------------------------------------------------------------------
@@ -190,9 +193,25 @@ def link_density_cols(html_col: str, dialect: str = "spark") -> dict[str, str]:
 
 
 def link_density(df: DataFrame, html_col: str = "html") -> DataFrame:
-    cols = link_density_cols(html_col)
-    return df.select(
-        "doc_id", *[F.expr(e).alias(n) for n, e in cols.items()]
+    # same CSE discipline as strip_tags: materialize the anchor array and the
+    # stripped text once each, then derive the four features from the aliases
+    anchors = f"regexp_extract_all({html_col}, '{_ANCHOR_RE}', 1)"
+    base = df.select(
+        "doc_id",
+        F.expr(anchors).alias("_anchors"),
+        F.expr(f"length({strip_tags_expr(html_col)})").alias("_text_len"),
+    )
+    return base.select(
+        "doc_id",
+        F.expr("cast(size(_anchors) as bigint)").alias("n_links"),
+        F.expr(
+            "cast(aggregate(transform(_anchors, x -> length(x)), 0, (a, x) -> a + x) as bigint)"
+        ).alias("link_chars"),
+        F.expr("cast(_text_len as bigint)").alias("text_chars"),
+        F.expr(
+            "round(aggregate(transform(_anchors, x -> length(x)), 0, (a, x) -> a + x)"
+            " / greatest(_text_len, 1), 4)"
+        ).alias("link_density"),
     )
 
 

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, functions as F
 from deidcm_spark.config import load_authorized_words
 
 REDACT_MARGIN = 300
+MEDIA_DEFAULT_W = MEDIA_DEFAULT_H = 96
 
 
 def expand_box(x1: int, y1: int, x2: int, y2: int, margin: int) -> tuple[int, int, int, int]:
@@ -122,6 +123,53 @@ def lut_window_level(data: np.ndarray, window: int, level: int) -> np.ndarray:
     return out
 
 
+def apply_modality_lut_linear(data: np.ndarray, slope: float, intercept: float) -> np.ndarray:
+    """Linear modality LUT (pydicom apply_modality_lut with RescaleSlope /
+    RescaleIntercept — the CT branch of dicom2narray, dicom2png.py:28-31)."""
+    return data.astype(np.float64) * float(slope) + float(intercept)
+
+
+def apply_voi_lut_linear(
+    data: np.ndarray, center: float, width: float, y_max: float = 255.0
+) -> np.ndarray:
+    """LINEAR VOI LUT from (WindowCenter, WindowWidth) metadata — the
+    piecewise ramp pydicom's apply_voi_lut computes (dicom2png.py:24-33):
+    below the window → 0, above → y_max, inside → linear ramp."""
+    c, w = float(center), float(width)
+    d = data.astype(np.float64)
+    out = ((d - (c - 0.5)) / (w - 1) + 0.5) * y_max
+    out[d <= c - 0.5 - (w - 1) / 2] = 0.0
+    out[d > c - 0.5 + (w - 1) / 2] = y_max
+    return out
+
+
+def dicom_decode_normalize(
+    arr: np.ndarray,
+    modality: str | None = None,
+    rescale_slope: float = 1.0,
+    rescale_intercept: float = 0.0,
+    voi_center: float | None = None,
+    voi_width: float | None = None,
+    monochrome1: bool = False,
+    voi_lut: bool = False,
+) -> np.ndarray:
+    """Full dicom2narray parity (dicom2png.py:15-51): optional VOI-LUT
+    branch (CT applies the modality rescale first), MONOCHROME1 inversion,
+    then min-max normalize to uint8."""
+    data = arr.astype(np.float64)
+    if voi_lut and voi_center is not None and voi_width is not None:
+        if modality == "CT":
+            data = apply_modality_lut_linear(data, rescale_slope, rescale_intercept)
+        data = apply_voi_lut_linear(data, voi_center, voi_width)
+    if monochrome1:
+        data = data.max() - data
+    data = data - data.min()
+    mx = data.max()
+    if mx > 0:
+        data = data / mx
+    return (data * 255).astype(np.uint8)
+
+
 def normalize_to_uint8(pixels: np.ndarray, monochrome1: bool = False) -> np.ndarray:
     """dicom2narray parity (dicom2png.py:15-51): optional MONOCHROME1
     inversion (max - x), then min-max normalize to uint8."""
@@ -149,6 +197,9 @@ def resize_area(pixels: np.ndarray, factor: int) -> np.ndarray:
     return blocks.mean(axis=(1, 3)).astype(pixels.dtype)
 
 
+_PAYLOAD_COLS = ["media_ref", "width", "height", "channels", "bits", "pixels"]
+
+
 def transform_media(
     payloads: DataFrame,
     normalize: bool = True,
@@ -156,17 +207,63 @@ def transform_media(
     window: int | None = None,
     level: int | None = None,
     resize_factor: int | None = None,
+    voi_lut: bool = False,
 ) -> DataFrame:
     """Pixel-transform stage (decode → LUT/normalize → resize → re-encode),
-    one mapInPandas over payload batches — the M5/M6 composition shape."""
-    schema = payloads.schema
+    one mapInPandas over payload batches — the M5/M6 composition shape.
+
+    ``voi_lut=True`` mirrors dicom2narray(voi_lut=True): per-row VOI window
+    metadata (optional columns ``voi_center``/``voi_width``, plus
+    ``modality``/``rescale_slope``/``rescale_intercept`` for the CT branch)
+    drives the piecewise ramp before normalization; rows without metadata
+    fall back to plain normalize.  Metadata columns are consumed — the
+    output schema is always the 6-column payload shape."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType([payloads.schema[c] for c in _PAYLOAD_COLS])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip over column arrays (the redact_media idiom) — pdf.iterrows()
+        # builds a Series per row, pure overhead next to the pixel work
         for pdf in batches:
             out_rows = []
-            for _, row in pdf.iterrows():
-                arr = decode_payload(row)
-                if window is not None and level is not None:
+            n = len(pdf)
+            cols = [pdf[c].to_numpy() for c in _PAYLOAD_COLS]
+            voi = None
+            if voi_lut and "voi_center" in pdf.columns:
+                voi = [
+                    pdf[c].to_numpy() if c in pdf.columns else [None] * n
+                    for c in ("voi_center", "voi_width", "modality",
+                              "rescale_slope", "rescale_intercept")
+                ]
+            for i, (ref, w, h, ch, bits, pixels) in enumerate(
+                zip(cols[0], cols[1], cols[2], cols[3], cols[4], cols[5])
+            ):
+                arr = decode_payload(
+                    {"pixels": pixels, "width": w, "height": h,
+                     "channels": ch, "bits": bits}
+                )
+                # pandas surfaces a NULL voi_center as NaN, not None
+                has_voi = (
+                    voi is not None
+                    and voi[0][i] is not None
+                    and voi[0][i] == voi[0][i]
+                )
+                if has_voi:
+                    def _num(v, default):
+                        return default if v is None or v != v else float(v)
+
+                    arr = dicom_decode_normalize(
+                        arr,
+                        modality=voi[2][i],
+                        rescale_slope=_num(voi[3][i], 1.0),
+                        rescale_intercept=_num(voi[4][i], 0.0),
+                        voi_center=voi[0][i],
+                        voi_width=voi[1][i],
+                        monochrome1=monochrome1,
+                        voi_lut=True,
+                    )
+                elif window is not None and level is not None:
                     arr = lut_window_level(arr, window, level).astype(np.uint8)
                 elif normalize:
                     arr = normalize_to_uint8(arr, monochrome1)
@@ -174,7 +271,7 @@ def transform_media(
                     arr = resize_area(arr, resize_factor)
                 out_rows.append(
                     {
-                        "media_ref": row["media_ref"],
+                        "media_ref": ref,
                         "width": arr.shape[1],
                         "height": arr.shape[0],
                         "channels": 1 if arr.ndim == 2 else arr.shape[2],
@@ -182,7 +279,7 @@ def transform_media(
                         "pixels": arr.tobytes(),
                     }
                 )
-            yield pd.DataFrame(out_rows, columns=[f.name for f in schema])
+            yield pd.DataFrame(out_rows, columns=_PAYLOAD_COLS)
 
     return payloads.mapInPandas(run, schema)
 
@@ -194,6 +291,52 @@ def decode_payload(row: dict | pd.Series) -> np.ndarray:
     shape = (row["height"], row["width"]) if row["channels"] == 1 else (
         row["height"], row["width"], row["channels"])
     return arr.reshape(shape)
+
+
+def redaction_plan(
+    boxes: DataFrame,
+    margin: int = REDACT_MARGIN,
+    width: int = MEDIA_DEFAULT_W,
+    height: int = MEDIA_DEFAULT_H,
+    authorized: frozenset[str] | None = None,
+) -> DataFrame:
+    """The gate + geometry stage of redaction as PURE Spark SQL (codegen):
+    (media_ref, box_idx, xa, ya, xb, yb) fill rectangles after the
+    reference's gates — whole-image first-box confidence (> 0.3,
+    deid_mammogram.py:171-179), empty/len≤1 word guard (:228), authorized
+    -word exemption (:201), sign-aware ±margin expansion (:232-244) and
+    image clamping.
+
+    Splitting the gates out of the pixel UDF makes them driver-
+    oracle-checkable (DuckDB re-derives the same rects) and keeps the
+    mapInPandas stage pure pixel fill; at corpus scale the plan is one
+    window over media_ref — the same partitioning as the payload join that
+    consumes it, so no extra shuffle.
+    """
+    from pyspark.sql import Window
+
+    words = sorted(authorized if authorized is not None else load_authorized_words())
+    w = Window.partitionBy("media_ref")
+    first_conf = F.max(F.when(F.col("box_idx") == 0, F.col("confidence"))).over(w)
+    b = boxes.withColumn("_first_conf", first_conf)
+    ex1 = F.when(F.col("x1") < F.col("x2"), F.col("x1") - margin).otherwise(F.col("x1") + margin)
+    ex2 = F.when(F.col("x1") < F.col("x2"), F.col("x2") + margin).otherwise(F.col("x2") - margin)
+    ey1 = F.when(F.col("y1") < F.col("y2"), F.col("y1") - margin).otherwise(F.col("y1") + margin)
+    ey2 = F.when(F.col("y1") < F.col("y2"), F.col("y2") + margin).otherwise(F.col("y2") - margin)
+    applied = (
+        (F.col("_first_conf") > 0.3)
+        & (F.length("word") > 1)
+        & (~F.upper("word").isin(words))
+    )
+    planned = b.filter(applied).select(
+        "media_ref",
+        "box_idx",
+        F.greatest(F.lit(0), F.least(ex1, ex2)).alias("xa"),
+        F.greatest(F.lit(0), F.least(ey1, ey2)).alias("ya"),
+        F.least(F.lit(width - 1), F.greatest(ex1, ex2)).alias("xb"),
+        F.least(F.lit(height - 1), F.greatest(ey1, ey2)).alias("yb"),
+    )
+    return planned.filter((F.col("xa") <= F.col("xb")) & (F.col("ya") <= F.col("yb")))
 
 
 def redact_media(

@@ -78,8 +78,11 @@ def scrub_text_expr(col: str, names: list[str], dialect: str = "spark") -> str:
         rep = spark_rep if dialect == "spark" else duck_rep
         e = f"regexp_replace({e}, '{_pat_sql(pat, dialect)}', '{rep}'{g})"
     if names:
-        alt = "|".join(sorted(names))
-        name_pat = _pat_sql(rf"(?i)\b({alt})\b", dialect)
+        # names are user input (CLI --names): regex-escape each one (re.escape
+        # emits only the \<punct> forms Java regex and RE2 share for ASCII) and
+        # escape single quotes for the SQL string literal ('' in both dialects)
+        alt = "|".join(re.escape(n) for n in sorted(names))
+        name_pat = _pat_sql(rf"(?i)\b({alt})\b", dialect).replace("'", "''")
         e = f"regexp_replace({e}, '{name_pat}', '[NAME]'{g})"
     return e
 

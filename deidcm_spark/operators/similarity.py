@@ -58,14 +58,22 @@ def ann_threshold(emb: DataFrame, query: list[float], threshold: float) -> DataF
 
 
 def hyperplane_sign_expr(col: str, plane: int, dim: int) -> str:
-    """Deterministic pseudo-random hyperplane: coefficient for dimension d of
-    plane p = (md5int(p:d) mod 2001) - 1000, i.e. uniform in [-1000, 1000]."""
-    terms = " + ".join(
-        f"cast({col}[{d}] as double) * "
-        f"(cast(conv(substring(md5('{plane}:{d}'), 1, 8), 16, 10) as bigint) % 2001 - 1000)"
-        for d in range(dim)
+    """Deterministic pseudo-random hyperplane sign bit: coefficient for
+    dimension d of plane p = (md5int(p:d) mod 2001) - 1000, i.e. uniform in
+    [-1000, 1000].  HOF form (aggregate over a coefficient-array literal):
+    the unrolled ``e[0]*c0 + e[1]*c1 + ...`` chain blows the 64 KB JVM
+    method limit at 16 planes x 64 dims and falls out of codegen; this
+    compiles to a loop.  The fold starts at 0D and adds left-to-right —
+    bit-identical to the unrolled chain (0+t0 == t0 in IEEE) and to the
+    Python twin :func:`query_signature_bits`."""
+    coeffs = "array(" + ", ".join(
+        f"{_plane_coeff(plane, d)}D" for d in range(dim)
+    ) + ")"
+    return (
+        f"case when aggregate(zip_with({col}, {coeffs}, "
+        "(a, b) -> cast(a as double) * b), 0D, (acc, v) -> acc + v) > 0 "
+        "then 1 else 0 end"
     )
-    return f"case when ({terms}) > 0 then 1 else 0 end"
 
 
 def signature_expr(col: str, n_planes: int, dim: int) -> str:
@@ -103,6 +111,9 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16, lloyd_iters: int = 1
         .collect()
     )
     centroids = [list(r["embedding"]) for r in seeds]
+    # corpus smaller than n_centroids → fewer seeds; clamp so the
+    # empty-cluster fallback below never indexes past the seed list
+    n_centroids = len(centroids)
     for _ in range(lloyd_iters):
         assigned = emb.withColumn("cluster", _assign_udf(centroids)(F.col("embedding")))
         means = (
@@ -129,6 +140,7 @@ def ann_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     centroids: list[list[float]] | None = None,
+    lloyd_iters: int = 1,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into ``n_centroids`` inverted
     lists, probe the ``nprobe`` lists nearest to the query, exact-rerank
@@ -136,7 +148,7 @@ def ann_ivf(
     key, so probing prunes partitions at scan time; assignment is one
     numpy matmul per Arrow batch.  Recall vs ann_brute_force is measured
     in tests (test_training_ops)."""
-    C = centroids if centroids is not None else ivf_centroids(emb, n_centroids)
+    C = centroids if centroids is not None else ivf_centroids(emb, n_centroids, lloyd_iters)
     Cn = np.asarray(C, dtype=np.float64)
     Cn = Cn / np.linalg.norm(Cn, axis=1, keepdims=True)
     q = np.asarray(query, dtype=np.float64)
@@ -151,20 +163,62 @@ def ann_ivf(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
-def ann_lsh_bucketed(
-    emb: DataFrame, query: list[float], k: int = 10, n_planes: int = 4
-) -> DataFrame:
-    """Sign-LSH bucketed ANN: prune to the query's bucket, then exact rerank.
+def _plane_coeff(plane: int, d: int) -> int:
+    """Python twin of the coefficient in :func:`hyperplane_sign_expr` —
+    identical md5 arithmetic, so driver-side query signatures match the
+    SQL-computed corpus signatures bit for bit."""
+    import hashlib
 
-    Approximate by construction (a true neighbor can land one bit away);
-    recall is measured in tests against ann_brute_force.
+    h = int(hashlib.md5(f"{plane}:{d}".encode("utf8")).hexdigest()[:8], 16)
+    return (h % 2001) - 1000
+
+
+def query_signature_bits(query: list[float], n_planes: int) -> list[int]:
+    """Sign bits of the query vector under the shared hyperplane spec.
+
+    The dot product accumulates left-to-right in float64 exactly like the
+    SQL ``t0 + t1 + ...`` chain (same IEEE operation order), so the result
+    equals what ``signature_expr`` computes for the same vector."""
+    bits = []
+    for p in range(n_planes):
+        s = 0.0
+        for d, v in enumerate(query):
+            s += float(v) * _plane_coeff(p, d)
+        bits.append(1 if s > 0 else 0)
+    return bits
+
+
+def ann_lsh_bucketed(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Sign-LSH bucketed ANN with Hamming-1 MULTI-PROBE: scan the query's
+    own sign bucket plus every bucket one hyperplane-bit away
+    (``n_planes + 1`` buckets total), then exact-cosine rerank.
+
+    Single-probe has a structural miss mode — a true neighbor one bit away
+    is invisible; multi-probe removes the radius-1 misses while still
+    pruning the corpus to (n_planes+1)/2^n_planes of its buckets.  The
+    probe set is a literal IN-list, so it pushes down to the scan (at
+    10^12 rows the bucket column is the Iceberg partition key and probing
+    prunes partitions at planning time).  Recall vs ann_brute_force is
+    asserted in tests across multiple query vectors.
     """
     dim = len(query)
     sig = signature_expr("embedding", n_planes, dim)
     bucketed = emb.withColumn("bucket", F.expr(sig))
-    qdf = emb.sparkSession.createDataFrame([(query,)], "q: array<float>")
-    qsig = qdf.select(F.expr(signature_expr("q", n_planes, dim)).alias("bucket"))
-    in_bucket = bucketed.join(F.broadcast(qsig), "bucket")
+    qbits = query_signature_bits(query, n_planes)
+    base = "".join(str(b) for b in qbits)
+    probes = [base]
+    if multiprobe:
+        for p in range(n_planes):
+            flipped = qbits.copy()
+            flipped[p] = 1 - flipped[p]
+            probes.append("".join(str(b) for b in flipped))
+    in_bucket = bucketed.filter(F.col("bucket").isin(probes))
     scored = in_bucket.withColumn("q", _lit_array(query)).select(
         "vec_id", F.expr(COSINE_EXPR.format(x="embedding", y="q")).alias("cosine")
     )

@@ -118,20 +118,21 @@ def fingerprint(df: DataFrame) -> DataFrame:
 SPLIT_HASH = "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10000"
 
 
-def deterministic_split(df: DataFrame, val_permille: int = 1000) -> DataFrame:
-    """Assign each document to train/val by doc_id hash (val_permille/10000
-    of documents land in val)."""
+def deterministic_split(df: DataFrame, val_bp: int = 1000) -> DataFrame:
+    """Assign each document to train/val by doc_id hash.  ``val_bp`` is in
+    BASIS POINTS (1/10000): val_bp=1000 → 10% of documents land in val."""
     return df.select(
         "doc_id",
         F.expr(
-            f"case when {SPLIT_HASH} < {val_permille} then 'val' else 'train' end"
+            f"case when {SPLIT_HASH} < {val_bp} then 'val' else 'train' end"
         ).alias("split"),
     )
 
 
-def hash_sample(df: DataFrame, keep_permille: int = 1000) -> DataFrame:
+def hash_sample(df: DataFrame, keep_bp: int = 1000) -> DataFrame:
     """Deterministic corpus sample: keep documents whose doc_id hash falls
     under the threshold — the distributed, reproducible analogue of
     ``df.sample(fraction)`` (which is per-partition RNG and not stable
-    under repartitioning)."""
-    return df.filter(F.expr(f"{SPLIT_HASH} < {keep_permille}"))
+    under repartitioning).  ``keep_bp`` is in BASIS POINTS (1/10000):
+    keep_bp=2500 → 25% kept."""
+    return df.filter(F.expr(f"{SPLIT_HASH} < {keep_bp}"))

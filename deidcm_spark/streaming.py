@@ -11,6 +11,13 @@ incrementally with exactly-once file-sink semantics:
 Every engine operator is per-document and stateless, so no watermarks or
 state stores are needed; checkpointing rides Spark's streaming commit log
 (complementing the bucket-level lineage of batch runs).
+
+Exactly-once OUTPUT: ``foreachBatch`` alone is only at-least-once — a crash
+after the parquet write but before the checkpoint commit replays the
+micro-batch on restart.  The sinks here are made idempotent by partitioning
+the output on ``batch_id`` and using DYNAMIC partition overwrite: a replayed
+batch overwrites its own partition rather than appending a second copy, so
+(at-least-once replay) + (idempotent write) = exactly-once table contents.
 """
 
 from __future__ import annotations
@@ -19,6 +26,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 from deidcm_spark.operators.deidentify import deidentify_attributes
 from deidcm_spark.schema import DOCUMENTS_SCHEMA
+
+
+def _idempotent_write(out: DataFrame, batch_id: int, out_dir: str) -> None:
+    """Idempotent micro-batch sink: the epoch's rows land in partition
+    ``batch_id=N``; dynamic overwrite replaces exactly that partition on
+    replay (other epochs untouched), making foreachBatch exactly-once."""
+    from pyspark.sql import functions as F
+
+    (
+        out.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
 
 
 def stream_deidentify(
@@ -43,7 +65,7 @@ def stream_deidentify(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = deidentify_attributes(batch_df, org_root, salt, with_metrics=True)
-        out.write.mode("append").parquet(out_dir)
+        _idempotent_write(out, batch_id, out_dir)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -78,7 +100,7 @@ def stream_extract(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = extract.extract_main_content(extract.with_html(batch_df))
-        out.write.mode("append").parquet(out_dir)
+        _idempotent_write(out, batch_id, out_dir)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -92,3 +92,37 @@ def test_output_equals_direct_pipeline(spark, tmp_path):
     run_deid_job(spark, docs, out, ORG_ROOT, SALT, N_BUCKETS, "r1")
     direct = deidentify_attributes(docs, ORG_ROOT, SALT)
     assert _snapshot(read_output(spark, out)) == _snapshot(direct)
+
+
+def test_bucketed_input_zero_exchange_same_result(spark, tmp_path):
+    """prepare_bucketed_corpus + input_bucketed=True: the deid stage plan
+    has NO Exchange (the span payload never shuffles), and the committed
+    output equals the shuffled path byte for byte."""
+    from deidcm_spark.lineage import bucket_expr, prepare_bucketed_corpus
+    from deidcm_spark.operators.deidentify import deidentify_attributes as deid
+
+    docs = _docs(spark, 120)
+    prepare_bucketed_corpus(docs, "bt_deid_corpus", SALT, N_BUCKETS)
+    bucketed = spark.table("bt_deid_corpus")
+
+    # plan shape: filter + mapInArrow over the bucketed scan, zero Exchange
+    todo = bucketed.filter(F.col("bucket").isin(list(range(N_BUCKETS))))
+    out = deid(todo, ORG_ROOT, SALT, with_metrics=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInArrow" in plan
+
+    # end-to-end: bucketed job == shuffled job
+    d1 = str(tmp_path / "bucketed_out")
+    d2 = str(tmp_path / "shuffled_out")
+    s1 = run_deid_job(spark, bucketed, d1, ORG_ROOT, SALT, n_buckets=N_BUCKETS,
+                      input_bucketed=True)
+    s2 = run_deid_job(spark, docs, d2, ORG_ROOT, SALT, n_buckets=N_BUCKETS)
+    assert s1["processed"] == s2["processed"] == N_BUCKETS
+    assert _snapshot(read_output(spark, d1)) == _snapshot(read_output(spark, d2))
+    # the stored bucket column matches the job's own bucket function
+    mismatch = (
+        bucketed.withColumn("b2", bucket_expr(SALT, N_BUCKETS))
+        .filter("bucket != b2").count()
+    )
+    assert mismatch == 0

@@ -1,0 +1,246 @@
+"""Round-2 additions: VOI-LUT decode parity, redaction_plan ≡ pixel kernel,
+scrub name escaping, multi-probe LSH recall, scale-safe embedding near-dup
+plan shape, basis-point split semantics, idempotent streaming sink."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deidcm_spark import duck_oracle as dk
+from deidcm_spark.operators import dedup, similarity
+from deidcm_spark.operators.media import (
+    dicom_decode_normalize,
+    redact_array,
+    redaction_plan,
+)
+from deidcm_spark.operators.scrub import scrub_text, scrub_text_expr
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# VOI-LUT decode (dicom2png.py:15-51 parity incl. the voi_lut branch)
+# ---------------------------------------------------------------------------
+
+def _oracle_dicom2narray(arr, modality, slope, intercept, center, width,
+                         monochrome1, voi_lut):
+    """Independent re-derivation of the reference's dicom2narray maths
+    (pydicom LINEAR VOI + modality rescale), written against the published
+    formulas, not the engine code."""
+    data = arr.astype(np.float64)
+    if voi_lut and center is not None:
+        if modality == "CT":
+            data = data * slope + intercept
+        c, w = float(center), float(width)
+        y = ((data - (c - 0.5)) / (w - 1) + 0.5) * 255.0
+        y[data <= c - 0.5 - (w - 1) / 2] = 0.0
+        y[data > c - 0.5 + (w - 1) / 2] = 255.0
+        data = y
+    if monochrome1:
+        data = data.max() - data
+    data = data - data.min()
+    if data.max() > 0:
+        data = data / data.max()
+    return (data * 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("modality,mono", [("MR", False), ("CT", False), ("MR", True)])
+def test_voi_lut_decode_matches_reference_maths(modality, mono):
+    rng = np.arange(64 * 64, dtype=np.uint16).reshape(64, 64) % 4096
+    got = dicom_decode_normalize(
+        rng, modality=modality, rescale_slope=2.0, rescale_intercept=-1024.0,
+        voi_center=1000.0, voi_width=1500.0, monochrome1=mono, voi_lut=True,
+    )
+    want = _oracle_dicom2narray(
+        rng, modality, 2.0, -1024.0, 1000.0, 1500.0, mono, True
+    )
+    assert np.array_equal(got, want)
+
+
+def test_voi_lut_off_equals_plain_normalize():
+    from deidcm_spark.operators.media import normalize_to_uint8
+
+    arr = (np.arange(32 * 32, dtype=np.uint16) % 1000).reshape(32, 32)
+    assert np.array_equal(
+        dicom_decode_normalize(arr, voi_lut=False), normalize_to_uint8(arr)
+    )
+
+
+def test_transform_media_voi_rows(spark):
+    """Per-row VOI metadata drives the ramp; rows without metadata fall
+    back to plain normalize — checked against direct kernel calls."""
+    import pandas as pd
+
+    from deidcm_spark.operators.media import decode_payload, transform_media
+
+    a0 = (np.arange(96 * 96, dtype=np.uint16) % 2048).reshape(96, 96)
+    rows = [
+        {"media_ref": "v0", "width": 96, "height": 96, "channels": 1,
+         "bits": 16, "pixels": a0.tobytes(), "voi_center": 800.0,
+         "voi_width": 900.0, "modality": "MR", "rescale_slope": 1.0,
+         "rescale_intercept": 0.0},
+        {"media_ref": "v1", "width": 96, "height": 96, "channels": 1,
+         "bits": 16, "pixels": a0.tobytes(), "voi_center": None,
+         "voi_width": None, "modality": None, "rescale_slope": None,
+         "rescale_intercept": None},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["media_ref"]: r for r in transform_media(df, voi_lut=True).collect()}
+    got0 = decode_payload(out["v0"].asDict())
+    want0 = dicom_decode_normalize(a0, voi_center=800.0, voi_width=900.0, voi_lut=True)
+    assert np.array_equal(got0, want0)
+    got1 = decode_payload(out["v1"].asDict())
+    want1 = dicom_decode_normalize(a0, voi_lut=False)
+    assert np.array_equal(got1, want1)
+
+
+# ---------------------------------------------------------------------------
+# redaction_plan (codegen gates) ≡ redact_array (pixel kernel)
+# ---------------------------------------------------------------------------
+
+def test_redaction_plan_matches_pixel_kernel(spark):
+    """The SQL gate/geometry stage and the Python pixel kernel must agree:
+    filling the planned rects reproduces redact_array byte for byte over
+    the whole SQL box corpus."""
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView("documents")
+    boxes = spark.sql(dk.boxes_sql("spark"))
+    by_ref: dict[str, list[dict]] = {}
+    for r in boxes.collect():
+        by_ref.setdefault(r["media_ref"], []).append(r.asDict())
+    plan_rows = redaction_plan(boxes, margin=8, width=96, height=96).collect()
+    rects: dict[str, list] = {}
+    for r in plan_rows:
+        rects.setdefault(r["media_ref"], []).append((r["xa"], r["ya"], r["xb"], r["yb"]))
+    assert len(by_ref) > 50
+    n_applied = 0
+    for ref, blist in by_ref.items():
+        base = np.zeros((96, 96), dtype=np.uint8) + 7
+        want = redact_array(base, blist, margin=8)
+        got = base.copy()
+        for xa, ya, xb, yb in rects.get(ref, []):
+            got[ya : yb + 1, xa : xb + 1] = 0
+        assert np.array_equal(got, want), ref
+        n_applied += len(rects.get(ref, []))
+    assert n_applied > 0
+
+
+# ---------------------------------------------------------------------------
+# scrub name escaping (user input hardening)
+# ---------------------------------------------------------------------------
+
+def test_scrub_names_with_quotes_and_metachars(spark):
+    df = spark.createDataFrame(
+        [(1, "met o'hara and J.DOE then jxdoe stayed")], "doc_id int, text string"
+    )
+    out = scrub_text(df, ["o'hara", "j.doe"]).head()["text"]
+    assert "[NAME]" in out
+    assert "o'hara" not in out.lower()
+    assert "j.doe" not in out.lower()
+    # the dot must be literal: jxdoe is NOT a match
+    assert "jxdoe" in out
+
+
+def test_scrub_name_escaping_duckdb_dialect():
+    import duckdb
+
+    expr = scrub_text_expr("t", ["o'hara", "j.doe"], dialect="duckdb")
+    got = duckdb.connect().execute(
+        f"SELECT {expr} FROM (SELECT 'met o''hara and J.DOE then jxdoe' AS t)"
+    ).fetchone()[0]
+    assert got.count("[NAME]") == 2 and "jxdoe" in got
+
+
+# ---------------------------------------------------------------------------
+# multi-probe LSH recall (clustered corpus — where LSH is meaningful)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    import math
+
+    # 15 tight clusters x 12 jittered members: a query's exact top-10 lives
+    # inside its own cluster, which is the regime LSH is built for
+    rows = []
+    for c in range(15):
+        base = [math.sin(0.31 * (c + 1) * (d + 3)) for d in range(16)]
+        for j in range(12):
+            vec = [
+                float(x + 0.003 * math.sin(7.0 * (c + j + d)))
+                for d, x in enumerate(base)
+            ]
+            rows.append((c * 100 + j, vec, c))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+
+
+def test_multiprobe_lsh_recall(spark, clustered_emb):
+    recalls = []
+    single = []
+    for qid in (0, 301, 702):
+        q = similarity.query_vector(clustered_emb, qid)
+        exact = [r["vec_id"] for r in similarity.ann_brute_force(clustered_emb, q, k=10).collect()]
+        multi = [r["vec_id"] for r in similarity.ann_lsh_bucketed(
+            clustered_emb, q, k=10, n_planes=4, multiprobe=True).collect()]
+        mono = [r["vec_id"] for r in similarity.ann_lsh_bucketed(
+            clustered_emb, q, k=10, n_planes=4, multiprobe=False).collect()]
+        recalls.append(len(set(exact) & set(multi)) / len(exact))
+        single.append(len(set(exact) & set(mono)) / len(exact))
+    assert sum(recalls) / len(recalls) >= 0.95, (recalls, single)
+    assert sum(recalls) >= sum(single)
+
+
+def test_query_signature_matches_sql(spark, clustered_emb):
+    q = similarity.query_vector(clustered_emb, 3)
+    sql_sig = clustered_emb.filter("vec_id = 3").select(
+        F.expr(similarity.signature_expr("embedding", 6, len(q))).alias("s")
+    ).head()["s"]
+    py_sig = "".join(str(b) for b in similarity.query_signature_bits(q, 6))
+    assert sql_sig == py_sig
+
+
+# ---------------------------------------------------------------------------
+# scale-safe embedding near-dup: equi-join plan + brute equality
+# ---------------------------------------------------------------------------
+
+def test_embedding_neardup_no_cartesian(spark, clustered_emb):
+    df = dedup.embedding_neardup_pairs(clustered_emb, 0.999)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_matches_brute(spark, clustered_emb):
+    lsh = {(r["id_a"], r["id_b"]) for r in dedup.embedding_neardup_pairs(clustered_emb, 0.999).collect()}
+    brute = {(r["id_a"], r["id_b"]) for r in dedup.embedding_neardup_pairs_brute(clustered_emb, 0.999).collect()}
+    assert lsh == brute and len(brute) > 0
+
+
+# ---------------------------------------------------------------------------
+# basis-point split semantics
+# ---------------------------------------------------------------------------
+
+def test_split_bp_fractions(spark):
+    from deidcm_spark.operators.textops import deterministic_split, hash_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n = d.count()
+    val = deterministic_split(d, val_bp=5000).filter("split = 'val'").count()
+    assert abs(val / n - 0.5) < 0.1  # 5000 bp = 50%
+    kept = hash_sample(d, keep_bp=2500).count()
+    assert abs(kept / n - 0.25) < 0.1  # 2500 bp = 25%
+
+
+# ---------------------------------------------------------------------------
+# idempotent streaming sink (exactly-once output under replay)
+# ---------------------------------------------------------------------------
+
+def test_idempotent_batch_write_survives_replay(spark, tmp_path):
+    from deidcm_spark.streaming import _idempotent_write
+
+    out_dir = str(tmp_path / "sink")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    _idempotent_write(df, 0, out_dir)
+    _idempotent_write(df, 0, out_dir)  # replayed micro-batch
+    _idempotent_write(df, 1, out_dir)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 20  # batch 0 written once despite replay
+    assert got.select("batch_id").distinct().count() == 2

@@ -53,6 +53,18 @@ def main() -> None:
         "docs_per_sec": round(n_docs / elapsed, 1),
     }
 
+    # zero-exchange lane: the corpus parquet is already written partitioned
+    # (the bucketed-ingest story, lineage.prepare_bucketed_corpus) — deid
+    # runs scan → mapInArrow → agg with NO shuffle of the span payload
+    t0 = time.perf_counter()
+    out_nx = deidentify_attributes(docs, "9.9.9.9.9", "scaling_nx")
+    nx_docs = out_nx.agg(F.count("*"), F.sum(F.size("spans"))).collect()[0][0]
+    nx_elapsed = time.perf_counter() - t0
+    result.update({
+        "noshuffle_elapsed_sec": round(nx_elapsed, 3),
+        "noshuffle_docs_per_sec": round(nx_docs / nx_elapsed, 1),
+    })
+
     if html_corpus_path:
         # extraction lane (north_rule): same two-level evidence, same input
         raw = spark.read.parquet(html_corpus_path)
