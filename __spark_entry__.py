@@ -4,11 +4,19 @@
 form, run the de-identification pipeline, return per-doc metrics.
 
 ``queries()`` / ``oracle_sql()`` — one entry per operator family from
-SURVEY.md §2 plus the training-data operators; oracle-checked against DuckDB
-wherever the semantics are ANSI-SQL-expressible, rows-only otherwise (the
-deid pipeline needs sha256→arbitrary-precision-decimal, which SQL lacks;
-it is verified by pytest span-equality against an independent oracle
-instead — see tests/test_deidentify.py).
+SURVEY.md §2 plus the training-data operators; EVERY entry is
+oracle-checked.  Three oracle strategies (in preference order):
+
+1. direct ANSI-SQL re-derivation (most queries);
+2. pure-SQL re-implementation of "non-SQL" kernels — sha256→first-30
+   -decimal-digits via limb long division (duck_oracle.dec30_ctes, powers
+   ``phi_scrub_uids``), hyperplane sign signatures + probe sets
+   (``ann_lsh``/``ann_ivf``), the md5-arithmetic box corpus
+   (``media_redaction``/``ocr_recognition_metrics``);
+3. the INDEPENDENT pure-Python oracle (deidcm_spark/oracle.py — separate
+   implementation, no engine imports) embedded as a VALUES relation where
+   the recipe engine itself is the semantics (``deid_pipeline``,
+   ``deid_recipe_cases``).
 
 Column names/aliases are kept identical between each Spark query and its
 oracle SQL (the driver hashes values after sorting columns by name).
@@ -233,6 +241,104 @@ def q_lang_id(spark, sf_dir):
 
 def q_fingerprint(spark, sf_dir):
     return textops.fingerprint(_load(spark, sf_dir, "documents"))
+
+
+def q_quality_flags(spark, sf_dir):
+    """C4/Gopher-style corpus-filter signals (repetition, digit, upper,
+    URL ratios)."""
+    return textops.quality_flags(_load(spark, sf_dir, "documents"))
+
+
+def q_vocab_top_terms(spark, sf_dir):
+    """Corpus vocabulary build: global top-100 tokens, deterministic ties."""
+    return textops.vocab_top_terms(_load(spark, sf_dir, "documents"), k=100).select(
+        "token", F.col("n").cast("long").alias("n")
+    )
+
+
+def q_tfidf_top_term(spark, sf_dir):
+    """Per-document top TF-IDF term (tf x ln((N+1)/(df+1)), 4-dp-rounded
+    ranking, token tie-break)."""
+    return textops.tfidf_top_term(_load(spark, sf_dir, "documents"))
+
+
+def q_dedup_decisions(spark, sf_dir):
+    """Greedy KEEP/DROP dedup policy from verified Jaccard pairs."""
+    return dedup.dedup_decisions(_doubled_docs(spark, sf_dir), threshold=0.5)
+
+
+def _quality_flags_sql() -> str:
+    return f"""
+SELECT doc_id,
+  round(1.0 - len(list_distinct({_DT})) / greatest(len({_DT}), 1), 4) AS repetition_ratio,
+  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1), 4) AS digit_ratio,
+  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / greatest(length(text), 1), 4) AS upper_ratio,
+  CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS bigint) AS n_urls
+FROM documents
+"""
+
+
+def _vocab_sql() -> str:
+    return f"""
+SELECT token, CAST(count(*) AS bigint) AS n
+FROM (SELECT unnest({_DT}) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 100
+"""
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_DT}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+scored AS (
+  SELECT doc_id, token, round(tf * ln((nd + 1) / (df + 1)), 4) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token AS top_term, tfidf FROM r WHERE rn = 1
+"""
+
+
+def ocr_word_recognition(spark, sf_dir):
+    """A5 word-recognition tally (fuzzy levenshtein thresholds of
+    deid_verification.py:400-409) over the SQL box corpus — driver-visible
+    version of verification.recognition_rates."""
+    from deidcm_spark.operators.verification import recognition_rates
+
+    boxes = _sql_boxes(spark, sf_dir)
+    detected = boxes.filter("confidence > 0.3 and length(word) > 1").select("media_ref", "word")
+    truth = boxes.select("media_ref", "word")
+    return recognition_rates(detected, truth)
+
+
+def _ocr_word_recognition_sql() -> str:
+    fuzzy = (
+        "levenshtein(t.tword, d.dword) <= "
+        "(CASE WHEN length(t.tword) > 3 THEN 3 ELSE 1 END)"
+    )
+    return f"""
+WITH boxes AS ({dk.boxes_sql("duckdb")}),
+det AS (SELECT media_ref, upper(word) AS dword FROM boxes
+        WHERE confidence > 0.3 AND length(word) > 1),
+tru AS (SELECT media_ref, upper(word) AS tword FROM boxes),
+m AS (
+  SELECT t.media_ref, t.tword,
+         max(CASE WHEN d.dword IS NULL THEN 0
+                  WHEN {fuzzy} THEN 1 ELSE 0 END) AS recognized
+  FROM tru t LEFT JOIN det d ON t.media_ref = d.media_ref
+  GROUP BY t.media_ref, t.tword
+)
+SELECT media_ref, CAST(sum(recognized) AS bigint) AS n_recognized,
+       CAST(count(*) AS bigint) AS n_words,
+       round(sum(recognized) / count(*), 4) AS recognition_rate
+FROM m GROUP BY media_ref
+"""
 
 
 def q_dataset_split(spark, sf_dir):
@@ -861,6 +967,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "quality_flags": q_quality_flags,
+        "vocab_top_terms": q_vocab_top_terms,
+        "tfidf_top_term": q_tfidf_top_term,
+        "dedup_decisions": q_dedup_decisions,
+        "ocr_word_recognition": ocr_word_recognition,
         "dataset_split": q_dataset_split,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_salted": q_dedup_exact_salted,
@@ -1269,4 +1380,33 @@ FROM documents GROUP BY lang
         "deid_ingest_testdata": _deid_ingest_sql(),
         "media_redaction": _media_redaction_sql(),
         "ocr_recognition_metrics": _ocr_metrics_sql(),
+        "quality_flags": _quality_flags_sql(),
+        "vocab_top_terms": _vocab_sql(),
+        "tfidf_top_term": _tfidf_sql(),
+        "dedup_decisions": jac + """
+, cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+sh_rows AS (SELECT doc_id, unnest(sh) AS shingle FROM shs),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c JOIN sh_rows a ON a.doc_id = c.doc_a
+              JOIN sh_rows b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+jp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+),
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM jp)
+SELECT doc_id, 1 AS keep FROM src
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+UNION ALL SELECT doc_id, 0 AS keep FROM drops
+""",
+        "ocr_word_recognition": _ocr_word_recognition_sql(),
     }

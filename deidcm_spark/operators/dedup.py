@@ -265,6 +265,22 @@ def simhash_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def dedup_decisions(df: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Greedy near-dup KEEP/DROP assignment from verified Jaccard pairs:
+    drop every document that near-duplicates a smaller-id document
+    (pairs are emitted with doc_a < doc_b, so dropping the doc_b side
+    keeps the smallest id of every adjacent pair).  One anti-join —
+    the standard single-pass policy large pipelines apply per batch;
+    full connected-component canonicalization (iterative label
+    propagation) is deliberately out of scope for one query.
+    """
+    pairs = ngram_jaccard_pairs(df, threshold=threshold)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return df.select("doc_id").join(drops, "doc_id", "left_anti").select(
+        "doc_id", F.lit(1).alias("keep")
+    ).unionByName(drops.select("doc_id", F.lit(0).alias("keep")))
+
+
 def embedding_neardup_pairs_brute(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Brute-force O(n²) embedding near-dup pairs (theta self-join).
 

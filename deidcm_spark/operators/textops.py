@@ -96,6 +96,63 @@ def lang_id(df: DataFrame) -> DataFrame:
     )
 
 
+def quality_flags(df: DataFrame) -> DataFrame:
+    """Additional corpus-filter signals (C4/Gopher-style heuristics):
+    repetition ratio (1 − distinct/total tokens), digit ratio, uppercase
+    ratio, URL mentions.  Pure codegen, exact SQL oracle."""
+    toks = f"size({TOKENS})"
+    dtoks = f"size(array_distinct({TOKENS}))"
+    digits = "length(text) - length(regexp_replace(text, '[0-9]', ''))"
+    uppers = "length(text) - length(regexp_replace(text, '[A-Z]', ''))"
+    urls = "size(regexp_extract_all(text, 'https?://[^\\\\s]+', 0))"
+    return df.select(
+        "doc_id",
+        F.expr(f"round(1.0 - ({dtoks}) / greatest({toks}, 1), 4)").alias("repetition_ratio"),
+        F.expr(f"round(({digits}) / greatest(length(text), 1), 4)").alias("digit_ratio"),
+        F.expr(f"round(({uppers}) / greatest(length(text), 1), 4)").alias("upper_ratio"),
+        F.expr(f"cast({urls} as bigint)").alias("n_urls"),
+    )
+
+
+def vocab_top_terms(df: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: global token counts, top-k with deterministic
+    tie-break.  explode → hash aggregate (map-side partial combine) →
+    TakeOrdered top-k — the canonical vocab-building shape; at corpus
+    scale the only shuffle is the partial-aggregated (token, count) pairs."""
+    return (
+        df.select(F.explode(F.expr(TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(k)
+    )
+
+
+def tfidf_top_term(df: DataFrame) -> DataFrame:
+    """Per-document top TF-IDF term: tf = in-doc occurrences, idf =
+    ln((N+1)/(df+1)), score rounded to 4 dp BEFORE ranking so the ranking
+    is stable across engines; ties break on the token.  Two hash
+    aggregations + one broadcast-size join against the df table — no
+    per-row Python."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    tok = df.select("doc_id", F.explode(F.expr(TOKENS)).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        F.expr(f"round(tf * ln(({n_docs} + 1) / (df + 1)), 4)").alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+    )
+
+
 def fingerprint(df: DataFrame) -> DataFrame:
     """Document fingerprints: whitespace-normalized md5 + a winnowing-style
     sketch (md5 of the 4 smallest word-3-gram hashes)."""

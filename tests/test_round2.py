@@ -244,3 +244,44 @@ def test_idempotent_batch_write_survives_replay(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 20  # batch 0 written once despite replay
     assert got.select("batch_id").distinct().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# new text/training operators (round 2)
+# ---------------------------------------------------------------------------
+
+def test_quality_flags_values(spark):
+    df = spark.createDataFrame(
+        [(1, "Aa aa aa 12 http://x.io end")], "doc_id int, text string"
+    )
+    r = __import__("deidcm_spark.operators.textops", fromlist=["quality_flags"]).quality_flags(df).head()
+    # 6 lowercased tokens, 4 distinct ("aa" x3)
+    assert r["repetition_ratio"] == round(1 - 4 / 6, 4)
+    assert r["n_urls"] == 1
+    assert r["digit_ratio"] == round(2 / len("Aa aa aa 12 http://x.io end"), 4)
+
+
+def test_vocab_and_tfidf(spark):
+    from deidcm_spark.operators.textops import tfidf_top_term, vocab_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry cherry cherry")],
+        "doc_id int, text string",
+    )
+    vocab = {r["token"]: r["n"] for r in vocab_top_terms(df, k=10).collect()}
+    assert vocab == {"apple": 2, "banana": 2, "cherry": 3}
+    top = {r["doc_id"]: r["top_term"] for r in tfidf_top_term(df).collect()}
+    # "banana" appears in both docs (idf ~ ln(3/3)=0); unique terms win
+    assert top == {1: "apple", 2: "cherry"}
+
+
+def test_dedup_decisions_keeps_min_id(spark):
+    from deidcm_spark.operators.dedup import dedup_decisions
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["keep"] for r in dedup_decisions(df, threshold=0.9).collect()}
+    assert got == {1: 1, 2: 0, 3: 1}
