@@ -88,6 +88,17 @@ def write_bucketed(
     plan shape.  Spark-native bucketing (in-memory/warehouse catalog), the
     sandbox stand-in for Iceberg's ``bucket(N, key)`` partition transform.
     """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    # a stale location left by a PREVIOUS session's warehouse blocks
+    # saveAsTable (LOCATION_ALREADY_EXISTS) even in overwrite mode, because
+    # the new session's catalog has no entry to drop — clear both
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if warehouse:
+        shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
