@@ -187,12 +187,17 @@ def run_extract_job(
     n_buckets: int = 32,
     run_id: str = "run0",
     max_buckets_this_attempt: int | None = None,
+    input_bucketed: bool = False,
 ) -> dict:
     """Resumable main-content extraction (north_rule lane) under the same
     bucket-commit protocol as ``run_deid_job``: salted hash buckets, dynamic
     partition overwrite (idempotent bucket rewrite), lineage row appended
     only after the bucket's data is on disk, metrics aggregated from the
     WRITTEN output.  ``raw_documents`` = (doc_id, text, lang, source).
+
+    ``input_bucketed=True`` — same contract as ``run_deid_job``: the input
+    is stored clustered on this job's bucket function (string-cast doc_id),
+    so the repartition exchange is skipped.
     """
     from deidcm_spark.operators import extract
 
@@ -208,12 +213,12 @@ def run_extract_job(
     # the bucket recomputation below must hash the identical value
     bucketed = raw_documents.withColumn(
         "doc_id", F.col("doc_id").cast("string")
-    ).withColumn(
-        "bucket",
-        F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(n_buckets)).cast("int"),
     )
+    if "bucket" not in bucketed.columns:
+        bucketed = bucketed.withColumn("bucket", bucket_expr(salt, n_buckets))
     todo = bucketed.filter(F.col("bucket").isin(pending))
-    todo = todo.repartition(len(pending), "bucket")
+    if not input_bucketed:
+        todo = todo.repartition(len(pending), "bucket")
     html = todo.select("doc_id", "bucket", F.expr(extract.html_expr("spark")).alias("html"))
     # mapInPandas consumes all columns; re-attach bucket afterwards is not
     # needed — extract preserves only (doc_id, spans), so compute the bucket

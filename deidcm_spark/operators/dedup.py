@@ -274,6 +274,12 @@ def dedup_decisions(df: DataFrame, threshold: float = 0.8) -> DataFrame:
     full connected-component canonicalization (iterative label
     propagation) is deliberately out of scope for one query.
     """
+    # NOTE (scale): expressed as ONE DataFrame for the driver contract, the
+    # shingle/minhash subtree is duplicated across the band self-join and
+    # the Jaccard verify (Catalyst reuses only identical exchanges).  A
+    # 100 TB pipeline materializes lsh_candidate_pairs + ngram_jaccard_pairs
+    # to a table first (as run_deid_job does for its stages), then runs this
+    # one anti-join against it.
     pairs = ngram_jaccard_pairs(df, threshold=threshold)
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return df.select("doc_id").join(drops, "doc_id", "left_anti").select(

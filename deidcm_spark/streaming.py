@@ -203,6 +203,63 @@ def running_user_totals(
     )
 
 
+def stream_dedup_exact(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental exact dedup across micro-batches: a custom stateful
+    operator (``applyInPandasWithState`` keyed on the normalized-text
+    fingerprint) emits each fingerprint ONCE — on first arrival — with the
+    arriving doc_id as the keeper; later duplicates (same batch or any
+    later batch) emit nothing.  State per key is one boolean — bounded by
+    the distinct-document count, the streaming analogue of
+    ``dedup.dedup_exact`` (which keeps min doc_id; the stream keeps FIRST
+    ARRIVAL — the only causal choice unbounded streams allow).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+    fp = docs.select(
+        F.expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))").alias("fp"),
+        "doc_id",
+    )
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.exists:
+            for _ in pdfs:
+                pass
+            return
+        keeper = None
+        for pdf in pdfs:
+            m = pdf["doc_id"].min()
+            keeper = m if keeper is None else min(keeper, m)
+        state.update((True,))
+        yield pd.DataFrame({"fp": [key[0]], "keep_doc_id": [int(keeper)]})
+
+    out = fp.groupBy("fp").applyInPandasWithState(
+        first_seen,
+        outputStructType="fp string, keep_doc_id long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: _idempotent_write(df, bid, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_event_counts(
     spark: SparkSession,
     in_dir: str,

@@ -285,3 +285,36 @@ def test_dedup_decisions_keeps_min_id(spark):
     )
     got = {r["doc_id"]: r["keep"] for r in dedup_decisions(df, threshold=0.9).collect()}
     assert got == {1: 1, 2: 0, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming dedup (first-arrival keeper, state bounded per key)
+# ---------------------------------------------------------------------------
+
+def test_stream_dedup_exact_first_arrival(spark, tmp_path):
+    from deidcm_spark.streaming import stream_dedup_exact
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "dd_out")
+    ck = str(tmp_path / "ck")
+    base = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    b1 = base.filter("doc_id < 50")
+    b1.write.mode("append").parquet(in_dir)
+    q = stream_dedup_exact(spark, in_dir, out_dir, ck)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out_dir).collect()
+    assert len(got1) == 50
+
+    # batch 2: exact duplicates of 0-49 under new ids + 10 genuinely new docs
+    dup = b1.selectExpr("doc_id + 1000 as doc_id", "text", "lang", "source")
+    new = base.filter("doc_id >= 50 and doc_id < 60")
+    dup.unionByName(new).write.mode("append").parquet(in_dir)
+    q2 = stream_dedup_exact(spark, in_dir, out_dir, ck)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir).collect()
+    # only the 10 new fingerprints emit; the 50 replayed ones are in state
+    assert len(got2) == 60
+    assert {r["keep_doc_id"] for r in got2} == set(range(60))
+    assert len({r["fp"] for r in got2}) == 60
