@@ -11,6 +11,8 @@ supports it:
   extract  raw (doc_id, text, lang, source) documents → interleaved
            main-content span table [--resume via lineage.run_extract_job]
   scrub    raw documents → PHI-scrubbed text (dates/times/emails/names/UIDs)
+  dedup    raw documents → verified near-dup pairs + KEEP/DROP decisions
+  textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV
 
@@ -102,6 +104,51 @@ def cmd_pipeline(args) -> dict:
     return {"docs": spark.read.parquet(args.output).count()}
 
 
+def cmd_dedup(args) -> dict:
+    """Near-dup dedup lane: MinHash-LSH candidates → exact Jaccard verify
+    → greedy KEEP/DROP; writes (doc_id, keep) plus the verified pair
+    table next to it (the materialize-pairs-first shape the operator
+    docstring prescribes at scale)."""
+    spark = _spark("deidcm_dedup", args.shuffle_partitions)
+    from deidcm_spark.operators import dedup
+
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=args.threshold)
+    pairs.write.mode("overwrite").parquet(args.output + "/pairs")
+    from pyspark.sql import functions as F
+
+    pairs_back = spark.read.parquet(args.output + "/pairs")
+    drops = pairs_back.select(F.col("doc_b").alias("doc_id")).distinct()
+    keep = docs.select("doc_id").join(drops, "doc_id", "left_anti").select(
+        "doc_id", F.lit(1).alias("keep")
+    ).unionByName(drops.select("doc_id", F.lit(0).alias("keep")))
+    keep.write.mode("overwrite").parquet(args.output + "/decisions")
+    dec = spark.read.parquet(args.output + "/decisions")
+    return {
+        "docs": dec.count(),
+        "dropped": dec.filter("keep = 0").count(),
+        "pairs": pairs_back.count(),
+    }
+
+
+def cmd_textstats(args) -> dict:
+    """Text-analysis lane: token counts, quality score + flags, language
+    id, fingerprints — one joined stats table per document."""
+    spark = _spark("deidcm_textstats", args.shuffle_partitions)
+    from deidcm_spark.operators import textops
+
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    stats = (
+        textops.token_count(docs)
+        .join(textops.quality_score(docs).drop("n_tokens"), "doc_id")
+        .join(textops.quality_flags(docs), "doc_id")
+        .join(textops.lang_id(docs), "doc_id")
+        .join(textops.fingerprint(docs), "doc_id")
+    )
+    stats.write.mode("overwrite").parquet(args.output)
+    return {"docs": spark.read.parquet(args.output).count()}
+
+
 def cmd_ingest(args) -> dict:
     spark = _spark("deidcm_ingest", args.shuffle_partitions)
     from deidcm_spark.ingest import documents_to_spans
@@ -157,6 +204,15 @@ def build_parser() -> argparse.ArgumentParser:
     common(pl, org_root=True)
     pl.add_argument("--names", default="")
     pl.set_defaults(fn=cmd_pipeline)
+
+    dd = sub.add_parser("dedup")
+    common(dd)
+    dd.add_argument("--threshold", type=float, default=0.8)
+    dd.set_defaults(fn=cmd_dedup)
+
+    ts = sub.add_parser("textstats")
+    common(ts)
+    ts.set_defaults(fn=cmd_textstats)
 
     i = sub.add_parser("ingest")
     common(i)

@@ -87,3 +87,36 @@ def test_cli_pipeline_free_text_lane(tmp_path, capsys, spark):
     back = spark.read.parquet(out)
     one = back.first()
     assert one["spans"][0]["text"].startswith("Document ")
+
+
+def test_cli_dedup_and_textstats(tmp_path, capsys, spark):
+    # build a corpus with known duplicates: docs 0-49 twice
+    src = str(tmp_path / "dup_src")
+    base = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter("doc_id < 50")
+    base.unionByName(
+        base.selectExpr("doc_id + 1000 as doc_id", "text")
+    ).write.parquet(src)
+
+    out = str(tmp_path / "dedup_out")
+    r = _run(capsys, [
+        "dedup", "--input", src, "--output", out,
+        "--threshold", "0.9", "--shuffle-partitions", "8",
+    ])
+    # every planted duplicate drops; the corpus may hold a few organic
+    # near-dups among the originals too (hence >=)
+    assert r["docs"] == 100 and r["dropped"] >= 50 and r["pairs"] >= 50
+    dec = {x["doc_id"]: x["keep"] for x in spark.read.parquet(out + "/decisions").collect()}
+    assert all(dec[i + 1000] == 0 for i in range(50))
+    assert dec[0] == 1  # doc 0 can never drop (smallest id)
+
+    ts = str(tmp_path / "stats_out")
+    r = _run(capsys, [
+        "textstats", "--input", f"{SF}/documents.parquet", "--output", ts,
+        "--shuffle-partitions", "8",
+    ])
+    assert r["docs"] == 500
+    cols = set(spark.read.parquet(ts).columns)
+    assert {"doc_id", "n_tokens", "quality", "repetition_ratio",
+            "lang_pred", "fp_exact"} <= cols
