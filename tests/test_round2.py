@@ -318,3 +318,38 @@ def test_stream_dedup_exact_first_arrival(spark, tmp_path):
     assert len(got2) == 60
     assert {r["keep_doc_id"] for r in got2} == set(range(60))
     assert len({r["fp"] for r in got2}) == 60
+
+
+# ---------------------------------------------------------------------------
+# empty-input edges for the round-2 operators
+# ---------------------------------------------------------------------------
+
+def test_new_operators_on_empty_corpus(spark):
+    from deidcm_spark.operators.textops import (
+        quality_flags, tfidf_top_term, vocab_top_terms,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert vocab_top_terms(empty).count() == 0
+    assert tfidf_top_term(empty).count() == 0
+    assert quality_flags(empty).count() == 0
+    assert dedup.dedup_decisions(empty).count() == 0
+
+    eboxes = spark.createDataFrame(
+        [], "media_ref string, box_idx int, x1 int, y1 int, x2 int, y2 int, "
+            "word string, confidence double"
+    )
+    assert redaction_plan(eboxes).count() == 0
+
+
+def test_ivf_more_centroids_than_rows(spark):
+    """ADVICE regression: n_centroids > corpus size must clamp, not crash."""
+    emb = spark.createDataFrame(
+        [(i, [float(i + d) for d in range(4)], 0) for i in range(3)],
+        "vec_id: long, embedding: array<float>, label: int",
+    )
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    assert len(cents) == 3
+    q = similarity.query_vector(emb, 0)
+    got = similarity.ann_ivf(emb, q, k=2, n_centroids=8, nprobe=2).collect()
+    assert got[0]["vec_id"] == 0
