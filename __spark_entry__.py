@@ -684,38 +684,80 @@ def q_ingest_spans(spark, sf_dir):
     ).select("doc_id", "pos", "span.kind", "span.text", "span.media_ref")
 
 
-def _ingest_spans_sql() -> str:
+def _ingest_spans_cte(rel: str, p: str) -> str:
+    """CTE fragment re-deriving the ingest span layout from any
+    (doc_id, text, lang, source) relation ``rel``; CTE names prefixed with
+    ``p`` so two snapshots can coexist in one WITH chain (span_diff)."""
     d = "CAST(doc_id AS varchar)"
     n_chunks = "CAST(greatest(ceil(length(text) / 200.0) - 1, 0) AS int)"
-    return f"""
-WITH meta AS (
+    return f"""{p}meta AS (
   SELECT {d} AS doc_id, 0 AS pos, 'text' AS kind,
          'SOPInstanceUID_0x00080018_UI_1____=1.2.840.' || {d} AS text,
-         '' AS media_ref FROM documents
+         '' AS media_ref FROM {rel}
   UNION ALL
   SELECT {d}, 1, 'text',
          'PatientName_0x00100010_PN_1____=Doc ' || {d} || ' Author', ''
-  FROM documents
+  FROM {rel}
   UNION ALL
   SELECT {d}, 2, 'text',
          'StudyDate_0x00080020_DA_1____=2023'
          || lpad(CAST(doc_id % 12 + 1 AS varchar), 2, '0')
          || lpad(CAST(doc_id % 28 + 1 AS varchar), 2, '0'), ''
-  FROM documents
+  FROM {rel}
   UNION ALL
   SELECT {d}, 3, 'text',
-         'SpecificCharacterSet_0x00080005_CS_1____=' || lang, '' FROM documents
+         'SpecificCharacterSet_0x00080005_CS_1____=' || lang, '' FROM {rel}
   UNION ALL
   SELECT {d}, 4, 'text',
-         'InstitutionName_0x00080080_LO_1____=' || source, '' FROM documents
+         'InstitutionName_0x00080080_LO_1____=' || source, '' FROM {rel}
 ),
-chunks AS (
+{p}chunks AS (
   SELECT {d} AS doc_id, 5 + i AS pos, 'text' AS kind,
          'ImageComments_0x00204000_LT_1____=' || substr(text, i * 200 + 1, 200) AS text,
          '' AS media_ref
-  FROM documents, unnest(generate_series(0, {n_chunks})) AS t(i)
-)
-SELECT * FROM meta UNION ALL SELECT * FROM chunks
+  FROM {rel}, unnest(generate_series(0, {n_chunks})) AS t(i)
+),
+{p}spans AS (SELECT * FROM {p}meta UNION ALL SELECT * FROM {p}chunks)"""
+
+
+def _ingest_spans_sql() -> str:
+    return f"WITH {_ingest_spans_cte('documents', 'ig_')}\nSELECT * FROM ig_spans"
+
+
+def q_span_diff(spark, sf_dir):
+    """R4/R5 dataset diff as a distributed operator: ingest the documents
+    table twice — once as-is, once with a text-mutating 'edit' (append a
+    tail, which changes the last comment chunk and can add a chunk when the
+    length crosses a 200-char boundary) — and diff the two span snapshots
+    position-wise.  The oracle re-derives BOTH snapshots and the same
+    full-outer comparison in SQL."""
+    from deidcm_spark.export import span_diff
+
+    docs = _load(spark, sf_dir, "documents")
+    edited = docs.withColumn("text", F.expr("concat(text, ' snapshot2 tail')"))
+    return span_diff(documents_to_spans(docs), documents_to_spans(edited))
+
+
+def _span_diff_sql() -> str:
+    sig = "concat_ws(chr(31), kind, text, media_ref)"
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, text || ' snapshot2 tail' AS text, lang, source FROM documents
+),
+{_ingest_spans_cte('documents', 'sa_')},
+{_ingest_spans_cte('docs2', 'sb_')},
+fa AS (SELECT doc_id, pos, {sig} AS sig_a FROM sa_spans),
+fb AS (SELECT doc_id, pos, {sig} AS sig_b FROM sb_spans),
+j AS (SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id, sig_a, sig_b
+      FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id AND fa.pos = fb.pos)
+SELECT doc_id,
+       CAST(count(sig_a) AS int) AS n_spans_a,
+       CAST(count(sig_b) AS int) AS n_spans_b,
+       CAST(sum(CASE WHEN sig_a = sig_b THEN 1 ELSE 0 END) AS int) AS n_matching,
+       CAST(CASE WHEN count(sig_a) = count(sig_b)
+                  AND sum(CASE WHEN sig_a = sig_b THEN 1 ELSE 0 END) = count(sig_a)
+            THEN 1 ELSE 0 END AS int) AS equal
+FROM j GROUP BY doc_id
 """
 
 
@@ -986,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_link_density": q_html_link_density,
         "page_metadata": q_page_metadata,
         "ingest_spans": q_ingest_spans,
+        "span_diff": q_span_diff,
         "phi_scrub": q_phi_scrub,
         "extract_main_content": q_extract_main_content,
         "layout_parse": q_layout_parse,
@@ -1362,6 +1405,7 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
         "html_link_density": _html_link_density_sql(),
         "page_metadata": _page_metadata_sql(),
         "ingest_spans": _ingest_spans_sql(),
+        "span_diff": _span_diff_sql(),
         "phi_scrub": _phi_scrub_sql(),
         "extract_main_content": _extract_main_sql(),
         "layout_parse": _layout_parse_sql(),

@@ -157,3 +157,43 @@ def export_corpus(df: DataFrame, out_dir: str) -> None:
         F.expr("size(filter(spans, s -> s.kind = 'media'))").alias("n_media"),
     )
     meta.coalesce(1).write.mode("overwrite").option("header", True).csv(f"{out_dir}/meta")
+
+
+def span_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """R4/R5 dataset equality/diff as a DISTRIBUTED operator (the reference
+    compares datasets driver-side: ``compare_dicom_datasets``,
+    utils.py:10-33, and the df2dicom round-trip diff): position-wise span
+    comparison of two (doc_id, spans) tables.
+
+    Per document: span counts on each side, the number of positions whose
+    (kind, text, media_ref) agree exactly, and the equality verdict.  Shape:
+    posexplode both sides → one full-outer shuffle join on (doc_id, pos) →
+    hash aggregate; at corpus scale both sides partition on doc_id so the
+    join co-locates after one exchange each.
+    """
+    def flat(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            "doc_id", F.posexplode("spans").alias("pos", "s")
+        ).select(
+            "doc_id", "pos",
+            F.concat_ws("\x1f", "s.kind", "s.text", "s.media_ref").alias(f"sig_{side}"),
+        )
+
+    j = flat(a, "a").join(flat(b, "b"), ["doc_id", "pos"], "full_outer")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("sig_a").cast("int").alias("n_spans_a"),
+            F.count("sig_b").cast("int").alias("n_spans_b"),
+            F.sum(
+                F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0)
+            ).cast("int").alias("n_matching"),
+        )
+        .withColumn(
+            "equal",
+            (
+                (F.col("n_spans_a") == F.col("n_spans_b"))
+                & (F.col("n_matching") == F.col("n_spans_a"))
+            ).cast("int"),
+        )
+    )

@@ -76,6 +76,68 @@ def confusion_matrix(images: DataFrame, detected: DataFrame, truth: DataFrame) -
     )
 
 
+def ghost_word_check(
+    payloads: DataFrame,
+    plan: DataFrame,
+    fill_value: int = 0,
+) -> DataFrame:
+    """Post-redaction verification — the ``is_there_ghost_words`` /
+    ``is_background_black_enough`` analogue (deid_verification.py:226-301):
+    every rectangle the redaction plan committed to must be UNIFORMLY the
+    fill value in the actual output pixels; any other byte inside a planned
+    rect is a ghost (burned-in text that survived).
+
+    ``plan`` = (media_ref, box_idx, xa, ya, xb, yb) from
+    :func:`deidcm_spark.operators.media.redaction_plan`.  One broadcast-
+    friendly join on media_ref + one mapInPandas scan; output one row per
+    image: (media_ref, n_rects, n_ghost, clean, mean_luminance).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from deidcm_spark.operators.media import decode_payload
+
+    grouped = plan.groupBy("media_ref").agg(
+        F.collect_list(F.struct("xa", "ya", "xb", "yb")).alias("_rects")
+    )
+    joined = payloads.join(grouped, "media_ref", "left")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            cols = (pdf["media_ref"], pdf["pixels"], pdf["width"],
+                    pdf["height"], pdf["channels"], pdf["bits"], pdf["_rects"])
+            for ref, pixels, w, h, ch, bits, rects in zip(*[c.to_numpy() for c in cols]):
+                arr = decode_payload(
+                    {"pixels": pixels, "width": w, "height": h,
+                     "channels": ch, "bits": bits}
+                )
+                n_ghost = 0
+                rects = [] if rects is None else list(rects)
+                for r in rects:
+                    crop = arr[r["ya"] : r["yb"] + 1, r["xa"] : r["xb"] + 1]
+                    if crop.size and not np.all(crop == fill_value):
+                        n_ghost += 1
+                out.append({
+                    "media_ref": ref,
+                    "n_rects": len(rects),
+                    "n_ghost": n_ghost,
+                    "clean": n_ghost == 0,
+                    "mean_luminance": round(float(arr.mean()), 4),
+                })
+            yield pd.DataFrame(
+                out, columns=["media_ref", "n_rects", "n_ghost", "clean", "mean_luminance"]
+            )
+
+    return joined.mapInPandas(
+        run,
+        "media_ref string, n_rects int, n_ghost int, clean boolean, "
+        "mean_luminance double",
+    )
+
+
 def prf_metrics(cm: DataFrame) -> DataFrame:
     """A4: precision / recall / F1 / accuracy from a confusion-matrix row."""
     return cm.select(

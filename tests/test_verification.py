@@ -107,3 +107,31 @@ def test_confusion_and_prf(spark, ocr_tables):
     assert prf["recall"] == round(2 / 3, 4)
     assert prf["f1"] == round(4 / 6, 4)
     assert prf["accuracy"] == 0.6
+
+
+def test_ghost_word_check_post_redaction(spark):
+    """is_there_ghost_words analogue: redacted output must be clean inside
+    every planned rect; the unredacted input must show ghosts (the burned
+    blobs) wherever rects were planned."""
+    from deidcm_spark.corpus import synth_media
+    from deidcm_spark.operators.media import redact_media, redaction_plan
+    from deidcm_spark.operators.verification import ghost_word_check
+
+    payloads, boxes = synth_media(spark, 100, seed=31, media_rate=0.5)
+    plan = redaction_plan(boxes, margin=8, width=96, height=96)
+    red = redact_media(payloads, boxes, margin=8)
+
+    after = ghost_word_check(red, plan).collect()
+    assert len(after) > 20
+    assert all(r["clean"] for r in after)
+
+    before = {r["media_ref"]: r for r in ghost_word_check(payloads, plan).collect()}
+    ghosts = [r for r in before.values() if r["n_ghost"] > 0]
+    assert ghosts, "unredacted input must show ghost words in planned rects"
+    # luminance drops when burned-in blobs are blacked out
+    lum_after = {r["media_ref"]: r["mean_luminance"] for r in after}
+    dropped = [
+        ref for ref, r in before.items()
+        if r["n_rects"] > 0 and lum_after[ref] < r["mean_luminance"]
+    ]
+    assert len(dropped) == len([r for r in before.values() if r["n_rects"] > 0])
