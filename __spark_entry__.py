@@ -341,6 +341,46 @@ FROM m GROUP BY media_ref
 """
 
 
+def q_pack_shards(spark, sf_dir):
+    """Token-aware contiguous shard packing via the distributed two-pass
+    prefix sum; the oracle runs the equivalent single global window."""
+    return textops.pack_shards(
+        _load(spark, sf_dir, "documents"), capacity_tokens=2048, block_size=100
+    )
+
+
+def _pack_shards_sql() -> str:
+    nt = f"CAST(len({_DT}) AS bigint)"
+    return f"""
+WITH t AS (SELECT doc_id, {nt} AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER
+         (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / 2048) AS int) AS shard_id
+FROM t
+"""
+
+
+_STRATA_BP = {"en": 5000, "fr": 2500, "de": 1000}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic hash sampling (training-mix curation)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return textops.stratified_sample(d, _STRATA_BP, strata_col="lang", default_bp=500)
+
+
+def _stratified_sample_sql() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_STRATA_BP.items())
+    )
+    hv = "CAST(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint) % 10000"
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {hv} < (CASE {branches} ELSE 500 END)
+"""
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic hash-based train/val assignment + sample membership."""
     d = _load(spark, sf_dir, "documents")
@@ -1014,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_term": q_tfidf_top_term,
         "dedup_decisions": q_dedup_decisions,
         "ocr_word_recognition": ocr_word_recognition,
+        "pack_shards": q_pack_shards,
+        "stratified_sample": q_stratified_sample,
         "dataset_split": q_dataset_split,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_salted": q_dedup_exact_salted,
@@ -1453,4 +1495,6 @@ WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 UNION ALL SELECT doc_id, 0 AS keep FROM drops
 """,
         "ocr_word_recognition": _ocr_word_recognition_sql(),
+        "pack_shards": _pack_shards_sql(),
+        "stratified_sample": _stratified_sample_sql(),
     }

@@ -175,6 +175,80 @@ def fingerprint(df: DataFrame) -> DataFrame:
 SPLIT_HASH = "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10000"
 
 
+def stratified_sample(
+    df: DataFrame, rates_bp: dict[str, int], strata_col: str = "lang",
+    default_bp: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling (training-mix curation: keep
+    X% of each language/source).  ``rates_bp`` maps stratum value → keep
+    rate in basis points; unlisted strata get ``default_bp``.  Pure
+    codegen — a CASE over the stratum feeds the same md5 hash filter as
+    :func:`hash_sample`, so membership is retry- and engine-stable."""
+    branches = " ".join(
+        f"when {strata_col} = '{k}' then {v}" for k, v in sorted(rates_bp.items())
+    )
+    thr = f"case {branches} else {default_bp} end"
+    return df.filter(F.expr(f"{SPLIT_HASH} < ({thr})"))
+
+
+def pack_shards(
+    df: DataFrame,
+    capacity_tokens: int = 4096,
+    block_size: int = 1000,
+) -> DataFrame:
+    """Token-aware contiguous shard packing (training-data sharding):
+    documents in doc_id order fill shards of ~``capacity_tokens``;
+    ``shard_id = floor(tokens_before / capacity)`` where tokens_before is
+    the exact prefix sum of token counts over the id order.
+
+    DISTRIBUTED PREFIX SUM — a single global window would serialize the
+    corpus through one partition, so it runs in two passes:
+
+    1. per-block totals: docs bucket into id-range blocks
+       (``doc_id div block_size``); one hash aggregate gives each block's
+       token total; the tiny block→offset table (corpus/block_size rows —
+       metadata-scale, like the IVF codebook) computes exclusive prefix
+       offsets driver-side and broadcasts back;
+    2. in-block window: ``sum() over (partition by block order by doc_id)``
+       — each block windows independently, plus its broadcast offset.
+
+    Semantics are EXACTLY the global-window form (the DuckDB oracle runs
+    that form), at corpus-scale parallelism.
+    """
+    toks = df.select(
+        "doc_id",
+        F.expr(f"cast(size({TOKENS}) as bigint)").alias("n_tokens"),
+        (F.col("doc_id") / block_size).cast("long").alias("_blk"),
+    )
+    totals = sorted(
+        (r["_blk"], r["t"])
+        for r in toks.groupBy("_blk").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for blk, t in totals:
+        offsets.append((blk, acc))
+        acc += t
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_blk: long, _off: long")
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.join(F.broadcast(off_df), "_blk")
+        .withColumn("_before", F.col("_off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("_before") / capacity_tokens).cast("int").alias("shard_id"),
+        )
+    )
+
+
 def deterministic_split(df: DataFrame, val_bp: int = 1000) -> DataFrame:
     """Assign each document to train/val by doc_id hash.  ``val_bp`` is in
     BASIS POINTS (1/10000): val_bp=1000 → 10% of documents land in val."""

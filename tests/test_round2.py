@@ -353,3 +353,49 @@ def test_ivf_more_centroids_than_rows(spark):
     q = similarity.query_vector(emb, 0)
     got = similarity.ann_ivf(emb, q, k=2, n_centroids=8, nprobe=2).collect()
     assert got[0]["vec_id"] == 0
+
+
+# ---------------------------------------------------------------------------
+# shard packing (distributed prefix sum) + stratified sampling
+# ---------------------------------------------------------------------------
+
+def test_pack_shards_block_size_invariant(spark):
+    """The two-pass prefix sum must equal the global-window semantics for
+    ANY block size — including one block per doc and one giant block."""
+    from deidcm_spark.operators.textops import pack_shards
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    ref = {r["doc_id"]: r["shard_id"]
+           for r in pack_shards(d, capacity_tokens=512, block_size=10**9).collect()}
+    for bs in (1, 7, 100):
+        got = {r["doc_id"]: r["shard_id"]
+               for r in pack_shards(d, capacity_tokens=512, block_size=bs).collect()}
+        assert got == ref, bs
+
+
+def test_pack_shards_capacity_semantics(spark):
+    """Shards are contiguous in doc_id order and every shard break happens
+    exactly when the running total crosses a capacity boundary."""
+    from deidcm_spark.operators.textops import pack_shards
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = sorted(
+        pack_shards(d, capacity_tokens=1024, block_size=50).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    before = 0
+    for r in rows:
+        assert r["shard_id"] == before // 1024
+        before += r["n_tokens"]
+    assert rows[-1]["shard_id"] > 0  # corpus spans multiple shards
+
+
+def test_stratified_sample_rates(spark):
+    from deidcm_spark.operators.textops import stratified_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    kept = stratified_sample(d, {"en": 10000, "fr": 0}, default_bp=0)
+    langs = {r["lang"] for r in kept.collect()}
+    assert langs == {"en"}
+    n_en = d.filter("lang = 'en'").count()
+    assert kept.count() == n_en  # 10000 bp keeps every en doc
