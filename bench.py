@@ -88,6 +88,17 @@ def main() -> None:
     run("deid_synth", deid_synth)
     extras["deid_docs_per_sec"] = round(n_actual / timings["deid_synth"], 1)
     extras["deid_n_docs"] = n_actual
+
+    # zero-exchange lane (bucketed-ingest story, lineage.prepare_bucketed_
+    # corpus): same corpus, no repartition — the span payload never shuffles
+    def deid_synth_noshuffle():
+        out = deidentify_attributes(docs, "9.9.9.9.9", "bench_nx")
+        out.agg(F.sum(F.size("spans"))).collect()
+
+    run("deid_synth_noshuffle", deid_synth_noshuffle)
+    extras["deid_noshuffle_docs_per_sec"] = round(
+        n_actual / timings["deid_synth_noshuffle"], 1
+    )
     docs.unpersist()
 
     # extraction-lane throughput (north_rule lane): sf documents replicated
