@@ -77,6 +77,21 @@ def hide_time() -> str:
 OB_DATE_CONSTANT = datetime.strptime("20220101", "%Y%m%d").isoformat()  # 2022-01-01T00:00:00
 
 
+# byte -> alphabet char as a 256-byte translation table per alphabet: the
+# per-byte ``alphabet[b % n]`` genexpr was 35% of the whole Arrow deid
+# kernel (profiled); bytes.translate is the same mapping in C
+_TRANS_CACHE: dict[str, bytes] = {}
+
+
+def _byte_trans(alphabet: str) -> bytes:
+    t = _TRANS_CACHE.get(alphabet)
+    if t is None:
+        enc = alphabet.encode("ascii")
+        n = len(alphabet)
+        t = _TRANS_CACHE[alphabet] = bytes(enc[b % n] for b in range(256))
+    return t
+
+
 def det_str(alphabet: str, length: int, *keys: str) -> str:
     """Deterministic replacement string: sha256 counter-mode over the keys,
     each output byte mapped into ``alphabet``.
@@ -87,14 +102,13 @@ def det_str(alphabet: str, length: int, *keys: str) -> str:
     digest bytes in order, char = alphabet[byte % len(alphabet)].
     """
     seed = "\x1f".join(keys)
-    out: list[str] = []
-    i = 0
-    n = len(alphabet)
-    while len(out) < length:
-        block = hashlib.sha256(f"{seed}#{i}".encode("utf8")).digest()
-        out.extend(alphabet[b % n] for b in block)
-        i += 1
-    return "".join(out[:length])
+    t = _byte_trans(alphabet)
+    n_blocks = (length + 31) // 32
+    parts = [
+        hashlib.sha256(f"{seed}#{i}".encode("utf8")).digest().translate(t)
+        for i in range(n_blocks)
+    ]
+    return b"".join(parts)[:length].decode("ascii")
 
 
 def dummy_letters(length: int, salt: str, doc_id: str, attr_key: str) -> str:

@@ -126,3 +126,26 @@ def test_bucketed_input_zero_exchange_same_result(spark, tmp_path):
         .filter("bucket != b2").count()
     )
     assert mismatch == 0
+
+
+def test_extract_job_bucketed_zero_exchange(spark, tmp_path):
+    """run_extract_job(input_bucketed=True) over a pre-bucketed raw corpus:
+    same committed output as the shuffled path."""
+    from deidcm_spark.lineage import bucket_expr, run_extract_job
+    from deidcm_spark.sources import write_bucketed
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    pre = raw.withColumn("doc_id", F.col("doc_id").cast("string")).withColumn(
+        "bucket", bucket_expr(SALT, N_BUCKETS)
+    )
+    write_bucketed(pre, "bt_extract_corpus", "bucket", N_BUCKETS)
+
+    d1 = str(tmp_path / "ex_bucketed")
+    d2 = str(tmp_path / "ex_shuffled")
+    s1 = run_extract_job(spark, spark.table("bt_extract_corpus"), d1, SALT,
+                         n_buckets=N_BUCKETS, input_bucketed=True)
+    s2 = run_extract_job(spark, raw, d2, SALT, n_buckets=N_BUCKETS)
+    assert s1["processed"] == s2["processed"] == N_BUCKETS
+    assert _snapshot(read_output(spark, d1)) == _snapshot(read_output(spark, d2))

@@ -13,20 +13,20 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as e
 
-REPRESENTATIVE = [
-    "deid_recipe_cases", "extract_main_content", "layout_parse",
-    "phi_scrub_uids", "ann_ivf", "minhash_signatures",
-    "ingest_spans", "media_redaction", "simhash_neardup",
-]
-
-
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = SparkSession.builder.master("local[4]").appName("bare").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    qs = e.queries()
-    for name in REPRESENTATIVE:
-        print(f"bare {name}: {qs[name](spark, sf_dir).count()} rows", flush=True)
+    failed = []
+    for name, fn in e.queries().items():  # EVERY contract entry
+        try:
+            print(f"bare {name}: {len(fn(spark, sf_dir).collect())} rows", flush=True)
+        except Exception as ex:  # noqa: BLE001 — report all, then fail
+            failed.append(name)
+            print(f"bare {name}: FAILED {str(ex)[:200]}", flush=True)
+    if failed:
+        print(f"BARE SESSION FAILURES: {failed}")
+        sys.exit(1)
     print("BARE SESSION OK")
     spark.stop()
 
