@@ -39,9 +39,6 @@ from deidcm_spark.operators.media import redaction_plan
 ORG_ROOT = "9.9.9.9.9"
 SALT = "entry_salt"
 
-_T = "filter(split(lower(text), '\\s+'), x -> x != '')"  # DuckDB-side tokens… see _DT
-
-
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
