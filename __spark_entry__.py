@@ -270,7 +270,7 @@ SELECT doc_id,
   round(1.0 - len(list_distinct({_DT})) / greatest(len({_DT}), 1), 4) AS repetition_ratio,
   round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1), 4) AS digit_ratio,
   round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / greatest(length(text), 1), 4) AS upper_ratio,
-  CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS bigint) AS n_urls
+  CAST(len(regexp_extract_all(text, '{textops.url_pat_sql("duckdb")}')) AS bigint) AS n_urls
 FROM documents
 """
 
@@ -885,8 +885,8 @@ def _media_redaction_sql() -> str:
     return f"""
 WITH boxes AS ({dk.boxes_sql("duckdb")}),
 g AS (
-  SELECT *, max(CASE WHEN box_idx = 0 THEN confidence END)
-            OVER (PARTITION BY media_ref) AS fc
+  SELECT *, first_value(confidence)
+            OVER (PARTITION BY media_ref ORDER BY box_idx) AS fc
   FROM boxes
 ),
 expanded AS (
@@ -1294,15 +1294,37 @@ SELECT vec_id, round(dot / (sqrt(ne) * sqrt(nq)), 4) AS cosine
 FROM dots WHERE round(dot / (sqrt(ne) * sqrt(nq)), 4) >= 0.25
 """
 
-_NEARDUP_SQL = """
+def _embedding_neardup_sql(n_planes: int = 16, n_bands: int = 4) -> str:
+    """Mirror of dedup.embedding_neardup_pairs: the SAME sign-LSH band
+    blocking (identical hyperplane spec + IEEE accumulation order) followed
+    by exact-cosine verify — so Spark/oracle equality is STRUCTURAL, not a
+    property of the corpus (a brute-force oracle would diverge whenever the
+    probabilistic blocking misses a pair)."""
+    per_band = n_planes // n_bands
+    bits = dk.sign_bits_duck("embedding", n_planes, _ANN_DIM)
+    band_keys = [
+        " || ".join(bits[b * per_band + j] for j in range(per_band))
+        for b in range(n_bands)
+    ]
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS bi, k{b} AS bk FROM sigs" for b in range(n_bands)
+    )
+    key_cols = ", ".join(f"({k}) AS k{b}" for b, k in enumerate(band_keys))
+    return f"""
 WITH src AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
 ),
+sigs AS (SELECT vec_id, {key_cols} FROM src),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM bands l JOIN bands r ON l.bi = r.bi AND l.bk = r.bk AND l.vec_id < r.vec_id
+),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT c.id_a, c.id_b,
          unnest(a.embedding) AS av, unnest(b.embedding) AS bv
-  FROM src a JOIN src b ON a.vec_id < b.vec_id
+  FROM cand c JOIN src a ON a.vec_id = c.id_a JOIN src b ON b.vec_id = c.id_b
 ),
 dots AS (
   SELECT id_a, id_b,
@@ -1453,7 +1475,7 @@ SELECT lang AS series_value, count(*) AS n_docs,
        array_to_string(list_sort(list(CAST(doc_id AS varchar))), ',') AS members
 FROM documents GROUP BY lang
 """,
-        "embedding_neardup": _NEARDUP_SQL,
+        "embedding_neardup": _embedding_neardup_sql(),
         "ann_threshold": _COS_SQL,
         "phi_scrub_uids": _phi_scrub_uids_sql(),
         "ann_lsh": _ann_lsh_sql(),

@@ -115,13 +115,8 @@ def cmd_dedup(args) -> dict:
     docs = spark.read.parquet(args.input).select("doc_id", "text")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=args.threshold)
     pairs.write.mode("overwrite").parquet(args.output + "/pairs")
-    from pyspark.sql import functions as F
-
     pairs_back = spark.read.parquet(args.output + "/pairs")
-    drops = pairs_back.select(F.col("doc_b").alias("doc_id")).distinct()
-    keep = docs.select("doc_id").join(drops, "doc_id", "left_anti").select(
-        "doc_id", F.lit(1).alias("keep")
-    ).unionByName(drops.select("doc_id", F.lit(0).alias("keep")))
+    keep = dedup.dedup_decisions_from_pairs(docs, pairs_back)
     keep.write.mode("overwrite").parquet(args.output + "/decisions")
     dec = spark.read.parquet(args.output + "/decisions")
     return {

@@ -122,6 +122,22 @@ def run_deid_job(
 
     if input_bucketed and "bucket" in documents.columns:
         bucketed = documents
+        # the stored bucket column must be THIS job's bucket function —
+        # a different salt/n_buckets would silently mark out-of-range
+        # buckets "complete" on resume.  Cheap deterministic probe: any
+        # mismatch on a 1k-row sample fails fast.
+        probe = (
+            documents.limit(1000)
+            .withColumn("_b2", bucket_expr(salt, n_buckets))
+            .filter(F.col("bucket") != F.col("_b2"))
+            .count()
+        )
+        if probe:
+            raise ValueError(
+                f"input_bucketed=True but the stored bucket column does not "
+                f"match pmod(xxhash64(doc_id, {salt!r}), {n_buckets}) — "
+                f"re-run prepare_bucketed_corpus with this job's salt/n_buckets"
+            )
     else:
         bucketed = documents.withColumn("bucket", bucket_expr(salt, n_buckets))
     todo = bucketed.filter(F.col("bucket").isin(pending))
@@ -210,12 +226,16 @@ def run_extract_job(
         return summary
 
     # cast doc_id to string FIRST: the extractor emits string doc_ids, and
-    # the bucket recomputation below must hash the identical value
+    # the write-side bucket recomputation below hashes that string.  A
+    # STORED bucket column is never trusted here — it may have been hashed
+    # from the pre-cast value (long doc_id), and a filter/write mismatch
+    # would scatter rows across partitions and lose data on a resumed
+    # dynamic overwrite.  Recomputing keeps filter ≡ write unconditionally;
+    # input_bucketed then only skips the repartition (zero-exchange still
+    # holds when the corpus was prepared from string-cast ids).
     bucketed = raw_documents.withColumn(
         "doc_id", F.col("doc_id").cast("string")
-    )
-    if "bucket" not in bucketed.columns:
-        bucketed = bucketed.withColumn("bucket", bucket_expr(salt, n_buckets))
+    ).withColumn("bucket", bucket_expr(salt, n_buckets))
     todo = bucketed.filter(F.col("bucket").isin(pending))
     if not input_bucketed:
         todo = todo.repartition(len(pending), "bucket")

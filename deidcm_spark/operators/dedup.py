@@ -278,11 +278,19 @@ def dedup_decisions(df: DataFrame, threshold: float = 0.8) -> DataFrame:
     # shingle/minhash subtree is duplicated across the band self-join and
     # the Jaccard verify (Catalyst reuses only identical exchanges).  A
     # 100 TB pipeline materializes lsh_candidate_pairs + ngram_jaccard_pairs
-    # to a table first (as run_deid_job does for its stages), then runs this
-    # one anti-join against it.
-    pairs = ngram_jaccard_pairs(df, threshold=threshold)
+    # to a table first (as run_deid_job does for its stages), then runs
+    # :func:`dedup_decisions_from_pairs` against it — the CLI ``dedup``
+    # subcommand does exactly that.
+    return dedup_decisions_from_pairs(
+        df, ngram_jaccard_pairs(df, threshold=threshold)
+    )
+
+
+def dedup_decisions_from_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """KEEP/DROP assembly shared by the one-shot operator and the CLI's
+    materialized-pairs path: drop every doc_b of a verified pair."""
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return df.select("doc_id").join(drops, "doc_id", "left_anti").select(
+    return docs.select("doc_id").join(drops, "doc_id", "left_anti").select(
         "doc_id", F.lit(1).alias("keep")
     ).unionByName(drops.select("doc_id", F.lit(0).alias("keep")))
 
@@ -317,10 +325,13 @@ def embedding_neardup_pairs(
     ``n_planes`` deterministic random-hyperplane sign bits split into
     ``n_bands`` bands; candidates = pairs agreeing EXACTLY on at least one
     band (an equi-join on (band_idx, band_key) — never a cross join), then
-    exact cosine verifies each candidate.  For a pair at cosine c the
-    per-plane disagreement probability is arccos(c)/π, so at the near-dup
-    thresholds this operator targets (≥0.95) the miss probability is
-    ~1e-5 per pair with the 16/4 default; recall vs
+    exact cosine verifies each candidate.  APPROXIMATE by construction:
+    for a pair at cosine c the per-plane disagreement probability is
+    arccos(c)/π, so with the 16-plane/4-band default the per-pair miss
+    probability is ~1.1e-5 at c=0.999 but ~1.5e-2 at c=0.95 — at looser
+    thresholds raise ``n_bands`` (16/8 → ~5.6e-6 at 0.95) or the plane
+    count.  The driver oracle mirrors this exact banding in SQL (so the
+    contract compares like with like); recall vs
     :func:`embedding_neardup_pairs_brute` is asserted in tests.
 
     At corpus scale raise ``n_planes`` (e.g. 64 planes / 4 bands → 65k

@@ -208,10 +208,9 @@ def link_density(df: DataFrame, html_col: str = "html") -> DataFrame:
             "cast(aggregate(transform(_anchors, x -> length(x)), 0, (a, x) -> a + x) as bigint)"
         ).alias("link_chars"),
         F.expr("cast(_text_len as bigint)").alias("text_chars"),
-        F.expr(
-            "round(aggregate(transform(_anchors, x -> length(x)), 0, (a, x) -> a + x)"
-            " / greatest(_text_len, 1), 4)"
-        ).alias("link_density"),
+    ).select(
+        "*",
+        F.expr("round(link_chars / greatest(text_chars, 1), 4)").alias("link_density"),
     )
 
 

@@ -243,12 +243,13 @@ def transform_media(
                     {"pixels": pixels, "width": w, "height": h,
                      "channels": ch, "bits": bits}
                 )
-                # pandas surfaces a NULL voi_center as NaN, not None
-                has_voi = (
-                    voi is not None
-                    and voi[0][i] is not None
-                    and voi[0][i] == voi[0][i]
-                )
+                # pandas surfaces NULL floats as NaN, not None; BOTH window
+                # params must be present or the row falls back to plain
+                # normalize (a NaN width would poison the whole image)
+                def _ok(v):
+                    return v is not None and v == v
+
+                has_voi = voi is not None and _ok(voi[0][i]) and _ok(voi[1][i])
                 if has_voi:
                     def _num(v, default):
                         return default if v is None or v != v else float(v)
@@ -316,8 +317,15 @@ def redaction_plan(
     from pyspark.sql import Window
 
     words = sorted(authorized if authorized is not None else load_authorized_words())
-    w = Window.partitionBy("media_ref")
-    first_conf = F.max(F.when(F.col("box_idx") == 0, F.col("confidence"))).over(w)
+    # gate on the FIRST detection by box order (smallest box_idx PRESENT —
+    # not literal 0: redact_array sorts and takes ordered[0], and a
+    # pre-filtered box table may not start at index 0)
+    w = (
+        Window.partitionBy("media_ref")
+        .orderBy("box_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    first_conf = F.first("confidence").over(w)
     b = boxes.withColumn("_first_conf", first_conf)
     ex1 = F.when(F.col("x1") < F.col("x2"), F.col("x1") - margin).otherwise(F.col("x1") + margin)
     ex2 = F.when(F.col("x1") < F.col("x2"), F.col("x2") + margin).otherwise(F.col("x2") - margin)

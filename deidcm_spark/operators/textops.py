@@ -96,6 +96,15 @@ def lang_id(df: DataFrame) -> DataFrame:
     )
 
 
+# URL pattern, ONE spec two dialects (CLAUDE.md rule: Spark string literals
+# eat single backslashes, DuckDB literals are raw — never inline twice)
+URL_RE = r"https?://[^\s]+"
+
+
+def url_pat_sql(dialect: str) -> str:
+    return URL_RE.replace("\\", "\\\\") if dialect == "spark" else URL_RE
+
+
 def quality_flags(df: DataFrame) -> DataFrame:
     """Additional corpus-filter signals (C4/Gopher-style heuristics):
     repetition ratio (1 − distinct/total tokens), digit ratio, uppercase
@@ -104,7 +113,7 @@ def quality_flags(df: DataFrame) -> DataFrame:
     dtoks = f"size(array_distinct({TOKENS}))"
     digits = "length(text) - length(regexp_replace(text, '[0-9]', ''))"
     uppers = "length(text) - length(regexp_replace(text, '[A-Z]', ''))"
-    urls = "size(regexp_extract_all(text, 'https?://[^\\\\s]+', 0))"
+    urls = f"size(regexp_extract_all(text, '{url_pat_sql('spark')}', 0))"
     return df.select(
         "doc_id",
         F.expr(f"round(1.0 - ({dtoks}) / greatest({toks}, 1), 4)").alias("repetition_ratio"),

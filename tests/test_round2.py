@@ -399,3 +399,28 @@ def test_stratified_sample_rates(spark):
     assert langs == {"en"}
     n_en = d.filter("lang = 'en'").count()
     assert kept.count() == n_en  # 10000 bp keeps every en doc
+
+
+def test_redaction_plan_gate_uses_first_present_box(spark):
+    """Box tables need not start at box_idx 0 (pre-filtered detections):
+    the confidence gate anchors to the smallest index PRESENT, like
+    redact_array's ordered[0]."""
+    rows = [
+        # image A: indices 3,7 — first present (3) is confident -> redact
+        ("a", 3, 10, 10, 20, 20, "WORDY", 0.9),
+        ("a", 7, 30, 30, 40, 40, "OTHER", 0.8),
+        # image B: first present (2) is low-confidence -> whole image passes
+        ("b", 2, 10, 10, 20, 20, "WORDY", 0.1),
+        ("b", 5, 30, 30, 40, 40, "OTHER", 0.9),
+    ]
+    boxes = spark.createDataFrame(
+        rows,
+        "media_ref string, box_idx int, x1 int, y1 int, x2 int, y2 int, "
+        "word string, confidence double",
+    )
+    plan = redaction_plan(boxes, margin=2, width=96, height=96).collect()
+    by_ref = {}
+    for r in plan:
+        by_ref.setdefault(r["media_ref"], []).append(r["box_idx"])
+    assert sorted(by_ref.get("a", [])) == [3, 7]
+    assert "b" not in by_ref

@@ -59,8 +59,9 @@ def main() -> None:
             fn()
             times[name].append(round(time.perf_counter() - t0, 3))
 
-    # per-partition span load under each layout (AQE off for the probe so
-    # the partitioning is exactly what each strategy produces)
+    # per-partition span load under each layout — AQE genuinely disabled
+    # for the probe so spark_partition_id() reflects exactly the
+    # partitioning each strategy produces, not an AQE re-plan of it
     def balance(df):
         loads = (
             df.withColumn("p", F.spark_partition_id())
@@ -72,10 +73,14 @@ def main() -> None:
                 "mean": round(sum(ns) / len(ns), 1),
                 "max_over_mean": round(ns[-1] / (sum(ns) / len(ns)), 2)}
 
-    bal_salted = balance(
-        docs.repartition(N_PART, F.xxhash64("doc_id", F.lit("skew")))
-    )
-    bal_naive = balance(docs.repartitionByRange(N_PART, "doc_id"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        bal_salted = balance(
+            docs.repartition(N_PART, F.xxhash64("doc_id", F.lit("skew")))
+        )
+        bal_naive = balance(docs.repartitionByRange(N_PART, "doc_id"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     best = {k: min(v) for k, v in times.items()}
     result = {
