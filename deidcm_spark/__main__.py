@@ -128,19 +128,13 @@ def cmd_dedup(args) -> dict:
 
 def cmd_textstats(args) -> dict:
     """Text-analysis lane: token counts, quality score + flags, language
-    id, fingerprints — one joined stats table per document."""
+    id, fingerprints — ONE projection over one scan (textops.text_stats),
+    no joins."""
     spark = _spark("deidcm_textstats", args.shuffle_partitions)
     from deidcm_spark.operators import textops
 
     docs = spark.read.parquet(args.input).select("doc_id", "text")
-    stats = (
-        textops.token_count(docs)
-        .join(textops.quality_score(docs).drop("n_tokens"), "doc_id")
-        .join(textops.quality_flags(docs), "doc_id")
-        .join(textops.lang_id(docs), "doc_id")
-        .join(textops.fingerprint(docs), "doc_id")
-    )
-    stats.write.mode("overwrite").parquet(args.output)
+    textops.text_stats(docs).write.mode("overwrite").parquet(args.output)
     return {"docs": spark.read.parquet(args.output).count()}
 
 

@@ -34,7 +34,7 @@ from typing import Iterator
 import pandas as pd
 
 from deidcm_spark.config import load_general_rules
-from deidcm_spark.schema import DOCUMENTS_SCHEMA
+from deidcm_spark.schema import BOX_WORDS as _BOX_WORDS, DOCUMENTS_SCHEMA, MEDIA_H, MEDIA_W
 
 # ---------------------------------------------------------------------------
 # tag lists — verbatim from the reference's test-case catalogue
@@ -322,9 +322,7 @@ def synth_documents(
 # low-confidence first boxes (whole image passes through), edge boxes
 # (margin clamping).
 
-MEDIA_W = MEDIA_H = 96
-
-_BOX_WORDS = ["JTRX4", "DSLC72", "PATIENT", "X", "HELLO", "SHOCR", "NAME22"]
+# MEDIA_W/MEDIA_H and the box vocabulary live in schema.py (shared spec)
 
 
 def media_ground_truth(idx: int, seed: int) -> tuple[dict, list[dict]]:

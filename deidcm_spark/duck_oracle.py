@@ -111,8 +111,7 @@ def sign_bits_duck(col: str, n_planes: int, dim: int) -> list[str]:
 # len-1 words (X), authorized words (HELLO/SHOCR), low-confidence first
 # boxes, edge boxes.
 
-BOX_WORDS = ["JTRX4", "DSLC72", "PATIENT", "X", "HELLO", "SHOCR", "NAME22"]
-MEDIA_W = MEDIA_H = 96
+from deidcm_spark.schema import BOX_WORDS, MEDIA_H, MEDIA_W  # shared spec
 
 
 def _h(key: str, dialect: str) -> str:

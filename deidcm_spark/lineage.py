@@ -120,12 +120,23 @@ def run_deid_job(
     if not pending:
         return summary
 
-    if input_bucketed and "bucket" in documents.columns:
+    if input_bucketed:
+        if "bucket" not in documents.columns:
+            raise ValueError(
+                "input_bucketed=True requires a stored 'bucket' column "
+                "(prepare_bucketed_corpus writes one); refusing to silently "
+                "run the unclustered plan"
+            )
         bucketed = documents
         # the stored bucket column must be THIS job's bucket function —
         # a different salt/n_buckets would silently mark out-of-range
-        # buckets "complete" on resume.  Cheap deterministic probe: any
-        # mismatch on a 1k-row sample fails fast.
+        # buckets "complete" on resume.  Two-level defense: a cheap 1k-row
+        # probe fails fast on a wholesale mismatch here, and after the LAST
+        # bucket commits the lineage totals are reconciled against the
+        # source count (below) — which catches even a partially
+        # mis-bucketed corpus (e.g. two prepares unioned) with one
+        # metadata-cheap count instead of a full-corpus validation scan
+        # per attempt.
         probe = (
             documents.limit(1000)
             .withColumn("_b2", bucket_expr(salt, n_buckets))
@@ -188,6 +199,26 @@ def run_deid_job(
     )
     lineage_rows.write.mode("append").parquet(_lineage_path(out_dir))
     summary["processed"] = len(pending)
+
+    # completion reconciliation: once every bucket is committed, the
+    # lineage doc total must equal the source count (a metadata-cheap
+    # parquet count) — catches rows whose stored bucket fell outside
+    # range(n_buckets) and was therefore never selected by any attempt
+    if input_bucketed and set(range(n_buckets)) <= (done | set(pending)):
+        committed_docs = (
+            spark.read.parquet(_lineage_path(out_dir))
+            .filter((F.col("run_id") == run_id) & (F.col("status") == "committed"))
+            .agg(F.sum("n_docs"))
+            .collect()[0][0]
+        ) or 0
+        src_docs = documents.count()
+        if committed_docs != src_docs:
+            raise ValueError(
+                f"bucketed run committed {committed_docs} documents but the "
+                f"source has {src_docs} — the stored bucket column does not "
+                f"cover range({n_buckets}) for every row (mixed prepares?)"
+            )
+        summary["reconciled_docs"] = int(committed_docs)
     return summary
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from deidcm_spark.operators.textops import SHINGLES, TOKENS
+from deidcm_spark.operators.textops import NORM_FP, SHINGLES, TOKENS
 
 N_MINHASH = 16
 N_BANDS = 4
@@ -50,9 +50,8 @@ SHINGLE_HASH_DUCK = (
 
 def dedup_exact(df: DataFrame) -> DataFrame:
     """Exact dedup on normalized text: keep the smallest doc_id per group."""
-    norm = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
     return (
-        df.select(F.expr(norm).alias("fp"), "doc_id")
+        df.select(F.expr(NORM_FP).alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dupes"))
     )
@@ -64,10 +63,9 @@ def dedup_exact_salted(df: DataFrame, n_salts: int = 16) -> DataFrame:
     of times at corpus scale) never lands on one reducer: phase 1 aggregates
     per (fp, salt-bucket), phase 2 merges the per-bucket partials.  min and
     count are algebraic, so the split is exact."""
-    norm = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
     partial = (
         df.select(
-            F.expr(norm).alias("fp"),
+            F.expr(NORM_FP).alias("fp"),
             "doc_id",
             F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("_salt"),
         )
@@ -343,7 +341,12 @@ def embedding_neardup_pairs(
 
     assert n_planes % n_bands == 0, "planes must split evenly into bands"
     per_band = n_planes // n_bands
-    dim = len(emb.select("embedding").head()["embedding"])
+    head = emb.select("embedding").head()
+    if head is None:  # empty corpus → empty pair table, not a crash
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = len(head["embedding"])
     bits = [hyperplane_sign_expr("embedding", p, dim) for p in range(n_planes)]
     band_keys = [
         "concat(" + ", ".join(

@@ -37,9 +37,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from deidcm_spark.config import load_authorized_words
+from deidcm_spark.schema import (  # shared spec — one source of truth
+    MEDIA_H as MEDIA_DEFAULT_H,
+    MEDIA_W as MEDIA_DEFAULT_W,
+)
 
 REDACT_MARGIN = 300
-MEDIA_DEFAULT_W = MEDIA_DEFAULT_H = 96
 
 
 def expand_box(x1: int, y1: int, x2: int, y2: int, margin: int) -> tuple[int, int, int, int]:
@@ -134,9 +137,14 @@ def apply_voi_lut_linear(
 ) -> np.ndarray:
     """LINEAR VOI LUT from (WindowCenter, WindowWidth) metadata — the
     piecewise ramp pydicom's apply_voi_lut computes (dicom2png.py:24-33):
-    below the window → 0, above → y_max, inside → linear ramp."""
+    below the window → 0, above → y_max, inside → linear ramp.  A window
+    width ≤ 1 is the DICOM threshold degenerate (the ramp denominator
+    w−1 would divide by zero): every value ≤ center−0.5 maps to 0, the
+    rest to y_max."""
     c, w = float(center), float(width)
     d = data.astype(np.float64)
+    if w <= 1:
+        return np.where(d <= c - 0.5, 0.0, y_max)
     out = ((d - (c - 0.5)) / (w - 1) + 0.5) * y_max
     out[d <= c - 0.5 - (w - 1) / 2] = 0.0
     out[d > c - 0.5 + (w - 1) / 2] = y_max

@@ -17,6 +17,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
 
+# whitespace-normalized exact-dedup fingerprint — ONE definition (Spark
+# dialect); dedup_exact/dedup_exact_salted, fingerprint() and the streaming
+# dedup all key off this, so a drift would silently de-synchronize batch
+# and streaming dedup decisions
+NORM_FP = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
+
 # word-3-gram shingles via slice+zip_with: tokens are referenced a CONSTANT
 # number of times per row.  The naive transform(sequence(...), i -> T[i]...)
 # form re-evaluates the full tokenize expression PER ELEMENT inside the
@@ -48,23 +54,24 @@ def with_tokens(df: DataFrame) -> DataFrame:
     return df.withColumn("tokens", F.expr(TOKENS))
 
 
-def token_count(df: DataFrame) -> DataFrame:
-    """Whitespace token counting (BPE-ish heuristic: words + a chars/4 bound)."""
-    return df.select(
-        "doc_id",
+def _token_cols() -> list[Column]:
+    return [
         F.expr(f"size({TOKENS})").alias("n_tokens"),
         F.expr("cast(ceil(length(text) / 4.0) as bigint)").alias("n_bpe_est"),
-    )
+    ]
 
 
-def quality_score(df: DataFrame) -> DataFrame:
-    """Length / punctuation / stopword-ratio quality features + score."""
+def token_count(df: DataFrame) -> DataFrame:
+    """Whitespace token counting (BPE-ish heuristic: words + a chars/4 bound)."""
+    return df.select("doc_id", *_token_cols())
+
+
+def _quality_cols(with_tokens: bool = True) -> list[Column]:
     toks = f"size({TOKENS})"
     stop = f"size(filter({TOKENS}, t -> array_contains({_sql_list(EN_STOPWORDS)}, t)))"
     punct = "length(text) - length(regexp_replace(text, '[.,;:!?]', ''))"
-    return df.select(
-        "doc_id",
-        F.expr(toks).alias("n_tokens"),
+    cols = [F.expr(toks).alias("n_tokens")] if with_tokens else []
+    return cols + [
         F.expr(f"round(length(text) / greatest({toks}, 1), 3)").alias("avg_token_len"),
         F.expr(f"round(({punct}) / greatest(length(text), 1), 4)").alias("punct_ratio"),
         F.expr(f"round(({stop}) / greatest({toks}, 1), 4)").alias("stopword_ratio"),
@@ -73,7 +80,12 @@ def quality_score(df: DataFrame) -> DataFrame:
             f" * (1.0 - ({punct}) / greatest(length(text), 1))"
             f" * (0.5 + 0.5 * least(5.0 * ({stop}) / greatest({toks}, 1), 1.0)), 4)"
         ).alias("quality"),
-    )
+    ]
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score."""
+    return df.select("doc_id", *_quality_cols())
 
 
 def lang_id(df: DataFrame) -> DataFrame:
@@ -88,12 +100,26 @@ def lang_id(df: DataFrame) -> DataFrame:
         f"when {counts['fr']} >= {counts['de']} and {counts['fr']} >= {counts['es']} then 'fr' "
         f"when {counts['de']} >= {counts['es']} then 'de' else 'es' end"
     )
-    return df.select(
-        "doc_id",
+    return df.select("doc_id", *_lang_cols(counts, pred))
+
+
+def _lang_cols(counts=None, pred=None) -> list[Column]:
+    if counts is None:
+        counts = {
+            lang: f"size(filter({TOKENS}, t -> array_contains({_sql_list(words)}, t)))"
+            for lang, words in LANG_WORDS.items()
+        }
+        pred = (
+            f"case when {counts['en']} >= {counts['fr']} and {counts['en']} >= {counts['de']}"
+            f"  and {counts['en']} >= {counts['es']} then 'en' "
+            f"when {counts['fr']} >= {counts['de']} and {counts['fr']} >= {counts['es']} then 'fr' "
+            f"when {counts['de']} >= {counts['es']} then 'de' else 'es' end"
+        )
+    return [
         F.expr(counts["en"]).alias("en_hits"),
         F.expr(counts["fr"]).alias("fr_hits"),
         F.expr(pred).alias("lang_pred"),
-    )
+    ]
 
 
 # URL pattern, ONE spec two dialects (CLAUDE.md rule: Spark string literals
@@ -114,13 +140,21 @@ def quality_flags(df: DataFrame) -> DataFrame:
     digits = "length(text) - length(regexp_replace(text, '[0-9]', ''))"
     uppers = "length(text) - length(regexp_replace(text, '[A-Z]', ''))"
     urls = f"size(regexp_extract_all(text, '{url_pat_sql('spark')}', 0))"
-    return df.select(
-        "doc_id",
+    return df.select("doc_id", *_flag_cols(toks, dtoks, digits, uppers, urls))
+
+
+def _flag_cols(toks=None, dtoks=None, digits=None, uppers=None, urls=None) -> list[Column]:
+    toks = toks or f"size({TOKENS})"
+    dtoks = dtoks or f"size(array_distinct({TOKENS}))"
+    digits = digits or "length(text) - length(regexp_replace(text, '[0-9]', ''))"
+    uppers = uppers or "length(text) - length(regexp_replace(text, '[A-Z]', ''))"
+    urls = urls or f"size(regexp_extract_all(text, '{url_pat_sql('spark')}', 0))"
+    return [
         F.expr(f"round(1.0 - ({dtoks}) / greatest({toks}, 1), 4)").alias("repetition_ratio"),
         F.expr(f"round(({digits}) / greatest(length(text), 1), 4)").alias("digit_ratio"),
         F.expr(f"round(({uppers}) / greatest(length(text), 1), 4)").alias("upper_ratio"),
         F.expr(f"cast({urls} as bigint)").alias("n_urls"),
-    )
+    ]
 
 
 def vocab_top_terms(df: DataFrame, k: int = 100) -> DataFrame:
@@ -165,11 +199,30 @@ def tfidf_top_term(df: DataFrame) -> DataFrame:
 def fingerprint(df: DataFrame) -> DataFrame:
     """Document fingerprints: whitespace-normalized md5 + a winnowing-style
     sketch (md5 of the 4 smallest word-3-gram hashes)."""
+    return df.select("doc_id", *_fp_cols())
+
+
+def _fp_cols() -> list[Column]:
     hashes = f"array_sort(transform({SHINGLES}, s -> md5(s)))"
+    return [
+        F.expr(NORM_FP).alias("fp_exact"),
+        F.expr(f"md5(concat_ws(',', slice({hashes}, 1, 4)))").alias("fp_sketch"),
+    ]
+
+
+def text_stats(df: DataFrame) -> DataFrame:
+    """ALL row-local text signals in ONE projection — token counts, quality
+    score, corpus-filter flags, language id, fingerprints.  One scan, zero
+    joins (each signal is a pure function of (doc_id, text); joining the
+    individual operators would pay five scans and four doc_id shuffles for
+    the same table)."""
     return df.select(
         "doc_id",
-        F.expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))").alias("fp_exact"),
-        F.expr(f"md5(concat_ws(',', slice({hashes}, 1, 4)))").alias("fp_sketch"),
+        *_token_cols(),
+        *_quality_cols(with_tokens=False),
+        *_flag_cols(),
+        *_lang_cols(),
+        *_fp_cols(),
     )
 
 

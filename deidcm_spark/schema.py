@@ -103,3 +103,13 @@ LINEAGE_SCHEMA = StructType(
         StructField("status", StringType(), False),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# shared media-fixture constants — single source of truth (corpus synthesis,
+# the SQL box corpus in duck_oracle, and the redaction operators all key off
+# these; divergent copies would silently break gate/clamp parity)
+# ---------------------------------------------------------------------------
+
+MEDIA_W = MEDIA_H = 96
+BOX_WORDS = ["JTRX4", "DSLC72", "PATIENT", "X", "HELLO", "SHOCR", "NAME22"]

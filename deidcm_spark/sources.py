@@ -92,14 +92,28 @@ def write_bucketed(
     from urllib.parse import urlparse
 
     spark = df.sparkSession
-    # a stale location left by a PREVIOUS session's warehouse blocks
-    # saveAsTable (LOCATION_ALREADY_EXISTS) even in overwrite mode, because
-    # the new session's catalog has no entry to drop — clear both
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    if warehouse:
-        shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
+
+    def _clear(name: str) -> None:
+        # a stale location left by a PREVIOUS session's warehouse blocks
+        # saveAsTable (LOCATION_ALREADY_EXISTS) even in overwrite mode,
+        # because the new session's catalog has no entry to drop
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        if warehouse:
+            shutil.rmtree(
+                f"{warehouse.rstrip('/')}/{name.lower()}", ignore_errors=True
+            )
+
+    # WRITE-THEN-SWAP: materialize into a staging table first so (a) the
+    # current table survives a mid-write failure, and (b) re-bucketing a
+    # table from itself (df derived from spark.table(table)) still has its
+    # source on disk while the plan executes; only after the staging write
+    # succeeds is the old table dropped and the staging table renamed in.
+    staging = f"{table}__staging"
+    _clear(staging)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
-    w.saveAsTable(table)
+    w.saveAsTable(staging)
+    _clear(table)
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")

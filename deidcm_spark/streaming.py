@@ -227,10 +227,9 @@ def stream_dedup_exact(
         .option("maxFilesPerTrigger", 8)
         .parquet(in_dir)
     )
-    fp = docs.select(
-        F.expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))").alias("fp"),
-        "doc_id",
-    )
+    from deidcm_spark.operators.textops import NORM_FP
+
+    fp = docs.select(F.expr(NORM_FP).alias("fp"), "doc_id")
 
     def first_seen(key, pdfs, state: GroupState):
         if state.exists:

@@ -106,8 +106,11 @@ def test_bucketed_input_zero_exchange_same_result(spark, tmp_path):
     bucketed = spark.table("bt_deid_corpus")
 
     # plan shape: filter + mapInArrow over the bucketed scan, zero Exchange
+    # (CLAUDE.md AQE rule: execute the SAME DataFrame before reading
+    # executedPlan, else the assertion runs on the non-final plan)
     todo = bucketed.filter(F.col("bucket").isin(list(range(N_BUCKETS))))
     out = deid(todo, ORG_ROOT, SALT, with_metrics=True)
+    out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "MapInArrow" in plan

@@ -203,6 +203,7 @@ def test_query_signature_matches_sql(spark, clustered_emb):
 
 def test_embedding_neardup_no_cartesian(spark, clustered_emb):
     df = dedup.embedding_neardup_pairs(clustered_emb, 0.999)
+    df.collect()  # finalize AQE before reading the executed plan (CLAUDE.md)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -424,3 +425,74 @@ def test_redaction_plan_gate_uses_first_present_box(spark):
         by_ref.setdefault(r["media_ref"], []).append(r["box_idx"])
     assert sorted(by_ref.get("a", [])) == [3, 7]
     assert "b" not in by_ref
+
+
+# ---------------------------------------------------------------------------
+# second review-pass regressions
+# ---------------------------------------------------------------------------
+
+def test_voi_width_one_threshold_semantics():
+    """WindowWidth <= 1 is the DICOM threshold degenerate — must not divide
+    by zero; values <= center-0.5 go to 0, the rest to max."""
+    from deidcm_spark.operators.media import apply_voi_lut_linear
+
+    d = np.array([[0, 99], [100, 200]], dtype=np.float64)
+    out = apply_voi_lut_linear(d, center=100.0, width=1.0)
+    assert out.tolist() == [[0.0, 0.0], [255.0, 255.0]]
+    assert np.isfinite(out).all()
+
+
+def test_voi_null_width_falls_back(spark):
+    import pandas as pd
+
+    from deidcm_spark.operators.media import (
+        decode_payload, dicom_decode_normalize, transform_media,
+    )
+
+    a0 = (np.arange(32 * 32, dtype=np.uint16) % 512).reshape(32, 32)
+    rows = [{"media_ref": "w", "width": 32, "height": 32, "channels": 1,
+             "bits": 16, "pixels": a0.tobytes(), "voi_center": 100.0,
+             "voi_width": None, "modality": None, "rescale_slope": None,
+             "rescale_intercept": None}]
+    out = transform_media(spark.createDataFrame(pd.DataFrame(rows)), voi_lut=True).head()
+    got = decode_payload(out.asDict())
+    assert np.array_equal(got, dicom_decode_normalize(a0, voi_lut=False))
+
+
+def test_embedding_neardup_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert dedup.embedding_neardup_pairs(empty, 0.9).count() == 0
+
+
+def test_text_stats_equals_joined_operators(spark):
+    from deidcm_spark.operators import textops
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    one = {r["doc_id"]: r.asDict() for r in textops.text_stats(d).collect()}
+    joined = (
+        textops.token_count(d)
+        .join(textops.quality_score(d).drop("n_tokens"), "doc_id")
+        .join(textops.quality_flags(d), "doc_id")
+        .join(textops.lang_id(d), "doc_id")
+        .join(textops.fingerprint(d), "doc_id")
+    )
+    many = {r["doc_id"]: r.asDict() for r in joined.collect()}
+    assert one == many
+    # and it really is one scan: no joins/exchanges in the plan
+    df = textops.text_stats(d)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_write_bucketed_from_self_survives(spark):
+    """Re-bucketing a table from itself must not destroy the source while
+    the write is still reading it (write-then-swap)."""
+    from deidcm_spark.sources import write_bucketed
+
+    base = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    write_bucketed(base, "bt_selftest", "k", 4)
+    derived = spark.table("bt_selftest").selectExpr("k", "v + 1 AS v")
+    write_bucketed(derived, "bt_selftest", "k", 4)
+    got = {r["k"]: r["v"] for r in spark.table("bt_selftest").collect()}
+    assert got == {i: i * 2 + 1 for i in range(100)}
