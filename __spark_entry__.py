@@ -102,6 +102,50 @@ def events_hourly(spark, sf_dir):
     )
 
 
+def events_sessionize(spark, sf_dir):
+    """Batch sessionization via ``session_window`` (30-min gap) — the same
+    W-family semantics the streaming facade uses, driver-checked against a
+    classic gaps-and-islands SQL re-derivation (lag + break-flag prefix
+    sum)."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_EVENTS_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS bigint) AS n_events,
+       round(sum(value), 3) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # deid rule classification (J1/J2 broadcast-join shape, oracle-checked)
 # ---------------------------------------------------------------------------
@@ -1038,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers_without_orders": anti_join_customers_without_orders,
         "orders_priority_counts": orders_priority_counts,
         "events_hourly": events_hourly,
+        "events_sessionize": events_sessionize,
         "rule_classification": rule_classification,
         "scalar_date_kernels": scalar_date_kernels,
         "scalar_hash_kernels": scalar_hash_kernels,
@@ -1372,6 +1417,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events, round(sum(value), 3) AS sum_value
 FROM events GROUP BY 1, 2
 """,
+        "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "rule_classification": _rule_classification_sql(),
         "scalar_date_kernels": """
 SELECT o_orderkey,
