@@ -102,6 +102,57 @@ def events_hourly(spark, sf_dir):
     )
 
 
+def orders_topn_per_customer(spark, sf_dir):
+    """Ranking window (W-family): top-3 orders per customer by price,
+    deterministic tie-break on order key."""
+    from pyspark.sql import Window
+
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_ORDERS_TOPN_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def user_running_value(spark, sf_dir):
+    """Cumulative window (W-family): per-user running event-value total in
+    event-time order."""
+    from pyspark.sql import Window
+
+    e = _load(spark, sf_dir, "events").filter("user_id <= 200")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 3).alias("running_value"),
+    )
+
+
+_USER_RUNNING_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 3) AS running_value
+FROM events WHERE user_id <= 200
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Batch sessionization via ``session_window`` (30-min gap) — the same
     W-family semantics the streaming facade uses, driver-checked against a
@@ -1083,6 +1134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_priority_counts": orders_priority_counts,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
+        "orders_topn_per_customer": orders_topn_per_customer,
+        "user_running_value": user_running_value,
         "rule_classification": rule_classification,
         "scalar_date_kernels": scalar_date_kernels,
         "scalar_hash_kernels": scalar_hash_kernels,
@@ -1418,6 +1471,8 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2
 """,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        "orders_topn_per_customer": _ORDERS_TOPN_SQL,
+        "user_running_value": _USER_RUNNING_SQL,
         "rule_classification": _rule_classification_sql(),
         "scalar_date_kernels": """
 SELECT o_orderkey,
