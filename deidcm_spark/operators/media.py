@@ -100,18 +100,113 @@ def redact_array(
         if xa > xb or ya > yb:
             continue
         if mode == "blur":
-            crop = out[ya : yb + 1, xa : xb + 1].astype(np.float32)
-            for _ in range(30):
-                padded = np.pad(crop, ((1, 1), (1, 1)) + ((0, 0),) * (crop.ndim - 2), mode="edge")
-                crop = (
-                    padded[:-2, 1:-1] + padded[2:, 1:-1] + padded[1:-1, :-2]
-                    + padded[1:-1, 2:] + padded[1:-1, 1:-1]
-                ) / 5.0
-            out[ya : yb + 1, xa : xb + 1] = crop.astype(out.dtype)
+            # crop → ImageFilter.BLUR x30 → paste, exactly the reference's
+            # hide_text blur path (:249-253); pil_blur reproduces the
+            # public BLUR ring-kernel spec without PIL
+            out[ya : yb + 1, xa : xb + 1] = pil_blur(
+                out[ya : yb + 1, xa : xb + 1], iterations=30
+            )
         else:
             fill = 255 if color_value == "white" else 0
             out[ya : yb + 1, xa : xb + 1] = fill
     return out
+
+
+# PIL ImageFilter.BLUR is a PUBLIC fixed BuiltinFilter spec: 5x5 kernel of
+# ones on the ring (Chebyshev distance 2), zeros inside, scale 16, offset 0;
+# pixels where the kernel does not fit (a 2-px border) pass through
+# unfiltered.  Reproducing that spec exactly (instead of an iterated box
+# blur) gives the reference's hide_text blur (deid_mammogram.py:249-253,
+# cut.filter(ImageFilter.BLUR) x30) its real semantics without PIL.
+_RING_OFFSETS = [
+    (dy, dx)
+    for dy in range(-2, 3)
+    for dx in range(-2, 3)
+    if max(abs(dy), abs(dx)) == 2
+]
+
+
+def pil_blur(pixels: np.ndarray, iterations: int = 1) -> np.ndarray:
+    """ImageFilter.BLUR parity: ring-kernel convolution on the interior
+    (sum of the 16 ring neighbors / 16, rounded half-up, clipped), border
+    copied through — applied ``iterations`` times.  Images smaller than
+    5x5 have no interior and pass through unchanged (PIL raises there;
+    the engine's contract is pass-through)."""
+    out = pixels.copy()
+    h, w = out.shape[0], out.shape[1]
+    if h < 5 or w < 5:
+        return out
+    for _ in range(iterations):
+        acc = np.zeros_like(out[2:-2, 2:-2], dtype=np.float64)
+        for dy, dx in _RING_OFFSETS:
+            acc += out[2 + dy : h - 2 + dy, 2 + dx : w - 2 + dx]
+        nxt = out.copy()
+        nxt[2:-2, 2:-2] = np.clip(np.floor(acc / 16.0 + 0.5), 0, 255).astype(out.dtype)
+        out = nxt
+    return out
+
+
+def _lanczos3(x: np.ndarray) -> np.ndarray:
+    """Lanczos kernel, a=3 (the LANCZOS resample filter's windowed sinc)."""
+    out = np.sinc(x) * np.sinc(x / 3.0)
+    out[np.abs(x) >= 3.0] = 0.0
+    return out
+
+
+def _lanczos_axis_weights(src: int, dst: int) -> list[tuple[int, np.ndarray]]:
+    """Per-output-pixel (window start, normalized weights) following the
+    published resample algorithm PIL uses: scale = src/dst,
+    filterscale = max(scale, 1), support = 3 * filterscale,
+    center = (i + 0.5) * scale, window = [center - support + 0.5,
+    center + support + 0.5), weights = lanczos((k - center + 0.5)/filterscale)
+    normalized to sum 1."""
+    scale = src / dst
+    fscale = max(scale, 1.0)
+    support = 3.0 * fscale
+    rows = []
+    for i in range(dst):
+        center = (i + 0.5) * scale
+        xmin = max(0, int(center - support + 0.5))
+        xmax = min(src, int(center + support + 0.5))
+        k = np.arange(xmin, xmax, dtype=np.float64)
+        w = _lanczos3((k - center + 0.5) / fscale)
+        s = w.sum()
+        rows.append((xmin, w / s if s != 0 else w))
+    return rows
+
+
+def resize_lanczos(pixels: np.ndarray, factor: int) -> np.ndarray:
+    """LANCZOS downsample to (round(h/f), round(w/f)) — the
+    reduce_PIL_img_size analogue (utils.py:86-93, thumbnail + LANCZOS)
+    implemented as the separable windowed-sinc resample PIL's LANCZOS
+    performs, in float64 (PIL quantizes coefficients to 8-bit fixed point
+    — differences are ≤1 LSB; thumbnail's reducing_gap pre-step is not
+    emulated)."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    dh, dw = max(1, round(h / factor)), max(1, round(w / factor))
+    arr = pixels.astype(np.float64)
+    # horizontal pass
+    cols = _lanczos_axis_weights(w, dw)
+    tmp = np.stack(
+        [
+            np.tensordot(arr[:, x0 : x0 + len(wts)], wts, axes=([1], [0]))
+            for x0, wts in cols
+        ],
+        axis=1,
+    )
+    # vertical pass
+    rows = _lanczos_axis_weights(h, dh)
+    out = np.stack(
+        [
+            np.tensordot(tmp[y0 : y0 + len(wts)], wts, axes=([0], [0]))
+            for y0, wts in rows
+        ],
+        axis=0,
+    )
+    if np.issubdtype(pixels.dtype, np.integer):
+        info = np.iinfo(pixels.dtype)
+        return np.clip(np.floor(out + 0.5), info.min, info.max).astype(pixels.dtype)
+    return out.astype(pixels.dtype)
 
 
 def lut_window_level(data: np.ndarray, window: int, level: int) -> np.ndarray:
@@ -216,6 +311,7 @@ def transform_media(
     level: int | None = None,
     resize_factor: int | None = None,
     voi_lut: bool = False,
+    resize_method: str = "area",
 ) -> DataFrame:
     """Pixel-transform stage (decode → LUT/normalize → resize → re-encode),
     one mapInPandas over payload batches — the M5/M6 composition shape.
@@ -277,7 +373,10 @@ def transform_media(
                 elif normalize:
                     arr = normalize_to_uint8(arr, monochrome1)
                 if resize_factor and resize_factor > 1:
-                    arr = resize_area(arr, resize_factor)
+                    if resize_method == "lanczos":
+                        arr = resize_lanczos(arr, resize_factor)
+                    else:
+                        arr = resize_area(arr, resize_factor)
                 out_rows.append(
                     {
                         "media_ref": ref,

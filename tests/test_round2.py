@@ -496,3 +496,72 @@ def test_write_bucketed_from_self_survives(spark):
     write_bucketed(derived, "bt_selftest", "k", 4)
     got = {r["k"]: r["v"] for r in spark.table("bt_selftest").collect()}
     assert got == {i: i * 2 + 1 for i in range(100)}
+
+
+# ---------------------------------------------------------------------------
+# PIL-spec blur ring kernel + LANCZOS resample (parity-faithful numpy)
+# ---------------------------------------------------------------------------
+
+def test_pil_blur_ring_kernel_semantics():
+    from deidcm_spark.operators.media import pil_blur
+
+    # impulse response: the BLUR kernel is a 5x5 RING (weights 1/16 at
+    # Chebyshev distance 2, zero elsewhere incl. center)
+    img = np.zeros((9, 9), dtype=np.uint8)
+    img[4, 4] = 160
+    out = pil_blur(img, iterations=1)
+    assert out[4, 4] == 0  # center weight is zero
+    assert out[2, 2] == 10  # ring corner: 160/16
+    assert out[2, 4] == 10  # ring edge
+    assert out[3, 3] == 0  # inside the ring
+    # border (2px) passes through unfiltered
+    img2 = (np.arange(81, dtype=np.uint8)).reshape(9, 9)
+    out2 = pil_blur(img2, 1)
+    assert np.array_equal(out2[:2], img2[:2]) and np.array_equal(out2[:, :2], img2[:, :2])
+    # independent full convolution cross-check on the interior
+    kern = np.zeros((5, 5))
+    kern[[0, -1], :] = 1
+    kern[:, [0, -1]] = 1
+    ref = np.zeros_like(img2, dtype=np.float64)
+    for y in range(2, 7):
+        for x in range(2, 7):
+            ref[y, x] = (img2[y - 2 : y + 3, x - 2 : x + 3] * kern).sum() / 16
+    assert np.array_equal(out2[2:7, 2:7], np.floor(ref[2:7, 2:7] + 0.5).astype(np.uint8))
+    # too-small crops pass through (PIL would raise; our contract is no-op)
+    tiny = np.full((3, 3), 50, dtype=np.uint8)
+    assert np.array_equal(pil_blur(tiny, 30), tiny)
+
+
+def test_resize_lanczos_properties():
+    from deidcm_spark.operators.media import resize_lanczos
+
+    # constant image stays constant (weights normalized)
+    const = np.full((64, 48), 77, dtype=np.uint8)
+    out = resize_lanczos(const, 4)
+    assert out.shape == (16, 12) and set(out.ravel().tolist()) == {77}
+    # a linear ramp resamples to (approximately) the same ramp
+    ramp = np.tile(np.arange(0, 256, 4, dtype=np.uint8), (64, 1))
+    out = resize_lanczos(ramp, 4)
+    mids = out[8, 2:-2].astype(float)
+    diffs = np.diff(mids)
+    assert (diffs > 0).all() and abs(diffs.mean() - 16) < 1.5
+    # RGB shape handling
+    rgb = np.random.RandomState(7).randint(0, 255, (32, 32, 3)).astype(np.uint8)
+    assert resize_lanczos(rgb, 2).shape == (16, 16, 3)
+
+
+def test_blur_mode_uses_ring_kernel(spark):
+    """redact_array blur mode destroys content via the PIL-spec ring blur."""
+    from deidcm_spark.operators.media import redact_array
+
+    img = np.zeros((40, 40), dtype=np.uint8)
+    img[10:20, 10:20] = 200
+    out = redact_array(
+        img,
+        [{"box_idx": 0, "x1": 8, "y1": 8, "x2": 24, "y2": 24,
+          "word": "WORDY", "confidence": 0.9}],
+        margin=0, mode="blur",
+    )
+    region = out[8:25, 8:25]
+    assert not np.array_equal(region, img[8:25, 8:25])
+    assert 0 < region.mean() < 200
