@@ -565,3 +565,50 @@ def test_blur_mode_uses_ring_kernel(spark):
     region = out[8:25, 8:25]
     assert not np.array_equal(region, img[8:25, 8:25])
     assert 0 < region.mean() < 200
+
+
+# ---------------------------------------------------------------------------
+# permanent parity sweeps: dec30 limb division, det_str translate table
+# ---------------------------------------------------------------------------
+
+def test_dec30_limb_division_vs_python_bigint():
+    """The pure-SQL sha256→first-30-decimal-digits conversion (the
+    phi_scrub_uids oracle core) equals Python's arbitrary-precision int on
+    hundreds of digests."""
+    import hashlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT range AS i, "
+        "sha256('probe' || CAST(range AS varchar)) AS h FROM range(300)"
+    )
+    frag, last, expr = dk.dec30_ctes("t", "h")
+    sql = f"WITH base AS (SELECT 1){frag}\nSELECT i, {expr} AS d30 FROM {last} ORDER BY i"
+    for i, d30 in con.execute(sql).fetchall():
+        want = str(int(hashlib.sha256(f"probe{i}".encode()).hexdigest(), 16))[:30]
+        assert d30 == want, i
+
+
+def test_det_str_translate_matches_naive_spec():
+    """kernels.det_str (bytes.translate fast path) is byte-identical to a
+    naive per-byte implementation of the documented spec."""
+    import hashlib
+    import string
+
+    from deidcm_spark.kernels import det_str
+
+    def naive(alphabet, length, *keys):
+        seed = "\x1f".join(keys)
+        out, i = [], 0
+        while len(out) < length:
+            for b in hashlib.sha256(f"{seed}#{i}".encode("utf8")).digest():
+                out.append(alphabet[b % len(alphabet)])
+            i += 1
+        return "".join(out[:length])
+
+    for i in range(500):
+        for alpha, ln in ((string.ascii_letters, 16), (string.ascii_letters, 64),
+                          (string.digits, 8), ("ab", 5)):
+            assert det_str(alpha, ln, "s", f"d{i}", "k") == naive(alpha, ln, "s", f"d{i}", "k")
