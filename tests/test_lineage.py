@@ -152,3 +152,36 @@ def test_extract_job_bucketed_zero_exchange(spark, tmp_path):
     s2 = run_extract_job(spark, raw, d2, SALT, n_buckets=N_BUCKETS)
     assert s1["processed"] == s2["processed"] == N_BUCKETS
     assert _snapshot(read_output(spark, d1)) == _snapshot(read_output(spark, d2))
+
+
+def test_bucketed_crash_resume_and_guards(spark, tmp_path):
+    from deidcm_spark.lineage import prepare_bucketed_corpus
+
+    docs = _docs(spark, 100)
+    prepare_bucketed_corpus(docs, "bt_resume_corpus", SALT, N_BUCKETS)
+    bucketed = spark.table("bt_resume_corpus")
+    out = str(tmp_path / "resume_out")
+
+    # crash after 3 buckets, then resume — completion reconciles doc totals
+    s1 = run_deid_job(spark, bucketed, out, ORG_ROOT, SALT, n_buckets=N_BUCKETS,
+                      input_bucketed=True, max_buckets_this_attempt=3)
+    assert s1["processed"] == 3 and "reconciled_docs" not in s1
+    s2 = run_deid_job(spark, bucketed, out, ORG_ROOT, SALT, n_buckets=N_BUCKETS,
+                      input_bucketed=True)
+    assert s2["committed_before"] == 3 and s2["processed"] == N_BUCKETS - 3
+    assert s2["reconciled_docs"] == 100
+    assert _snapshot(read_output(spark, out)) == _snapshot(
+        deidentify_attributes(docs, ORG_ROOT, SALT)
+    )
+
+    # guard: input_bucketed without a bucket column refuses
+    with pytest.raises(ValueError, match="bucket"):
+        run_deid_job(spark, docs, str(tmp_path / "x1"), ORG_ROOT, SALT,
+                     n_buckets=N_BUCKETS, input_bucketed=True)
+    # guard: stored bucket from a DIFFERENT salt fails the probe
+    from deidcm_spark.lineage import bucket_expr
+
+    wrong = docs.withColumn("bucket", bucket_expr("other_salt", N_BUCKETS))
+    with pytest.raises(ValueError, match="does not"):
+        run_deid_job(spark, wrong, str(tmp_path / "x2"), ORG_ROOT, SALT,
+                     n_buckets=N_BUCKETS, input_bucketed=True)
