@@ -359,6 +359,13 @@ def q_dedup_decisions(spark, sf_dir):
     return dedup.dedup_decisions(_doubled_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_neardup_components(spark, sf_dir):
+    """Connected components over the near-dup graph (iterative min-label
+    propagation) — checked against a WITH RECURSIVE transitive-closure
+    re-derivation in DuckDB: two different algorithms, one fixpoint."""
+    return dedup.neardup_components(_doubled_docs(spark, sf_dir), threshold=0.5)
+
+
 def _quality_flags_sql() -> str:
     return f"""
 SELECT doc_id,
@@ -1148,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": q_vocab_top_terms,
         "tfidf_top_term": q_tfidf_top_term,
         "dedup_decisions": q_dedup_decisions,
+        "neardup_components": q_neardup_components,
         "ocr_word_recognition": ocr_word_recognition,
         "pack_shards": q_pack_shards,
         "stratified_sample": q_stratified_sample,
@@ -1615,6 +1623,39 @@ WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 UNION ALL SELECT doc_id, 0 AS keep FROM drops
 """,
         "ocr_word_recognition": _ocr_word_recognition_sql(),
+        # recursive CTE needs the RECURSIVE keyword on the WITH chain
+        "neardup_components": jac.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+sh_rows AS (SELECT doc_id, unnest(sh) AS shingle FROM shs),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c JOIN sh_rows a ON a.doc_id = c.doc_a
+              JOIN sh_rows b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+jp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT s.doc_id,
+       least(s.doc_id, coalesce(min(r.b), s.doc_id)) AS component
+FROM src s LEFT JOIN reach r ON r.a = s.doc_id
+GROUP BY s.doc_id
+""",
         "pack_shards": _pack_shards_sql(),
         "stratified_sample": _stratified_sample_sql(),
     }

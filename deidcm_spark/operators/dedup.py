@@ -284,6 +284,62 @@ def dedup_decisions(df: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
+def neardup_components(
+    df: DataFrame,
+    threshold: float = 0.8,
+    max_iter: int = 20,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Connected components over the verified near-dup graph: every
+    document gets the MIN doc_id of its duplicate cluster as its canonical
+    ``component`` — the full closure the greedy :func:`dedup_decisions`
+    deliberately skips (a drops to b, b drops to c ⇒ a, b, c all label c's
+    cluster min here).
+
+    Iterative min-label propagation, the standard Spark shape for
+    components: each round joins labels across the symmetric edge list and
+    takes the elementwise min; rounds = graph diameter (duplicate clusters
+    are shallow — near-dup graphs converge in a few rounds), with a
+    ``max_iter`` cap and an exact convergence check (count of changed
+    labels per round, one action on an aggregated frame).  Each round's
+    frame is localCheckpointed so the lineage — and with it the replanned
+    join DAG — stays O(1) per round instead of growing exponentially.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, threshold=threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = df.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter("n.component != o.component")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def dedup_decisions_from_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """KEEP/DROP assembly shared by the one-shot operator and the CLI's
     materialized-pairs path: drop every doc_b of a verified pair."""

@@ -612,3 +612,21 @@ def test_det_str_translate_matches_naive_spec():
         for alpha, ln in ((string.ascii_letters, 16), (string.ascii_letters, 64),
                           (string.digits, 8), ("ab", 5)):
             assert det_str(alpha, ln, "s", f"d{i}", "k") == naive(alpha, ln, "s", f"d{i}", "k")
+
+
+def test_neardup_components_chain_closure(spark):
+    """Transitive chains collapse to one component (the closure the greedy
+    KEEP/DROP skips): pairs (1,2) and (2,3) without (1,3) must still give
+    all three documents component 1 — driven on an explicit edge list so
+    the topology is exact (the LSH-integrated path is oracle-checked)."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 5, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup.neardup_components(df, pairs=pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == 4
+    assert comp[9] == 9  # isolated doc keeps itself
