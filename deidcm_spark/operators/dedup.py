@@ -337,6 +337,14 @@ def neardup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never exit with silently-wrong labels: a component whose diameter
+        # exceeds max_iter would carry non-minimal ids downstream
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — raise max_iter (graph "
+            f"diameter exceeds it)"
+        )
     return labels
 
 

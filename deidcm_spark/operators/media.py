@@ -72,9 +72,10 @@ def redact_array(
     Differences vs the reference, pinned by our fixtures: fills are done with
     numpy slice assignment clamped to the image (PIL's draw.rectangle clamps
     implicitly and includes both corners — we include both corners too);
-    ``blur`` mode is a 30×-iterated 3×3 box blur on the crop instead of PIL
-    ImageFilter.BLUR (PIL not available; same contract: content destroyed,
-    shape preserved).
+    ``blur`` mode applies :func:`pil_blur` ×30 — the exact ImageFilter.BLUR
+    ring-kernel spec (unfiltered 2-px border) without PIL — except crops
+    smaller than the 5×5 kernel, which PIL would refuse and which are
+    mean-filled here so content is always destroyed.
     """
     out = pixels.copy()
     if not boxes:
@@ -102,10 +103,17 @@ def redact_array(
         if mode == "blur":
             # crop → ImageFilter.BLUR x30 → paste, exactly the reference's
             # hide_text blur path (:249-253); pil_blur reproduces the
-            # public BLUR ring-kernel spec without PIL
-            out[ya : yb + 1, xa : xb + 1] = pil_blur(
-                out[ya : yb + 1, xa : xb + 1], iterations=30
-            )
+            # public BLUR ring-kernel spec without PIL.  A crop smaller
+            # than the 5x5 kernel cannot be blurred (PIL raises; the
+            # kernel passes through) — the PHI contract is DESTRUCTION, so
+            # such slivers are mean-filled instead of silently kept.
+            crop = out[ya : yb + 1, xa : xb + 1]
+            if crop.shape[0] < 5 or crop.shape[1] < 5:
+                out[ya : yb + 1, xa : xb + 1] = np.floor(
+                    crop.mean() + 0.5
+                ).astype(out.dtype)
+            else:
+                out[ya : yb + 1, xa : xb + 1] = pil_blur(crop, iterations=30)
         else:
             fill = 255 if color_value == "white" else 0
             out[ya : yb + 1, xa : xb + 1] = fill
@@ -128,20 +136,28 @@ _RING_OFFSETS = [
 
 def pil_blur(pixels: np.ndarray, iterations: int = 1) -> np.ndarray:
     """ImageFilter.BLUR parity: ring-kernel convolution on the interior
-    (sum of the 16 ring neighbors / 16, rounded half-up, clipped), border
-    copied through — applied ``iterations`` times.  Images smaller than
-    5x5 have no interior and pass through unchanged (PIL raises there;
-    the engine's contract is pass-through)."""
+    (sum of the 16 ring neighbors / 16, rounded half-up, clipped to the
+    dtype range), border copied through — applied ``iterations`` times.
+
+    Images smaller than 5x5 have no interior and pass through unchanged
+    (PIL raises there) — callers whose CONTRACT is content destruction
+    (redact_array blur mode) must guard that case themselves; the kernel
+    stays faithful to the filter spec."""
     out = pixels.copy()
     h, w = out.shape[0], out.shape[1]
     if h < 5 or w < 5:
         return out
+    if np.issubdtype(out.dtype, np.integer):
+        info = np.iinfo(out.dtype)
+        lo, hi = info.min, info.max
+    else:
+        lo, hi = -np.inf, np.inf
     for _ in range(iterations):
         acc = np.zeros_like(out[2:-2, 2:-2], dtype=np.float64)
         for dy, dx in _RING_OFFSETS:
             acc += out[2 + dy : h - 2 + dy, 2 + dx : w - 2 + dx]
         nxt = out.copy()
-        nxt[2:-2, 2:-2] = np.clip(np.floor(acc / 16.0 + 0.5), 0, 255).astype(out.dtype)
+        nxt[2:-2, 2:-2] = np.clip(np.floor(acc / 16.0 + 0.5), lo, hi).astype(out.dtype)
         out = nxt
     return out
 

@@ -88,8 +88,7 @@ def quality_score(df: DataFrame) -> DataFrame:
     return df.select("doc_id", *_quality_cols())
 
 
-def lang_id(df: DataFrame) -> DataFrame:
-    """Marker-word language heuristic with fixed tie-break en>fr>de>es."""
+def _lang_cols() -> list[Column]:
     counts = {
         lang: f"size(filter({TOKENS}, t -> array_contains({_sql_list(words)}, t)))"
         for lang, words in LANG_WORDS.items()
@@ -100,26 +99,16 @@ def lang_id(df: DataFrame) -> DataFrame:
         f"when {counts['fr']} >= {counts['de']} and {counts['fr']} >= {counts['es']} then 'fr' "
         f"when {counts['de']} >= {counts['es']} then 'de' else 'es' end"
     )
-    return df.select("doc_id", *_lang_cols(counts, pred))
-
-
-def _lang_cols(counts=None, pred=None) -> list[Column]:
-    if counts is None:
-        counts = {
-            lang: f"size(filter({TOKENS}, t -> array_contains({_sql_list(words)}, t)))"
-            for lang, words in LANG_WORDS.items()
-        }
-        pred = (
-            f"case when {counts['en']} >= {counts['fr']} and {counts['en']} >= {counts['de']}"
-            f"  and {counts['en']} >= {counts['es']} then 'en' "
-            f"when {counts['fr']} >= {counts['de']} and {counts['fr']} >= {counts['es']} then 'fr' "
-            f"when {counts['de']} >= {counts['es']} then 'de' else 'es' end"
-        )
     return [
         F.expr(counts["en"]).alias("en_hits"),
         F.expr(counts["fr"]).alias("fr_hits"),
         F.expr(pred).alias("lang_pred"),
     ]
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Marker-word language heuristic with fixed tie-break en>fr>de>es."""
+    return df.select("doc_id", *_lang_cols())
 
 
 # URL pattern, ONE spec two dialects (CLAUDE.md rule: Spark string literals
@@ -135,20 +124,15 @@ def quality_flags(df: DataFrame) -> DataFrame:
     """Additional corpus-filter signals (C4/Gopher-style heuristics):
     repetition ratio (1 − distinct/total tokens), digit ratio, uppercase
     ratio, URL mentions.  Pure codegen, exact SQL oracle."""
+    return df.select("doc_id", *_flag_cols())
+
+
+def _flag_cols() -> list[Column]:
     toks = f"size({TOKENS})"
     dtoks = f"size(array_distinct({TOKENS}))"
     digits = "length(text) - length(regexp_replace(text, '[0-9]', ''))"
     uppers = "length(text) - length(regexp_replace(text, '[A-Z]', ''))"
     urls = f"size(regexp_extract_all(text, '{url_pat_sql('spark')}', 0))"
-    return df.select("doc_id", *_flag_cols(toks, dtoks, digits, uppers, urls))
-
-
-def _flag_cols(toks=None, dtoks=None, digits=None, uppers=None, urls=None) -> list[Column]:
-    toks = toks or f"size({TOKENS})"
-    dtoks = dtoks or f"size(array_distinct({TOKENS}))"
-    digits = digits or "length(text) - length(regexp_replace(text, '[0-9]', ''))"
-    uppers = uppers or "length(text) - length(regexp_replace(text, '[A-Z]', ''))"
-    urls = urls or f"size(regexp_extract_all(text, '{url_pat_sql('spark')}', 0))"
     return [
         F.expr(f"round(1.0 - ({dtoks}) / greatest({toks}, 1), 4)").alias("repetition_ratio"),
         F.expr(f"round(({digits}) / greatest(length(text), 1), 4)").alias("digit_ratio"),

@@ -107,13 +107,32 @@ def write_bucketed(
     # WRITE-THEN-SWAP: materialize into a staging table first so (a) the
     # current table survives a mid-write failure, and (b) re-bucketing a
     # table from itself (df derived from spark.table(table)) still has its
-    # source on disk while the plan executes; only after the staging write
-    # succeeds is the old table dropped and the staging table renamed in.
+    # source on disk while the plan executes.  The swap itself renames the
+    # old table to a backup BEFORE the staging table takes its name, so no
+    # step ever deletes the only copy: a crash mid-swap leaves the data in
+    # __staging and/or __backup, both recoverable (the backup is dropped
+    # only after the new table is in place).
     staging = f"{table}__staging"
+    backup = f"{table}__backup"
     _clear(staging)
+    _clear(backup)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(staging)
-    _clear(table)
+    if spark.catalog.tableExists(table):
+        spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
+    else:
+        # stale location without a catalog entry (previous session's
+        # warehouse): move it aside rather than deleting it pre-swap
+        import os
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        old_loc = f"{warehouse.rstrip('/')}/{table.lower()}"
+        if warehouse and os.path.exists(old_loc):
+            os.rename(old_loc, f"{warehouse.rstrip('/')}/{backup.lower()}_loc")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    _clear(backup)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if warehouse:
+        shutil.rmtree(f"{warehouse.rstrip('/')}/{backup.lower()}_loc", ignore_errors=True)

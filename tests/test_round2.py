@@ -630,3 +630,39 @@ def test_neardup_components_chain_closure(spark):
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[4] == comp[5] == 4
     assert comp[9] == 9  # isolated doc keeps itself
+
+
+def test_blur_small_crop_and_uint16():
+    """Review regressions: a <5x5 blur crop must still destroy content
+    (mean fill), and 16-bit payloads keep their value range."""
+    from deidcm_spark.operators.media import pil_blur, redact_array
+
+    img = np.zeros((20, 20), dtype=np.uint8)
+    img[5:8, 5:7] = 220  # PHI glyph on black background, crop < 5x5
+    out = redact_array(
+        img,
+        [{"box_idx": 0, "x1": 5, "y1": 5, "x2": 8, "y2": 7,
+          "word": "WORDY", "confidence": 0.9}],
+        margin=0, mode="blur",
+    )
+    region = out[5:8, 5:9]
+    assert len(set(region.ravel().tolist())) == 1  # mean-filled, not legible
+    assert not np.array_equal(region, img[5:8, 5:9])
+
+    big16 = np.full((12, 12), 60000, dtype=np.uint16)
+    blurred = pil_blur(big16, 1)
+    assert blurred.dtype == np.uint16 and blurred[5, 5] == 60000  # no 255 crush
+
+
+def test_neardup_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.neardup_components(df, pairs=chain, max_iter=1)
+    ok = {r["doc_id"]: r["component"]
+          for r in dedup.neardup_components(df, pairs=chain, max_iter=10).collect()}
+    assert set(ok.values()) == {0}
