@@ -254,8 +254,13 @@ def _bulk_tag_pool() -> list[tuple[str, str]]:
 
 def has_media(idx: int, media_rate: float) -> bool:
     """Hash-based media membership — computable independently of the span
-    RNG stream so payload/box synthesis can align with the documents."""
-    return (idx * 2_246_822_519 % 1_000) < int(media_rate * 1_000)
+    RNG stream so payload/box synthesis can align with the documents.
+
+    idx is reduced mod 1_000_003 BEFORE the multiply so the SQL mirrors
+    (Spark/DuckDB bigint) never overflow: 1_000_002 * 2_246_822_519 ≈
+    2.2e15 < 2^63.  Unreduced, doc_id ≳ 4.2e9 silently wraps in non-ANSI
+    Spark while DuckDB raises — the engines would diverge."""
+    return (idx % 1_000_003) * 2_246_822_519 % 1_000 < int(media_rate * 1_000)
 
 
 def doc_spans(idx: int, seed: int, tags_per_doc: int, media_rate: float, hot: bool) -> list[dict]:
@@ -375,7 +380,7 @@ def synth_media(
     from deidcm_spark.schema import MEDIA_PAYLOADS_SCHEMA, OCR_BOXES_SCHEMA
 
     idx_df = spark.range(n_docs).selectExpr("id as idx").filter(
-        f"idx * 2246822519 % 1000 < {int(media_rate * 1_000)}"
+        f"(idx % 1000003) * 2246822519 % 1000 < {int(media_rate * 1_000)}"
     )
     if num_partitions:
         idx_df = idx_df.repartition(num_partitions)

@@ -150,7 +150,7 @@ def boxes_sql(dialect: str, media_rate_millis: int = 500) -> str:
         frame = f"""
   SELECT doc_id, {h_n} % 5 AS n_boxes, {h_lc} % 100 < 15 AS low_conf_first
   FROM documents
-  WHERE doc_id * 2246822519 % 1000 < {media_rate_millis}
+  WHERE (doc_id % 1000003) * 2246822519 % 1000 < {media_rate_millis}
 """
         body = f"""
 SELECT concat('m_sql_', CAST(doc_id AS {s})) AS media_ref,
@@ -180,7 +180,7 @@ SELECT 'm_sql_' || CAST(doc_id AS varchar) AS media_ref,
 FROM (
   SELECT doc_id, {h_n} % 5 AS n_boxes, {h_lc} % 100 < 15 AS low_conf_first
   FROM documents
-  WHERE doc_id * 2246822519 % 1000 < {media_rate_millis}
+  WHERE (doc_id % 1000003) * 2246822519 % 1000 < {media_rate_millis}
 ) f, unnest(generate_series(0, CAST(n_boxes AS int) - 1)) AS t(b)
 WHERE n_boxes > 0
 """
@@ -192,5 +192,5 @@ def media_universe_sql(dialect: str, media_rate_millis: int = 500) -> str:
     s = "string" if dialect == "spark" else "varchar"
     return (
         f"SELECT concat('m_sql_', CAST(doc_id AS {s})) AS media_ref "
-        f"FROM documents WHERE doc_id * 2246822519 % 1000 < {media_rate_millis}"
+        f"FROM documents WHERE (doc_id % 1000003) * 2246822519 % 1000 < {media_rate_millis}"
     )

@@ -152,13 +152,17 @@ def shingle_rows(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
 
 
-def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8) -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.8, candidates: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard over word-3-gram sets for LSH candidate pairs.
 
     |A∩B| via explode+join+count, |A∪B| = |A|+|B|−|A∩B|; near-dup when
-    jaccard ≥ threshold.
+    jaccard ≥ threshold.  ``candidates`` lets callers hand in a
+    MATERIALIZED pair list (localCheckpoint / table) so the minhash+banding
+    subtree is not re-derived inside the verify plan.
     """
-    cands = lsh_candidate_pairs(df)
+    cands = lsh_candidate_pairs(df) if candidates is None else candidates
     sizes = df.select("doc_id", F.expr(f"size({SHINGLES})").alias("n_sh"))
     sh = shingle_rows(df)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -271,16 +275,19 @@ def dedup_decisions(df: DataFrame, threshold: float = 0.8) -> DataFrame:
     the standard single-pass policy large pipelines apply per batch;
     full connected-component canonicalization (iterative label
     propagation) is deliberately out of scope for one query.
+
+    SCALE NOTE: the LSH candidate pairs are localCheckpointed before the
+    Jaccard verify — without that, Catalyst re-derives the whole
+    shingle/minhash/banding subtree inside the verify join (it reuses only
+    identical exchanges), which r2's PLANS.md measured at 61 exchanges for
+    the one-shot form.  The checkpoint materializes the (tiny, hot-band-
+    capped) pair list once; the verify plan then starts from it.  A 100 TB
+    pipeline persists the pair stages to real tables instead (the CLI
+    ``dedup`` subcommand does) — same shape, durable.
     """
-    # NOTE (scale): expressed as ONE DataFrame for the driver contract, the
-    # shingle/minhash subtree is duplicated across the band self-join and
-    # the Jaccard verify (Catalyst reuses only identical exchanges).  A
-    # 100 TB pipeline materializes lsh_candidate_pairs + ngram_jaccard_pairs
-    # to a table first (as run_deid_job does for its stages), then runs
-    # :func:`dedup_decisions_from_pairs` against it — the CLI ``dedup``
-    # subcommand does exactly that.
+    cands = lsh_candidate_pairs(df).localCheckpoint()
     return dedup_decisions_from_pairs(
-        df, ngram_jaccard_pairs(df, threshold=threshold)
+        df, ngram_jaccard_pairs(df, threshold=threshold, candidates=cands)
     )
 
 
@@ -289,6 +296,7 @@ def neardup_components(
     threshold: float = 0.8,
     max_iter: int = 20,
     pairs: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over the verified near-dup graph: every
     document gets the MIN doc_id of its duplicate cluster as its canonical
@@ -302,31 +310,44 @@ def neardup_components(
     are shallow — near-dup graphs converge in a few rounds), with a
     ``max_iter`` cap and an exact convergence check (count of changed
     labels per round, one action on an aggregated frame).  Each round's
-    frame is localCheckpointed so the lineage — and with it the replanned
-    join DAG — stays O(1) per round instead of growing exponentially.
+    frame is checkpointed so the lineage — and with it the replanned
+    join DAG — stays O(1) per round instead of growing exponentially;
+    superseded rounds are unpersisted so executor storage stays O(1) too.
+
+    ``checkpoint_dir`` switches from ``localCheckpoint`` (executor-memory
+    resident — an executor loss mid-iteration kills the job) to RELIABLE
+    ``checkpoint()`` against that directory (HDFS/object store on a real
+    cluster): iteration state survives executor loss, the right choice for
+    a long component run at 100 TB.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda d: d.checkpoint()  # noqa: E731 — reliable, on-disk
+    else:
+        _ckpt = lambda d: d.localCheckpoint()  # noqa: E731
     if pairs is None:
         pairs = ngram_jaccard_pairs(df, threshold=threshold)
-    edges = (
+    edges = _ckpt(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = df.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    labels = _ckpt(df.select("doc_id", F.col("doc_id").alias("component")))
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
                 F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias("component"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -334,17 +355,20 @@ def neardup_components(
             .filter("n.component != o.component")
             .count()
         )
+        labels.unpersist()  # superseded round — release executor storage
         labels = new_labels
         if changed == 0:
             break
     else:
         # never exit with silently-wrong labels: a component whose diameter
         # exceeds max_iter would carry non-minimal ids downstream
+        edges.unpersist()
         raise RuntimeError(
             f"neardup_components did not converge in {max_iter} iterations "
             f"({changed} labels still changing) — raise max_iter (graph "
             f"diameter exceeds it)"
         )
+    edges.unpersist()
     return labels
 
 

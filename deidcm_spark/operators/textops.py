@@ -229,18 +229,22 @@ def stratified_sample(
     X% of each language/source).  ``rates_bp`` maps stratum value → keep
     rate in basis points; unlisted strata get ``default_bp``.  Pure
     codegen — a CASE over the stratum feeds the same md5 hash filter as
-    :func:`hash_sample`, so membership is retry- and engine-stable."""
-    branches = " ".join(
-        f"when {strata_col} = '{k}' then {v}" for k, v in sorted(rates_bp.items())
-    )
-    thr = f"case {branches} else {default_bp} end"
-    return df.filter(F.expr(f"{SPLIT_HASH} < ({thr})"))
+    :func:`hash_sample`, so membership is retry- and engine-stable.
+
+    The CASE is built from BOUND literals (``F.when``/``F.lit``), never
+    f-string SQL — stratum values are data (an ``O'Brien`` source name must
+    not break the expression)."""
+    thr = F.lit(default_bp)
+    for k, v in sorted(rates_bp.items(), reverse=True):
+        thr = F.when(F.col(strata_col) == F.lit(k), F.lit(v)).otherwise(thr)
+    return df.filter(F.expr(SPLIT_HASH) < thr)
 
 
 def pack_shards(
     df: DataFrame,
     capacity_tokens: int = 4096,
-    block_size: int = 1000,
+    block_size: int | None = None,
+    max_blocks: int = 100_000,
 ) -> DataFrame:
     """Token-aware contiguous shard packing (training-data sharding):
     documents in doc_id order fill shards of ~``capacity_tokens``;
@@ -252,15 +256,28 @@ def pack_shards(
 
     1. per-block totals: docs bucket into id-range blocks
        (``doc_id div block_size``); one hash aggregate gives each block's
-       token total; the tiny block→offset table (corpus/block_size rows —
-       metadata-scale, like the IVF codebook) computes exclusive prefix
+       token total; the block→offset table computes exclusive prefix
        offsets driver-side and broadcasts back;
     2. in-block window: ``sum() over (partition by block order by doc_id)``
        — each block windows independently, plus its broadcast offset.
 
+    The driver-side table is BOUNDED at any corpus size: when
+    ``block_size`` is None (the default) it is derived from the observed
+    doc_id range so the table never exceeds ``max_blocks`` rows
+    (``ceil(id_range / max_blocks)``) — metadata-scale like the IVF
+    codebook even at 10^12 documents.  An explicit ``block_size`` is
+    honored as-is (the block-size-invariance tests rely on it).
+
     Semantics are EXACTLY the global-window form (the DuckDB oracle runs
-    that form), at corpus-scale parallelism.
+    that form), at corpus-scale parallelism — shard assignment is a pure
+    function of the id order, independent of block_size.
     """
+    if block_size is None:
+        import math
+
+        lo, hi = df.agg(F.min("doc_id"), F.max("doc_id")).first()
+        span = int(hi) - int(lo) + 1 if lo is not None else 1
+        block_size = max(1, math.ceil(span / max_blocks))
     toks = df.select(
         "doc_id",
         F.expr(f"cast(size({TOKENS}) as bigint)").alias("n_tokens"),
