@@ -3,12 +3,26 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Headliners:
-* deid_synth      — the engine's flagship: synthesize a span corpus on
-  executors and run the full de-identification pipeline (docs/sec reported
-  in extras);
-* deid_ingest     — ingest the sf documents table into span form + deid;
-* relational/dedup/text/similarity operators over the sf tables.
+METHODOLOGY (round 3 — adopted from bench_scaling.py per r2's VERDICT):
+the r2 bench timed everything once inside one long-lived JVM; with this
+host's sporadic steal-time that produced ±25% per-query noise and a
+headline that read as a 1.3x regression on untouched code.  Now:
+
+* lane corpora (deid span corpus, replicated HTML corpus, media payload +
+  box tables) are materialized to /tmp ONCE, outside every timed window —
+  in particular media generation no longer pollutes the media_redaction
+  number (the r2 "2.2x regression" was unattributable for that reason);
+* the measurement runs in $SPARK_GRAFT_BENCH_WORKERS (default 2) FRESH
+  spark-submit processes, each pinned with taskset to the core budget;
+  within a process each query gets one warm pass (sf0.001) + best-of-2
+  timed runs; the reported figure is the min across processes;
+* the per-query spread across processes is reported in extras
+  (`worker_spread_pct`) so a reader can tell jitter from regression.
+
+Headliners: the deid flagship (shuffled + zero-exchange bucketed lanes,
+docs/sec in extras — the bucketed number leads, it is the architecture the
+engine recommends at scale), the extraction lane, the pixel-redaction lane,
+and every contract-query family.
 """
 
 from __future__ import annotations
@@ -16,199 +30,130 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F
-
-import __spark_entry__ as entry_mod
-from deidcm_spark.corpus import synth_documents
-from deidcm_spark.operators.deidentify import deidentify_attributes
-from deidcm_spark.session import get_spark
+from deidcm_spark.session import DRIVER_JAVA_OPTIONS, WORKER_ENV  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_WORKERS = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "2"))
 
-# round-1 per-query snapshot (BENCH_r01.json, sf0.1 local[32]) — each run
-# prints vs_prev = current/previous per query and flags >10% regressions
+# round-2 per-query floors (BENCH_r02 extras.queries_steady — best-of-2 in
+# one JVM, the closest prior methodology) + lane timings.  vs_prev flags
+# >10% regressions against these.  media_redaction has NO prev: the r2
+# window included corpus generation, so the numbers aren't comparable.
 PREV = {
-    "deid_synth": 1.607, "extract_bulk": 1.422, "deid_ingest_testdata": 0.526,
-    "q1_pricing_summary": 0.443, "join_customer_nation_region": 0.438,
-    "anti_join_customers_without_orders": 0.288, "events_hourly": 0.29,
-    "rule_classification": 0.37, "minhash_signatures": 1.273,
-    "lsh_candidate_pairs": 2.278, "dedup_exact": 0.338, "quality_score": 0.402,
-    "simhash": 0.864, "ann_threshold": 0.307, "media_redaction": 1.167,
-    "html_strip_tags": 0.53, "extract_main_content": 1.243,
-    "layout_parse": 0.542, "phi_scrub": 0.557, "dataset_split": 0.234,
+    "deid_synth": 2.436, "deid_synth_noshuffle": 1.348, "extract_bulk": 1.899,
+    "deid_ingest_testdata": 0.832, "q1_pricing_summary": 0.412,
+    "join_customer_nation_region": 0.573,
+    "anti_join_customers_without_orders": 0.533, "events_hourly": 0.461,
+    "rule_classification": 0.509, "minhash_signatures": 1.342,
+    "lsh_candidate_pairs": 2.974, "dedup_exact": 0.395,
+    "simhash": 0.981, "ann_threshold": 0.299, "media_redaction_plan": 0.579,
+    "html_strip_tags": 0.471, "extract_main_content": 1.389,
+    "layout_parse": 0.567, "phi_scrub": 0.715, "dataset_split": 0.227,
 }
 
-# deid bench corpus size scales with sf (sf0.1 → 20k docs ≈ 800k spans)
+
 def _sf() -> float:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     return float(m.group(1)) if m else 0.1
 
 
+def _pin(cpus: int) -> list[str]:
+    return ["taskset", "-c", f"0-{cpus - 1}"]
+
+
+def _spark_submit(args: list[str], cpus: int) -> dict | None:
+    env = dict(os.environ, PYTHONPATH="/root/repo", **WORKER_ENV)
+    res = subprocess.run(
+        _pin(cpus)
+        + [
+            "spark-submit", "--master", f"local[{cpus}]",
+            "--driver-java-options", DRIVER_JAVA_OPTIONS,
+            "--conf", "spark.driver.memory=12g",
+            "--conf", "spark.local.dir=/dev/shm/spark-local",
+            "tools/bench_worker.py",
+        ]
+        + args,
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=3600,
+    )
+    for line in res.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    if args[0] == "prepare":
+        if res.returncode == 0:
+            return None
+    raise RuntimeError(
+        f"bench worker failed: {res.stdout[-500:]} {res.stderr[-1500:]}"
+    )
+
+
 def main() -> None:
-    sf = _sf()
-    n_docs = max(2000, int(200_000 * sf))
-    spark = get_spark(
-        app_name="deidcm_spark_bench",
-        master=f"local[{CPUS}]",
-        shuffle_partitions=max(CPUS, 16),
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    _spark_submit(["prepare", SF_DIR, str(CPUS)], CPUS)
 
-    timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    samples: list[dict] = []
+    for i in range(N_WORKERS):
+        r = _spark_submit(["run", SF_DIR, str(CPUS)], CPUS)
+        print(f"# worker {i}: total "
+              f"{round(sum(r['queries'].values()), 2)}s", file=sys.stderr)
+        samples.append(r)
 
-    def run(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
-
-    # flagship: synthesized corpus → full pipeline (count forces execution)
-    docs = synth_documents(
-        spark, n_docs, seed=97, tags_per_doc=40, media_rate=0.1, skew=0.02,
-        num_partitions=CPUS * 2,
-    ).persist()
-    n_actual = docs.count()  # materialize corpus outside the timed window
-    # warm the Arrow python-worker pool + codegen so deid_synth measures
-    # steady-state throughput, not worker spin-up (matches scaling_worker)
-    deidentify_attributes(docs.limit(512), "9.9.9.9.9", "warm").agg(
-        F.count("*")
-    ).collect()
-
-    def deid_synth():
-        out = deidentify_attributes(docs, "9.9.9.9.9", "bench", num_partitions=CPUS * 2)
-        out.agg(F.sum(F.size("spans"))).collect()
-
-    run("deid_synth", deid_synth)
-    extras["deid_docs_per_sec"] = round(n_actual / timings["deid_synth"], 1)
-    extras["deid_n_docs"] = n_actual
-
-    # zero-exchange lane (bucketed-ingest story, lineage.prepare_bucketed_
-    # corpus): same corpus, no repartition — the span payload never shuffles
-    def deid_synth_noshuffle():
-        out = deidentify_attributes(docs, "9.9.9.9.9", "bench_nx")
-        out.agg(F.sum(F.size("spans"))).collect()
-
-    run("deid_synth_noshuffle", deid_synth_noshuffle)
-    extras["deid_noshuffle_docs_per_sec"] = round(
-        n_actual / timings["deid_synth_noshuffle"], 1
-    )
-    docs.unpersist()
-
-    # extraction-lane throughput (north_rule lane): sf documents replicated
-    # x16 so runtime >> per-job overhead, persisted outside the timed window
-    from deidcm_spark.operators import extract
-
-    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "text", "lang", "source"
-    )
-    reps = base
-    for i in range(1, 16):
-        reps = reps.unionByName(
-            base.select(
-                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                "text", "lang", "source",
-            )
-        )
-    html_corpus = extract.with_html(reps.repartition(CPUS * 2)).persist()
-    n_html = html_corpus.count()
-    extract.extract_main_content(html_corpus.limit(256)).agg(
-        F.count("*")
-    ).collect()  # warm the python workers
-
-    def extract_bulk():
-        out = extract.extract_main_content(html_corpus)
-        out.agg(F.sum(F.size("spans"))).collect()
-
-    run("extract_bulk", extract_bulk)
-    extras["extract_docs_per_sec"] = round(n_html / timings["extract_bulk"], 1)
-    extras["extract_n_docs"] = n_html
-    html_corpus.unpersist()
-
-    # pixel-redaction lane (the r01 "media_redaction" semantics — the
-    # queries() entry now benches the codegen rect plan instead, so the
-    # pixel mapInPandas path keeps its own headline here)
-    from deidcm_spark.corpus import synth_media
-    from deidcm_spark.operators.media import redact_media
-
-    def media_redaction_pixels():
-        payloads, boxes = synth_media(spark, 200, seed=17, media_rate=0.5)
-        red = redact_media(payloads, boxes, margin=8)
-        red.select("media_ref", F.md5(F.col("pixels")).alias("pixels_md5")).collect()
-
-    media_redaction_pixels()  # warm
-    run("media_redaction", media_redaction_pixels)
-
-    qs = entry_mod.queries()
-    headliners = [
-        "deid_ingest_testdata",
-        "q1_pricing_summary",
-        "join_customer_nation_region",
-        "anti_join_customers_without_orders",
-        "events_hourly",
-        "rule_classification",
-        "minhash_signatures",
-        "lsh_candidate_pairs",
-        "dedup_exact",
-        "quality_score",
-        "simhash",
-        "ann_threshold",
-        "media_redaction_plan",
-        "html_strip_tags",
-        "extract_main_content",
-        "layout_parse",
-        "phi_scrub",
-        "dataset_split",
-    ]
-    # bench_name -> queries() key ("media_redaction_plan" benches the
-    # renamed rect-plan entry; "media_redaction" above keeps pixel parity
-    # with the r01 snapshot)
-    aliases = {"media_redaction_plan": "media_redaction"}
-    # warm pass at the smallest sf: compiles/plans every code path and spins
-    # the python-worker pool so the timed loop measures steady-state execution
-    for name in headliners:
-        qs[aliases.get(name, name)](spark, "/root/testdata/sf0.001").collect()
-    # timings = first timed run (methodology identical to r01, comparable
-    # via vs_prev); a second run per query is recorded in extras as the
-    # steady-state floor — the host shows sporadic jitter (see
-    # BENCH/BASELINE.md), so the cold/steady pair separates engine cost
-    # from first-run planning + cache effects
-    steady: dict[str, float] = {}
-    for name in headliners:
-        run(name, lambda n=name: qs[aliases.get(n, n)](spark, SF_DIR).collect())
-        t0 = time.perf_counter()
-        qs[aliases.get(name, name)](spark, SF_DIR).collect()
-        steady[name] = round(min(timings[name], time.perf_counter() - t0), 3)
-    extras["queries_steady"] = steady
-
-    total = round(sum(timings.values()), 3)
-    vs_prev = {
-        n: round(t / PREV[n], 2) for n, t in timings.items() if n in PREV
+    names = list(samples[0]["queries"])
+    queries = {
+        n: round(min(s["queries"][n] for s in samples), 3) for n in names
     }
+    spread = {
+        n: round(
+            100.0
+            * (max(s["queries"][n] for s in samples) - queries[n])
+            / max(queries[n], 1e-9),
+            1,
+        )
+        for n in names
+    }
+    # throughput extras: best across workers; the zero-exchange bucketed
+    # deid number leads — it is the scale path (CLAUDE.md / BENCH/BASELINE.md)
+    extras = {
+        "deid_noshuffle_docs_per_sec": max(
+            s["extras"]["deid_noshuffle_docs_per_sec"] for s in samples
+        ),
+        "deid_docs_per_sec": max(
+            s["extras"]["deid_docs_per_sec"] for s in samples
+        ),
+        "extract_docs_per_sec": max(
+            s["extras"]["extract_docs_per_sec"] for s in samples
+        ),
+        "deid_n_docs": samples[0]["extras"]["deid_n_docs"],
+        "extract_n_docs": samples[0]["extras"]["extract_n_docs"],
+        "n_workers": N_WORKERS,
+        "method": "fresh pinned spark-submit per worker, warm + best-of-2 "
+                  "per query per worker, min across workers",
+        "worker_spread_pct": spread,
+    }
+    total = round(sum(queries.values()), 3)
+    vs_prev = {n: round(t / PREV[n], 2) for n, t in queries.items() if n in PREV}
     regressions = {n: r for n, r in vs_prev.items() if r > 1.1}
     if regressions:
-        print(f"# REGRESSIONS >10% vs r01: {regressions}", file=sys.stderr)
+        print(f"# >10% vs r02 steady floor: {regressions}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "total_headline_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+                "queries": queries,
+                "sf": _sf(),
                 "extras": extras,
                 "cpus": CPUS,
                 "vs_prev": vs_prev,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

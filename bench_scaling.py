@@ -114,6 +114,10 @@ def main() -> None:
         b = max(samples[cores], key=lambda r: r["docs_per_sec"])
         be = max(samples[cores], key=lambda r: r.get("extract_docs_per_sec", 0))
         bn = max(samples[cores], key=lambda r: r.get("noshuffle_docs_per_sec", 0))
+        bes = max(
+            samples[cores],
+            key=lambda r: r.get("extract_shuffled_docs_per_sec", 0),
+        )
         b = dict(b)
         for k in ("extract_n_docs", "extract_n_spans", "extract_elapsed_sec",
                   "extract_docs_per_sec"):
@@ -122,6 +126,9 @@ def main() -> None:
         for k in ("noshuffle_elapsed_sec", "noshuffle_docs_per_sec"):
             if k in bn:
                 b[k] = bn[k]
+        for k in ("extract_shuffled_elapsed_sec", "extract_shuffled_docs_per_sec"):
+            if k in bes:
+                b[k] = bes[k]
         best[cores] = b
 
     def eff(lo: int, hi: int, key: str) -> float:
@@ -136,6 +143,8 @@ def main() -> None:
         "deid_noshuffle_efficiency_8_to_32": eff(8, 32, "noshuffle_docs_per_sec"),
         "extract_efficiency_2_to_8": eff(2, 8, "extract_docs_per_sec"),
         "extract_efficiency_8_to_32": eff(8, 32, "extract_docs_per_sec"),
+        "extract_shuffled_efficiency_2_to_8": eff(2, 8, "extract_shuffled_docs_per_sec"),
+        "extract_shuffled_efficiency_8_to_32": eff(8, 32, "extract_shuffled_docs_per_sec"),
         "criterion": "efficiency >= 0.8 (north_rule, N vs 4N)",
     }
     result["pass"] = (
@@ -150,7 +159,8 @@ def main() -> None:
         f"{best[c]['docs_per_sec']} | "
         f"{best[c].get('noshuffle_docs_per_sec', '-')} | "
         f"{best[c]['extract_elapsed_sec']} | "
-        f"{best[c]['extract_docs_per_sec']} |"
+        f"{best[c]['extract_docs_per_sec']} | "
+        f"{best[c].get('extract_shuffled_docs_per_sec', '-')} |"
         for c in sorted(best)
     )
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
@@ -166,22 +176,25 @@ under-reports capability).  Deid corpus: {N_DOCS} span-form documents
 (seed 55, skew 0.02, ~16 spans-out avg/doc x5).  Extraction corpus:
 {best[8]['extract_n_docs']} synthesized HTML documents.
 
-| parallelism | deid elapsed (s) | deid docs/sec | deid no-shuffle docs/sec | extract elapsed (s) | extract docs/sec |
-|---|---|---|---|---|---|
+| parallelism | deid elapsed (s) | deid docs/sec | deid no-shuffle docs/sec | extract elapsed (s) | extract docs/sec (zero-exchange) | extract docs/sec (shuffled) |
+|---|---|---|---|---|---|---|
 {rows}
 
 ### N → 4N efficiency
 
-| pair | deid (salted shuffle) | deid (bucketed ingest, zero-exchange) | extraction lane |
-|---|---|---|---|
-| 2 → 8 cores  | **{result['deid_efficiency_2_to_8']}** | **{result['deid_noshuffle_efficiency_2_to_8']}** | **{result['extract_efficiency_2_to_8']}** |
-| 8 → 32 cores | {result['deid_efficiency_8_to_32']} | {result['deid_noshuffle_efficiency_8_to_32']} | {result['extract_efficiency_8_to_32']} |
+| pair | deid (salted shuffle) | deid (bucketed ingest, zero-exchange) | extraction (zero-exchange) | extraction (salted shuffle) |
+|---|---|---|---|---|
+| 2 → 8 cores  | **{result['deid_efficiency_2_to_8']}** | **{result['deid_noshuffle_efficiency_2_to_8']}** | **{result['extract_efficiency_2_to_8']}** | {result['extract_shuffled_efficiency_2_to_8']} |
+| 8 → 32 cores | {result['deid_efficiency_8_to_32']} | {result['deid_noshuffle_efficiency_8_to_32']} | {result['extract_efficiency_8_to_32']} | {result['extract_shuffled_efficiency_8_to_32']} |
 
-The zero-exchange column is the `lineage.prepare_bucketed_corpus` path:
-the corpus is stored clustered on the job's salted bucket function (the
-Iceberg `bucket(N, key)` ingest layout), so `run_deid_job(...,
-input_bucketed=True)` never shuffles the span payload — plan is
-scan → mapInArrow → sink (asserted in tests/test_lineage.py).
+The zero-exchange columns are the `lineage.prepare_bucketed_corpus` /
+`prepare_bucketed_raw_corpus` paths: the corpus is stored clustered on the
+job's salted bucket function (the Iceberg `bucket(N, key)` ingest layout),
+so `run_deid_job(..., input_bucketed=True)` / `run_extract_job(...,
+input_bucketed=True)` never shuffle the payload — plan is
+scan → mapInArrow/mapInPandas → sink (asserted in tests/test_lineage.py).
+The extraction "shuffled" column times the not-pre-bucketed job shape
+(salted bucket column + repartition before the extractor).
 
 * criterion ≥ 0.8 on the N→4N pair (2→8): **{'PASS' if result['pass'] else 'FAIL'}**
 

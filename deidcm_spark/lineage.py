@@ -85,6 +85,26 @@ def prepare_bucketed_corpus(
     write_bucketed(with_bucket, table, "bucket", n_buckets)
 
 
+def prepare_bucketed_raw_corpus(
+    raw_documents: DataFrame,
+    table: str,
+    salt: str = "deidcm_spark",
+    n_buckets: int = 32,
+) -> None:
+    """Extraction-lane analogue of :func:`prepare_bucketed_corpus`: cluster
+    the RAW (doc_id, text, lang, source) corpus on the extract job's bucket
+    function.  doc_id is cast to string FIRST — the extractor's id domain —
+    so the stored bucket matches what ``run_extract_job`` recomputes, and
+    ``run_extract_job(..., input_bucketed=True)`` runs the zero-exchange
+    plan: scan → html → mapInPandas → sink."""
+    from deidcm_spark.sources import write_bucketed
+
+    with_bucket = raw_documents.withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    ).withColumn("bucket", bucket_expr(salt, n_buckets))
+    write_bucketed(with_bucket, table, "bucket", n_buckets)
+
+
 def run_deid_job(
     spark: SparkSession,
     documents: DataFrame,

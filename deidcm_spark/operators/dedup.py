@@ -184,6 +184,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def passage_dedup(df: DataFrame, chunk_tokens: int = 16) -> DataFrame:
+    """Cross-document repeated-passage detection (RefinedWeb/CCNet 'exact
+    substring' dedup family, chunk-granular): tokens split into
+    consecutive ``chunk_tokens``-token chunks; a chunk text appearing in
+    MORE THAN ONE distinct document is a shared passage.
+
+    Returns (chunk_fp, n_docs, keep_doc_id) for shared chunks — the
+    keep/strip policy downstream mirrors :func:`dedup_exact` (smallest
+    doc_id owns the passage).  Shape: explode chunks → md5 → one hash
+    aggregate with map-side combine; a chunk repeated INSIDE one doc
+    counts once (distinct doc count).  At corpus scale the only shuffle is
+    (chunk_fp → partial agg), the same skew-safe profile as exact dedup.
+    """
+    n_chunks = f"cast(ceil(size({TOKENS}) / {chunk_tokens}.0) as int)"
+    chunks = (
+        f"case when size({TOKENS}) = 0 then array() else "
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> array_join(slice({TOKENS}, i * {chunk_tokens} + 1, {chunk_tokens}), ' ')) end"
+    )
+    rows = df.select("doc_id", F.explode(F.expr(chunks)).alias("chunk"))
+    return (
+        rows.select("doc_id", F.md5(F.col("chunk")).alias("chunk_fp"))
+        .distinct()  # in-doc repeats count once; rows now unique per (doc, fp)
+        .groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over distinct tokens: per-bit majority vote of token hashes.
 

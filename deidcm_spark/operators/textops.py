@@ -29,10 +29,18 @@ NORM_FP = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
 # lambda (no common-subexpression elimination through higher-order
 # functions): 15x slower measured at sf0.1.
 _NSH = f"greatest(size({TOKENS}) - 2, 0)"
-SHINGLES = (
-    f"array_distinct(zip_with(zip_with("
+# ALL word-3-grams in order (non-distinct — repetition signals need the
+# multiplicities); SHINGLES is the distinct set used by minhash/Jaccard
+SHINGLES_ALL = (
+    f"zip_with(zip_with("
     f"slice({TOKENS}, 1, {_NSH}), slice({TOKENS}, 2, {_NSH}), (a, b) -> concat(a, ' ', b)),"
-    f" slice({TOKENS}, 3, {_NSH}), (ab, c) -> concat(ab, ' ', c)))"
+    f" slice({TOKENS}, 3, {_NSH}), (ab, c) -> concat(ab, ' ', c))"
+)
+SHINGLES = f"array_distinct({SHINGLES_ALL})"
+_N2 = f"greatest(size({TOKENS}) - 1, 0)"
+TWOGRAMS_ALL = (
+    f"zip_with(slice({TOKENS}, 1, {_N2}), slice({TOKENS}, 2, {_N2}),"
+    f" (a, b) -> concat(a, ' ', b))"
 )
 
 # tiny marker-word lists for the n-gram/stopword language heuristic
@@ -139,6 +147,77 @@ def _flag_cols() -> list[Column]:
         F.expr(f"round(({uppers}) / greatest(length(text), 1), 4)").alias("upper_ratio"),
         F.expr(f"cast({urls} as bigint)").alias("n_urls"),
     ]
+
+
+def gopher_repetition(df: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 'repetition removal'): documents dominated by a few repeated
+    n-grams are boilerplate/spam and get filtered before training.
+
+    * ``top2_frac``   — fraction of all 2-grams taken by the single most
+      frequent 2-gram (Gopher's "top n-gram fraction");
+    * ``dup3_frac``   — fraction of all 3-grams whose gram occurs more
+      than once (Gopher's "duplicate n-gram fraction").
+
+    Shape: explode n-grams → per-(doc, gram) hash count → per-doc
+    aggregate — two map-side-combined aggregations per n, shuffle keyed on
+    (doc_id, gram) then doc_id, no windows, no Python.  Both ratios
+    rounded to 4 dp (oracle hash contract)."""
+    base = df.select("doc_id")
+
+    def _per_doc(grams_expr: str, dup: bool) -> DataFrame:
+        per_gram = (
+            df.select("doc_id", F.explode(F.expr(grams_expr)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("n"))
+        )
+        if dup:
+            num = F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        else:
+            num = F.max("n")
+        return per_gram.groupBy("doc_id").agg((num / F.sum("n")).alias("frac"))
+
+    two = _per_doc(TWOGRAMS_ALL, dup=False).select(
+        "doc_id", F.round("frac", 4).alias("top2_frac")
+    )
+    three = _per_doc(SHINGLES_ALL, dup=True).select(
+        "doc_id", F.round("frac", 4).alias("dup3_frac")
+    )
+    return (
+        base.join(two, "doc_id", "left")
+        .join(three, "doc_id", "left")
+        .na.fill(0.0, ["top2_frac", "dup3_frac"])
+    )
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """Test-set decontamination (GPT-3/PaLM appendix style): flag corpus
+    documents sharing any word-3-gram with a held-out benchmark.
+
+    ``benchmark`` is a (gram: string) table — at real scale a few million
+    rows from the eval suites, ALWAYS broadcast-size relative to the
+    corpus, so the plan is explode(corpus shingles) → broadcast semi-ish
+    join → per-doc count.  The corpus side streams; nothing shuffles but
+    the matched (doc_id, gram) pairs.  Returns contaminated docs only:
+    (doc_id, n_hits)."""
+    grams = df.select(
+        "doc_id", F.explode(F.expr(SHINGLES)).alias("gram")
+    )
+    return (
+        grams.join(F.broadcast(benchmark.select("gram").distinct()), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def benchmark_ngrams(df: DataFrame, max_doc_id: int = 3) -> DataFrame:
+    """Distinct 3-grams of the first ``max_doc_id`` documents — the
+    stand-in 'benchmark' relation for :func:`decontaminate` demos/tests."""
+    return (
+        df.filter(F.col("doc_id") < max_doc_id)
+        .select(F.explode(F.expr(SHINGLES)).alias("gram"))
+        .distinct()
+    )
 
 
 def vocab_top_terms(df: DataFrame, k: int = 100) -> DataFrame:

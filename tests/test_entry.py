@@ -16,8 +16,12 @@ FAST_ORACLE_SUBSET = [
     "join_customer_nation_region",
     "orders_priority_counts",
     "rule_classification",
-    "scalar_hash_kernels",
-    "token_count",
+    "scalar_kernels",
+    "text_stats",
+    "gopher_repetition",
+    "decontaminate",
+    "passage_dedup",
+    "events_asof_join",
     "dedup_exact",
     "ann_threshold",
 ]

@@ -134,16 +134,15 @@ def test_bucketed_input_zero_exchange_same_result(spark, tmp_path):
 def test_extract_job_bucketed_zero_exchange(spark, tmp_path):
     """run_extract_job(input_bucketed=True) over a pre-bucketed raw corpus:
     same committed output as the shuffled path."""
-    from deidcm_spark.lineage import bucket_expr, run_extract_job
-    from deidcm_spark.sources import write_bucketed
+    from deidcm_spark.lineage import (
+        prepare_bucketed_raw_corpus,
+        run_extract_job,
+    )
 
     raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
-    pre = raw.withColumn("doc_id", F.col("doc_id").cast("string")).withColumn(
-        "bucket", bucket_expr(SALT, N_BUCKETS)
-    )
-    write_bucketed(pre, "bt_extract_corpus", "bucket", N_BUCKETS)
+    prepare_bucketed_raw_corpus(raw, "bt_extract_corpus", SALT, N_BUCKETS)
 
     d1 = str(tmp_path / "ex_bucketed")
     d2 = str(tmp_path / "ex_shuffled")

@@ -107,6 +107,95 @@ def test_dedup_decisions_single_scan_plan(spark):
     assert n_exchanges <= 25, f"dedup_decisions plan has {n_exchanges} exchanges"
 
 
+def test_asof_join_semantics(spark):
+    """Hand-built timeline: latest right row with ts <= left ts per key;
+    simultaneous right rows ARE visible (ASOF >=); no-match -> null."""
+    from datetime import datetime as dt
+
+    from deidcm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, dt(2024, 1, 1, 0, 10)),
+         (2, 10, dt(2024, 1, 1, 0, 30)),
+         (3, 10, dt(2024, 1, 1, 0, 5)),   # before any right row
+         (4, 20, dt(2024, 1, 1, 1, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, dt(2024, 1, 1, 0, 10), 1.0),   # simultaneous with left#1
+         (101, 10, dt(2024, 1, 1, 0, 20), 2.0),
+         (102, 20, dt(2024, 1, 1, 0, 59), 3.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: (r["view_event_id"], r["view_value"])
+        for r in asof_join(
+            left, right, key="user_id", ts="ts",
+            payload_cols=["event_id", "value"], seq_col="event_id",
+            prefix="view_",
+        ).collect()
+    }
+    assert out == {
+        1: (100, 1.0),   # ts-equal right row visible
+        2: (101, 2.0),   # latest prior, not first
+        3: (None, None),  # nothing at-or-before
+        4: (102, 3.0),
+    }
+
+
+def test_gopher_repetition_signals(spark):
+    """'spam spam spam spam' is pure repetition (top2=1, dup3=1); a
+    no-repeat doc scores 0; a doc with < 2 tokens backfills 0."""
+    from deidcm_spark.operators.textops import gopher_repetition
+
+    d = spark.createDataFrame(
+        [(1, "spam spam spam spam"),
+         (2, "all tokens here are unique words"),
+         (3, "one"),
+         (4, "x y x y x y z z z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["top2_frac"], r["dup3_frac"])
+           for r in gopher_repetition(d).collect()}
+    assert got[1] == (1.0, 1.0)
+    assert got[2] == (0.2, 0.0)  # 5 distinct 2-grams, max 1 of 5
+    assert got[3] == (0.0, 0.0)
+    # doc 4: 2-grams [xy yx xy yx xy yz zz zz] -> top 'x y' 3/8
+    assert got[4][0] == round(3 / 8, 4)
+
+
+def test_passage_dedup_shared_chunks(spark):
+    """A 16-token passage shared by two docs is flagged with the smaller
+    doc_id as owner; unique chunks are not reported."""
+    from deidcm_spark.operators.dedup import passage_dedup
+
+    shared = " ".join(f"w{i}" for i in range(16))
+    d = spark.createDataFrame(
+        [(1, shared + " unique tail one two"),
+         (2, shared),
+         (3, "completely different words " * 4)],
+        "doc_id long, text string",
+    )
+    rows = passage_dedup(d, chunk_tokens=16).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 2 and rows[0]["keep_doc_id"] == 1
+
+
+def test_decontaminate_flags_overlap(spark):
+    from deidcm_spark.operators.textops import benchmark_ngrams, decontaminate
+
+    d = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"),
+         (10, "a quick brown fox appeared"),   # shares 'quick brown fox'
+         (11, "nothing in common at all")],
+        "doc_id long, text string",
+    )
+    bench = benchmark_ngrams(d, max_doc_id=1)
+    got = {r["doc_id"]: r["n_hits"]
+           for r in decontaminate(d.filter("doc_id >= 10"), bench).collect()}
+    assert got == {10: 1}
+
+
 def test_media_gate_no_bigint_overflow(spark):
     """(doc_id % 1000003) * 2246822519 stays < 2^63 for ANY bigint doc_id;
     Spark and DuckDB must agree on membership for huge ids (unreduced, the

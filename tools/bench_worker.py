@@ -1,0 +1,199 @@
+"""Worker for bench.py — one FRESH process, one full pass over the headline
+queries.  The parent launches several of these (CPU-pinned, interleaved) and
+takes the per-query best across processes: the same methodology as
+bench_scaling.py, adopted for the driver-visible bench per r2's VERDICT
+(single-shot in-one-JVM timings moved up to ±25% with host jitter and made
+round-over-round comparison meaningless).
+
+Modes:
+  prepare <sf_dir> <cpus>      — materialize the lane corpora under /tmp
+                                 (deid span corpus, replicated HTML corpus,
+                                 media payload/box tables) so NO generation
+                                 cost ever lands in a timed window;
+  run <sf_dir> <cpus>          — time every lane + query, print ONE JSON.
+
+Per query: one warm pass at sf0.001 (codegen, Arrow worker spin-up, parquet
+footers), then two timed runs at the bench sf — the in-process min of two
+smooths GC pauses; the cross-process min smooths host steal-time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+DEID_CORPUS = "/tmp/bench_deid_corpus.parquet"
+HTML_CORPUS = "/tmp/bench_html_corpus.parquet"
+MEDIA_PAYLOADS = "/tmp/bench_media_payloads.parquet"
+MEDIA_BOXES = "/tmp/bench_media_boxes.parquet"
+MARKER = "/tmp/bench_corpora_marker.json"
+WARM_SF = "/root/testdata/sf0.001"
+
+# bench query set: every operator family with a contract entry, plus the
+# round-3 additions (text_stats replaces the five row-local signal queries)
+HEADLINERS = [
+    "deid_ingest_testdata",
+    "q1_pricing_summary",
+    "join_customer_nation_region",
+    "anti_join_customers_without_orders",
+    "events_hourly",
+    "rule_classification",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "dedup_exact",
+    "text_stats",
+    "simhash",
+    "ann_threshold",
+    "media_redaction_plan",
+    "html_strip_tags",
+    "extract_main_content",
+    "layout_parse",
+    "phi_scrub",
+    "dataset_split",
+    "gopher_repetition",
+    "passage_dedup",
+    "decontaminate",
+    "events_asof_join",
+]
+ALIASES = {"media_redaction_plan": "media_redaction"}
+
+
+def _sf(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def prepare(sf_dir: str, cpus: int) -> None:
+    from deidcm_spark.corpus import synth_documents, synth_media
+    from deidcm_spark.session import get_spark
+
+    marker = {"sf_dir": sf_dir}
+    if os.path.exists(MARKER):
+        try:
+            if json.load(open(MARKER)) == marker and all(
+                os.path.exists(os.path.join(p, "_SUCCESS"))
+                for p in (DEID_CORPUS, HTML_CORPUS, MEDIA_PAYLOADS, MEDIA_BOXES)
+            ):
+                return
+        except Exception:
+            pass
+    spark = get_spark(app_name="bench_prepare", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_docs = max(2000, int(200_000 * _sf(sf_dir)))
+    synth_documents(
+        spark, n_docs, seed=97, tags_per_doc=40, media_rate=0.1, skew=0.02,
+        num_partitions=cpus * 2,
+    ).write.mode("overwrite").parquet(DEID_CORPUS)
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    reps = base
+    for i in range(1, 16):
+        reps = reps.unionByName(
+            base.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                "text", "lang", "source",
+            )
+        )
+    reps.repartition(cpus * 2).write.mode("overwrite").parquet(HTML_CORPUS)
+
+    payloads, boxes = synth_media(spark, 200, seed=17, media_rate=0.5)
+    payloads.write.mode("overwrite").parquet(MEDIA_PAYLOADS)
+    boxes.write.mode("overwrite").parquet(MEDIA_BOXES)
+    json.dump(marker, open(MARKER, "w"))
+    spark.stop()
+
+
+def run(sf_dir: str, cpus: int) -> None:
+    import __spark_entry__ as entry_mod
+    from deidcm_spark.operators import extract
+    from deidcm_spark.operators.deidentify import deidentify_attributes
+    from deidcm_spark.operators.media import redact_media
+    from deidcm_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench_worker", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name: str, fn, runs: int = 2) -> None:
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+
+    # --- deid lane (flagship): pre-written span corpus, persisted+counted
+    docs = spark.read.parquet(DEID_CORPUS).persist()
+    n_docs = docs.count()
+    deidentify_attributes(docs.limit(512), "9.9.9.9.9", "warm").agg(
+        F.count("*")
+    ).collect()
+    timed("deid_synth", lambda: deidentify_attributes(
+        docs, "9.9.9.9.9", "bench", num_partitions=cpus * 2
+    ).agg(F.sum(F.size("spans"))).collect())
+    timed("deid_synth_noshuffle", lambda: deidentify_attributes(
+        docs, "9.9.9.9.9", "bench_nx"
+    ).agg(F.sum(F.size("spans"))).collect())
+    extras["deid_n_docs"] = n_docs
+    extras["deid_docs_per_sec"] = round(n_docs / timings["deid_synth"], 1)
+    extras["deid_noshuffle_docs_per_sec"] = round(
+        n_docs / timings["deid_synth_noshuffle"], 1
+    )
+    docs.unpersist()
+
+    # --- extraction lane (north_rule): pre-written HTML corpus
+    html = extract.with_html(spark.read.parquet(HTML_CORPUS)).persist()
+    n_html = html.count()
+    extract.extract_main_content(html.limit(256)).agg(F.count("*")).collect()
+    timed("extract_bulk", lambda: extract.extract_main_content(html).agg(
+        F.sum(F.size("spans"))
+    ).collect())
+    extras["extract_n_docs"] = n_html
+    extras["extract_docs_per_sec"] = round(n_html / timings["extract_bulk"], 1)
+    html.unpersist()
+
+    # --- pixel-redaction lane: payloads/boxes from parquet (generation cost
+    # excluded per r2 VERDICT — the r2 window timed synth_media too, which
+    # made the 2.2x "regression" unattributable)
+    payloads = spark.read.parquet(MEDIA_PAYLOADS).persist()
+    boxes = spark.read.parquet(MEDIA_BOXES).persist()
+    payloads.count(), boxes.count()
+    redact_media(payloads.limit(8), boxes, margin=8).select(
+        F.md5(F.col("pixels"))
+    ).collect()
+    timed("media_redaction", lambda: redact_media(
+        payloads, boxes, margin=8
+    ).select("media_ref", F.md5(F.col("pixels")).alias("m")).collect())
+    payloads.unpersist(), boxes.unpersist()
+
+    # --- contract queries
+    qs = entry_mod.queries()
+    for name in HEADLINERS:
+        fn = qs[ALIASES.get(name, name)]
+        fn(spark, WARM_SF).collect()  # warm pass
+        timed(name, lambda f=fn: f(spark, sf_dir).collect())
+
+    print(json.dumps({"queries": timings, "extras": extras}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    mode, sf_dir, cpus = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    if mode == "prepare":
+        prepare(sf_dir, cpus)
+    else:
+        run(sf_dir, cpus)

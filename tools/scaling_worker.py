@@ -66,7 +66,9 @@ def main() -> None:
     })
 
     if html_corpus_path:
-        # extraction lane (north_rule): same two-level evidence, same input
+        # extraction lane (north_rule): same two-level evidence, same input.
+        # Zero-exchange shape (the prepare_bucketed_raw_corpus story): the
+        # stored corpus is consumed as-is, scan → html → mapInPandas → agg.
         raw = spark.read.parquet(html_corpus_path)
         ex_warm = extract.extract_main_content(extract.with_html(raw.limit(512)))
         ex_warm.agg(F.count("*")).collect()
@@ -79,6 +81,25 @@ def main() -> None:
             "extract_n_spans": int(ex_spans),
             "extract_elapsed_sec": round(ex_elapsed, 3),
             "extract_docs_per_sec": round(ex_docs / ex_elapsed, 1),
+        })
+
+        # shuffled shape: run_extract_job's compute plan when the input is
+        # NOT pre-bucketed — salted bucket column + repartition before the
+        # extractor (the full span payload crosses one exchange)
+        from deidcm_spark.lineage import bucket_expr
+
+        t0 = time.perf_counter()
+        shuffled = (
+            raw.withColumn("doc_id", F.col("doc_id").cast("string"))
+            .withColumn("bucket", bucket_expr("scaling", n_partitions))
+            .repartition(n_partitions, "bucket")
+        )
+        exs = extract.extract_main_content(extract.with_html(shuffled))
+        exs_docs = exs.agg(F.count("*"), F.sum(F.size("spans"))).collect()[0][0]
+        exs_elapsed = time.perf_counter() - t0
+        result.update({
+            "extract_shuffled_elapsed_sec": round(exs_elapsed, 3),
+            "extract_shuffled_docs_per_sec": round(exs_docs / exs_elapsed, 1),
         })
 
     print(json.dumps(result))
