@@ -131,7 +131,7 @@ def main() -> None:
         "deid_n_docs": samples[0]["extras"]["deid_n_docs"],
         "extract_n_docs": samples[0]["extras"]["extract_n_docs"],
         "n_workers": N_WORKERS,
-        "method": "fresh pinned spark-submit per worker, warm + best-of-2 "
+        "method": "fresh pinned spark-submit per worker, warm + best-of-3 "
                   "per query per worker, min across workers",
         "worker_spread_pct": spread,
     }

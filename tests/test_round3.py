@@ -143,6 +143,49 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_randomized_vs_bruteforce(spark):
+    """300x300 seeded random timelines (shared keys, duplicate timestamps,
+    keyless lefts) — the union+window implementation must equal the O(n^2)
+    definitional scan: argmax over right rows with ts <= left ts, largest
+    seq winning ties."""
+    import random
+    from datetime import datetime as dt, timedelta
+
+    from deidcm_spark.operators.asof import asof_join
+
+    rng = random.Random(303)
+    base = dt(2024, 1, 1)
+    lefts = [
+        (i, rng.randrange(12), base + timedelta(seconds=rng.randrange(500)))
+        for i in range(300)
+    ]
+    rights = [
+        (1000 + i, rng.randrange(12), base + timedelta(seconds=rng.randrange(500)),
+         float(i))
+        for i in range(300)
+    ]
+    expect = {}
+    for eid, k, ts in lefts:
+        cand = [r for r in rights if r[1] == k and r[2] <= ts]
+        if cand:
+            best = max(cand, key=lambda r: (r[2], r[0]))  # latest ts, max seq
+            expect[eid] = (best[0], best[3])
+        else:
+            expect[eid] = (None, None)
+    ldf = spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(
+        rights, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: (r["a_event_id"], r["a_value"])
+        for r in asof_join(
+            ldf, rdf, key="user_id", ts="ts",
+            payload_cols=["event_id", "value"], seq_col="event_id", prefix="a_",
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_gopher_repetition_signals(spark):
     """'spam spam spam spam' is pure repetition (top2=1, dup3=1); a
     no-repeat doc scores 0; a doc with < 2 tokens backfills 0."""

@@ -182,10 +182,13 @@ def run(sf_dir: str, cpus: int) -> None:
 
     # --- contract queries
     qs = entry_mod.queries()
+    # best-of-3 for the (mostly sub-second) contract queries: 50 ms of host
+    # steal is 15% on a 0.3 s query, so these need one more in-process
+    # sample than the multi-second lanes to stay under the ±10% target
     for name in HEADLINERS:
         fn = qs[ALIASES.get(name, name)]
         fn(spark, WARM_SF).collect()  # warm pass
-        timed(name, lambda f=fn: f(spark, sf_dir).collect())
+        timed(name, lambda f=fn: f(spark, sf_dir).collect(), runs=3)
 
     print(json.dumps({"queries": timings, "extras": extras}))
     spark.stop()
