@@ -46,6 +46,19 @@ SHINGLE_HASH_SPARK = (
 SHINGLE_HASH_DUCK = (
     f"CAST(concat('0x', substr(md5(shingle), 1, 15)) AS bigint) % {MINHASH_P}"
 )
+# the at-scale variant the module docstring promises: xxhash64 is a JVM
+# integer mix (no md5 string round-trip through hex), ~2x cheaper per
+# shingle.  NOT oracle-portable (DuckDB has no xxhash64), so the contract
+# queries stay on the md5 spec; pipelines choose hash_impl="fast".
+# Both land in [0, MINHASH_P) so the affine signature maps are unchanged.
+SHINGLE_HASH_FAST = f"pmod(xxhash64(shingle), {MINHASH_P})"
+
+def _shingle_hash(hash_impl: str) -> str:
+    if hash_impl == "portable":
+        return SHINGLE_HASH_SPARK
+    if hash_impl == "fast":
+        return SHINGLE_HASH_FAST
+    raise ValueError(f"hash_impl must be 'portable' or 'fast', got {hash_impl!r}")
 
 
 def dedup_exact(df: DataFrame) -> DataFrame:
@@ -77,7 +90,7 @@ def dedup_exact_salted(df: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
-def minhash_signatures(df: DataFrame) -> DataFrame:
+def minhash_signatures(df: DataFrame, hash_impl: str = "portable") -> DataFrame:
     """doc_id + minhash[16] (universal-hash minima) + shingle count.
 
     Shape: explode(shingles) → project ONE md5-derived integer per shingle
@@ -89,7 +102,7 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     aggregation), which is also the shuffle-light shape at corpus scale."""
     rows = df.select(
         "doc_id", F.explode_outer(F.expr(SHINGLES)).alias("shingle")
-    ).withColumn("h", F.expr(SHINGLE_HASH_SPARK))
+    ).withColumn("h", F.expr(_shingle_hash(hash_impl)))
     aggs = [
         F.min(
             (F.col("h") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
@@ -101,9 +114,9 @@ def minhash_signatures(df: DataFrame) -> DataFrame:
     )
 
 
-def lsh_bands(df: DataFrame) -> DataFrame:
+def lsh_bands(df: DataFrame, hash_impl: str = "portable") -> DataFrame:
     """Explode signatures into (doc_id, band_idx, band_key) bucket rows."""
-    sig = minhash_signatures(df).filter("n_shingles > 0")
+    sig = minhash_signatures(df, hash_impl=hash_impl).filter("n_shingles > 0")
     bands = F.array(
         *[
             F.md5(F.concat_ws("|", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]))
@@ -115,7 +128,9 @@ def lsh_bands(df: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, max_band_size: int = 100) -> DataFrame:
+def lsh_candidate_pairs(
+    df: DataFrame, max_band_size: int = 100, hash_impl: str = "portable"
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
 
     HOT-BAND GUARD: a band bucket shared by more than ``max_band_size``
@@ -126,7 +141,7 @@ def lsh_candidate_pairs(df: DataFrame, max_band_size: int = 100) -> DataFrame:
     practice); true near-dups still meet in their other, sharper bands.
     The DuckDB oracle applies the identical cap.
     """
-    b = lsh_bands(df)
+    b = lsh_bands(df, hash_impl=hash_impl)
     small = (
         b.groupBy("band_idx", "band_key")
         .agg(F.count("*").alias("_n"))
@@ -153,7 +168,10 @@ def shingle_rows(df: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float = 0.8, candidates: DataFrame | None = None
+    df: DataFrame,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    hash_impl: str = "portable",
 ) -> DataFrame:
     """Exact Jaccard over word-3-gram sets for LSH candidate pairs.
 
@@ -162,7 +180,11 @@ def ngram_jaccard_pairs(
     MATERIALIZED pair list (localCheckpoint / table) so the minhash+banding
     subtree is not re-derived inside the verify plan.
     """
-    cands = lsh_candidate_pairs(df) if candidates is None else candidates
+    cands = (
+        lsh_candidate_pairs(df, hash_impl=hash_impl)
+        if candidates is None
+        else candidates
+    )
     sizes = df.select("doc_id", F.expr(f"size({SHINGLES})").alias("n_sh"))
     sh = shingle_rows(df)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -239,6 +239,35 @@ def test_decontaminate_flags_overlap(spark):
     assert got == {10: 1}
 
 
+def test_minhash_fast_hash_impl(spark):
+    """hash_impl='fast' (xxhash64, the documented at-scale swap) must be
+    deterministic, keep signatures in [0, P), and find every exact-dup
+    pair on a doubled corpus (identical docs collide in ALL bands under
+    any hash)."""
+    from deidcm_spark.operators.dedup import MINHASH_P, lsh_candidate_pairs, minhash_signatures
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    doubled = d.union(dup)
+
+    s1 = sorted(map(tuple, minhash_signatures(d, hash_impl="fast").collect()))
+    s2 = sorted(map(tuple, minhash_signatures(d, hash_impl="fast").collect()))
+    assert s1 == s2  # deterministic across runs
+    for row in s1[:50]:
+        for v in row[2:]:
+            assert 0 <= v < MINHASH_P
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(doubled, hash_impl="fast").collect()
+    }
+    for r in d.select("doc_id").collect():
+        assert (r["doc_id"], r["doc_id"] + 1_000_000) in pairs
+
+    with pytest.raises(ValueError, match="hash_impl"):
+        minhash_signatures(d, hash_impl="md5")
+
+
 def test_media_gate_no_bigint_overflow(spark):
     """(doc_id % 1000003) * 2246822519 stays < 2^63 for ANY bigint doc_id;
     Spark and DuckDB must agree on membership for huge ids (unreduced, the

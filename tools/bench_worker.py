@@ -180,6 +180,26 @@ def run(sf_dir: str, cpus: int) -> None:
     ).select("media_ref", F.md5(F.col("pixels")).alias("m")).collect())
     payloads.unpersist(), boxes.unpersist()
 
+    # --- at-scale hash-swap evidence: the SAME minhash signature job with
+    # hash_impl="fast" (xxhash64 integer mix, not oracle-portable) vs the
+    # md5 portable spec timed as the `minhash_signatures` contract query —
+    # the pair quantifies what pipelines buy by choosing the fast path
+    from deidcm_spark.operators import dedup as _dedup
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    _dedup.minhash_signatures(docs_tbl.limit(64), hash_impl="fast").agg(
+        F.count("*")
+    ).collect()
+    timed(
+        "minhash_signatures_fast",
+        lambda: _dedup.minhash_signatures(docs_tbl, hash_impl="fast").select(
+            "doc_id", "n_shingles", *[f"mh{i}" for i in range(_dedup.N_MINHASH)]
+        ).collect(),
+        runs=3,
+    )
+
     # --- contract queries
     qs = entry_mod.queries()
     # best-of-3 for the (mostly sub-second) contract queries: 50 ms of host
