@@ -128,6 +128,9 @@ def main() -> None:
         "extract_docs_per_sec": max(
             s["extras"]["extract_docs_per_sec"] for s in samples
         ),
+        "minhash_signatures_fast_sec": min(
+            s["extras"]["minhash_signatures_fast_sec"] for s in samples
+        ),
         "deid_n_docs": samples[0]["extras"]["deid_n_docs"],
         "extract_n_docs": samples[0]["extras"]["extract_n_docs"],
         "n_workers": N_WORKERS,
