@@ -14,8 +14,10 @@ headline that read as a 1.3x regression on untouched code.  Now:
   number (the r2 "2.2x regression" was unattributable for that reason);
 * the measurement runs in $SPARK_GRAFT_BENCH_WORKERS (default 2) FRESH
   spark-submit processes, each pinned with taskset to the core budget;
-  within a process each query gets one warm pass (sf0.001) + best-of-2
-  timed runs; the reported figure is the min across processes;
+  within a process each multi-second lane (deid/extract/media) gets one
+  warm pass + best-of-2 timed runs and each (mostly sub-second) contract
+  query gets one warm pass (sf0.001) + best-of-3; the reported figure is
+  the min across processes;
 * the per-query spread across processes is reported in extras
   (`worker_spread_pct`) so a reader can tell jitter from regression.
 
@@ -30,12 +32,11 @@ from __future__ import annotations
 import json
 import os
 import re
-import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from deidcm_spark.session import DRIVER_JAVA_OPTIONS, WORKER_ENV  # noqa: E402
+from tools.bench_common import spark_submit_json  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -63,33 +64,9 @@ def _sf() -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def _pin(cpus: int) -> list[str]:
-    return ["taskset", "-c", f"0-{cpus - 1}"]
-
-
 def _spark_submit(args: list[str], cpus: int) -> dict | None:
-    env = dict(os.environ, PYTHONPATH="/root/repo", **WORKER_ENV)
-    res = subprocess.run(
-        _pin(cpus)
-        + [
-            "spark-submit", "--master", f"local[{cpus}]",
-            "--driver-java-options", DRIVER_JAVA_OPTIONS,
-            "--conf", "spark.driver.memory=12g",
-            "--conf", "spark.local.dir=/dev/shm/spark-local",
-            "tools/bench_worker.py",
-        ]
-        + args,
-        capture_output=True, text=True, cwd="/root/repo", env=env,
-        timeout=3600,
-    )
-    for line in res.stdout.splitlines():
-        if line.startswith("{"):
-            return json.loads(line)
-    if args[0] == "prepare":
-        if res.returncode == 0:
-            return None
-    raise RuntimeError(
-        f"bench worker failed: {res.stdout[-500:]} {res.stderr[-1500:]}"
+    return spark_submit_json(
+        "tools/bench_worker.py", args, cpus, require_json=args[0] != "prepare"
     )
 
 
@@ -134,8 +111,10 @@ def main() -> None:
         "deid_n_docs": samples[0]["extras"]["deid_n_docs"],
         "extract_n_docs": samples[0]["extras"]["extract_n_docs"],
         "n_workers": N_WORKERS,
-        "method": "fresh pinned spark-submit per worker, warm + best-of-3 "
-                  "per query per worker, min across workers",
+        "method": "fresh pinned spark-submit per worker; per worker: warm + "
+                  "best-of-2 on the multi-second lanes (deid/extract/media), "
+                  "warm + best-of-3 on the contract queries; min across "
+                  "workers",
         "worker_spread_pct": spread,
     }
     total = round(sum(queries.values()), 3)

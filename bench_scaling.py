@@ -28,12 +28,11 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from deidcm_spark.session import DRIVER_JAVA_OPTIONS, WORKER_ENV  # noqa: E402
+from tools.bench_common import replicate_docs, spark_submit_json  # noqa: E402
 
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "2000000"))
 HTML_REPLICAS = int(os.environ.get("SCALING_HTML_REPLICAS", "64"))
@@ -46,8 +45,6 @@ CPU_PIN = {2: "0-1", 8: "0-7", 32: "0-31"}
 
 
 def prepare_corpus() -> None:
-    from pyspark.sql import functions as F
-
     from deidcm_spark.corpus import synth_documents
     from deidcm_spark.session import get_spark
 
@@ -63,38 +60,15 @@ def prepare_corpus() -> None:
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
-    reps = [
-        base.select(
-            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-            "text", "lang", "source",
-        )
-        for i in range(HTML_REPLICAS)
-    ]
-    out = reps[0]
-    for r in reps[1:]:
-        out = out.unionByName(r)
-    out.repartition(128).write.mode("overwrite").parquet(HTML_CORPUS)
+    replicate_docs(base, HTML_REPLICAS).repartition(128).write.mode(
+        "overwrite"
+    ).parquet(HTML_CORPUS)
     spark.stop()
 
 
 def _run_level_once(cores: int) -> dict:
-    env = dict(os.environ, PYTHONPATH="/root/repo", **WORKER_ENV)
-    res = subprocess.run(
-        [
-            "taskset", "-c", CPU_PIN[cores],
-            "spark-submit", "--master", f"local[{cores}]",
-            "--driver-java-options", DRIVER_JAVA_OPTIONS,
-            "--conf", "spark.driver.memory=12g",
-            "--conf", "spark.local.dir=/dev/shm/spark-local",
-            "tools/scaling_worker.py", CORPUS, "256", HTML_CORPUS,
-        ],
-        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=3600,
-    )
-    for line in res.stdout.splitlines():
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(
-        f"no result from local[{cores}]: {res.stdout[-500:]} {res.stderr[-1500:]}"
+    return spark_submit_json(
+        "tools/scaling_worker.py", [CORPUS, "256", HTML_CORPUS], cores
     )
 
 

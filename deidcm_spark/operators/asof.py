@@ -12,8 +12,11 @@ shape used here is UNION + WINDOW:
 
 1. tag right rows 0 and left rows 1, union them into one stream;
 2. one window ``partitionBy(key).orderBy(ts, side, seq)`` carries the
-   last non-null right payload forward (``last(..., ignorenulls=True)``);
-3. keep the left rows.
+   last right PAYLOAD STRUCT forward (``last(..., ignorenulls=True)``
+   over one struct column — never per payload column, which would tear
+   rows whenever the latest right row holds a NULL in one payload
+   column while an older row doesn't);
+3. keep the left rows and expand the struct.
 
 One shuffle on the key, sorted once, zero joins — the merge-sorted
 single-pass an as-of join is supposed to be.  Ties (right.ts == left.ts)
@@ -39,34 +42,48 @@ def asof_join(
     ``c`` of ``right`` arrives as ``{prefix}{c}`` from the latest right row
     with ``right.ts <= left.ts`` and equal ``key`` (null when none).
 
-    ``seq_col``: a right-side column that makes ordering deterministic
-    when two right rows share (key, ts) — the LARGEST seq wins, mirroring
-    "latest record" semantics.  Without it, equal-ts right rows are
-    engine-order nondeterministic (same caveat as DuckDB's ASOF).
+    ``seq_col``: a right-side column (need not be in ``payload_cols``)
+    that makes ordering deterministic when two right rows share
+    (key, ts) — the LARGEST seq wins, mirroring "latest record"
+    semantics.  Without it, equal-ts right rows are engine-order
+    nondeterministic (same caveat as DuckDB's ASOF).
+
+    All ``payload_cols`` come from the SAME (latest) right row: the
+    payload travels as one struct, so a NULL in one payload column of
+    the latest row stays NULL instead of leaking the previous row's
+    value (DuckDB ASOF parity on nullable payloads).
     """
+    from pyspark.sql import types as T
+
     left_cols = left.columns
-    tag_left = left.withColumn("_side", F.lit(1))
-    for c in payload_cols:
-        tag_left = tag_left.withColumn(f"_p_{c}", F.lit(None).cast(right.schema[c].dataType))
+    struct_cols = list(payload_cols)
+    if seq_col is not None and seq_col not in struct_cols:
+        struct_cols.append(seq_col)
+    p_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in struct_cols]
+    )
+    tag_left = (
+        left.withColumn("_side", F.lit(1))
+        .withColumn("_p", F.lit(None).cast(p_type))
+    )
     tag_right = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in struct_cols]).alias("_p"),
     )
     for c in left_cols:
         if c not in (key, ts):
             tag_right = tag_right.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    merged = tag_left.select(
-        *left_cols, "_side", *[f"_p_{c}" for c in payload_cols]
-    ).unionByName(
-        tag_right.select(*left_cols, "_side", *[f"_p_{c}" for c in payload_cols])
+    merged = tag_left.select(*left_cols, "_side", "_p").unionByName(
+        tag_right.select(*left_cols, "_side", "_p")
     )
     order = [F.col(ts).asc(), F.col("_side").asc()]
     if seq_col is not None:
-        # right rows carry seq in their payload; left rows are null there —
-        # asc_nulls_last keeps left rows after right rows at equal ts
-        order.append(F.col(f"_p_{seq_col}").asc_nulls_last())
+        # right rows carry seq inside the struct; left rows have a null
+        # struct — asc_nulls_last keeps left rows after right rows at
+        # equal ts
+        order.append(F.col("_p").getField(seq_col).asc_nulls_last())
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
@@ -75,9 +92,9 @@ def asof_join(
     carried = merged.select(
         *left_cols,
         "_side",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in payload_cols
-        ],
+        F.last("_p", ignorenulls=True).over(w).alias("_pc"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return carried.filter(F.col("_side") == 1).select(
+        *left_cols,
+        *[F.col("_pc").getField(c).alias(f"{prefix}{c}") for c in payload_cols],
+    )

@@ -330,19 +330,38 @@ def dedup_decisions(df: DataFrame, threshold: float = 0.8) -> DataFrame:
     full connected-component canonicalization (iterative label
     propagation) is deliberately out of scope for one query.
 
-    SCALE NOTE: the LSH candidate pairs are localCheckpointed before the
-    Jaccard verify — without that, Catalyst re-derives the whole
-    shingle/minhash/banding subtree inside the verify join (it reuses only
-    identical exchanges), which r2's PLANS.md measured at 61 exchanges for
-    the one-shot form.  The checkpoint materializes the (tiny, hot-band-
-    capped) pair list once; the verify plan then starts from it.  A 100 TB
-    pipeline persists the pair stages to real tables instead (the CLI
-    ``dedup`` subcommand does) — same shape, durable.
+    SCALE NOTE: the LSH candidate pairs are persist()ed before the Jaccard
+    verify — without that, Catalyst re-derives the whole shingle/minhash/
+    banding subtree inside the verify join (it reuses only identical
+    exchanges), which r2's PLANS.md measured at 61 exchanges for the
+    one-shot form.  The cache substitutes an InMemoryRelation for the
+    (tiny, hot-band-capped) pair subtree, so the verify plan starts from
+    it.  persist — not localCheckpoint — on purpose (r3 review finding 4):
+    it is LAZY (constructing the DataFrame costs nothing; plan_report-style
+    explain does not fire a cluster job), its blocks are evictable under
+    memory pressure, and ``returned_df.unpersist()`` /
+    ``spark.catalog.clearCache()`` actually release them (a localCheckpoint
+    RDD is pinned for the session: DataFrame.unpersist is a silent no-op on
+    it).  A 100 TB pipeline persists the pair stages to real tables instead
+    (the CLI ``dedup`` subcommand does) — same shape, durable.
     """
-    cands = lsh_candidate_pairs(df).localCheckpoint()
+    cands = lsh_candidate_pairs(df).persist()
     return dedup_decisions_from_pairs(
         df, ngram_jaccard_pairs(df, threshold=threshold, candidates=cands)
     )
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor blocks behind a ``localCheckpoint()``-ed frame.
+
+    ``DataFrame.unpersist()`` routes through the cacheManager, which has no
+    entry for a localCheckpoint's LogicalRDD leaf — it is a silent no-op,
+    leaving every superseded iteration frame pinned at MEMORY_AND_DISK for
+    the session lifetime.  The materialized RDD hangs off the analyzed-plan
+    leaf; unpersist THAT (non-blocking)."""
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() == "LogicalRDD":
+        plan.rdd().unpersist(False)
 
 
 def neardup_components(
@@ -364,23 +383,48 @@ def neardup_components(
     are shallow — near-dup graphs converge in a few rounds), with a
     ``max_iter`` cap and an exact convergence check (count of changed
     labels per round, one action on an aggregated frame).  Each round's
-    frame is checkpointed so the lineage — and with it the replanned
+    frame is materialized so the lineage — and with it the replanned
     join DAG — stays O(1) per round instead of growing exponentially;
-    superseded rounds are unpersisted so executor storage stays O(1) too.
+    superseded rounds are RELEASED (executor blocks freed / round files
+    deleted) so storage stays O(1) too.  NB ``DataFrame.unpersist()`` is a
+    silent no-op on a localCheckpoint-backed frame (the cacheManager has no
+    entry for its LogicalRDD leaf) — release goes through the materialized
+    RDD itself (r3 review finding 2).
 
     ``checkpoint_dir`` switches from ``localCheckpoint`` (executor-memory
     resident — an executor loss mid-iteration kills the job) to RELIABLE
-    ``checkpoint()`` against that directory (HDFS/object store on a real
-    cluster): iteration state survives executor loss, the right choice for
-    a long component run at 100 TB.
+    round state: each round is written as parquet under that directory
+    (HDFS/object store on a real cluster) and read back — lineage
+    truncated, iteration state survives executor loss, superseded rounds
+    deleted eagerly through the Hadoop FileSystem API.  Deliberately NOT
+    ``sc.setCheckpointDir`` + ``df.checkpoint()``: that mutates global
+    SparkContext state for every other caller, and nothing ever deletes
+    the per-round checkpoint files (``spark.cleaner.referenceTracking.
+    cleanCheckpoints`` defaults to false).  The FINAL labels frame stays
+    backed by its round directory — the caller owns ``checkpoint_dir``
+    cleanup once done consuming the result.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     if checkpoint_dir is not None:
-        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        _ckpt = lambda d: d.checkpoint()  # noqa: E731 — reliable, on-disk
+        spark = df.sparkSession
+        counter = iter(range(10 * max_iter))
+
+        def _ckpt(d: DataFrame) -> DataFrame:
+            path = f"{checkpoint_dir}/round_{next(counter)}"
+            d.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
+            out._round_path = path  # type: ignore[attr-defined]
+            return out
+
+        def _release(d: DataFrame) -> None:
+            jvm = spark.sparkContext._jvm
+            p = jvm.org.apache.hadoop.fs.Path(d._round_path)
+            fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+            fs.delete(p, True)
     else:
         _ckpt = lambda d: d.localCheckpoint()  # noqa: E731
+        _release = _release_local_checkpoint
     if pairs is None:
         pairs = ngram_jaccard_pairs(df, threshold=threshold)
     edges = _ckpt(
@@ -409,20 +453,21 @@ def neardup_components(
             .filter("n.component != o.component")
             .count()
         )
-        labels.unpersist()  # superseded round — release executor storage
+        _release(labels)  # superseded round — free blocks / round files
         labels = new_labels
         if changed == 0:
             break
     else:
         # never exit with silently-wrong labels: a component whose diameter
         # exceeds max_iter would carry non-minimal ids downstream
-        edges.unpersist()
+        _release(edges)
+        _release(labels)
         raise RuntimeError(
             f"neardup_components did not converge in {max_iter} iterations "
             f"({changed} labels still changing) — raise max_iter (graph "
             f"diameter exceeds it)"
         )
-    edges.unpersist()
+    _release(edges)
     return labels
 
 

@@ -319,6 +319,21 @@ def stratified_sample(
     return df.filter(F.expr(SPLIT_HASH) < thr)
 
 
+def pack_shards_block_size(df: DataFrame, max_blocks: int) -> int:
+    """The auto block size :func:`pack_shards` uses when none is given:
+    derived from the OBSERVED doc_id range so the driver-side block→offset
+    table never exceeds ``max_blocks`` rows (``ceil(id_range /
+    max_blocks)``) — metadata-scale at any corpus size.  Exposed as its own
+    function so tests can observe the actual choice (r3 review finding 5:
+    the previous bound test recomputed the formula instead of observing
+    the implementation)."""
+    import math
+
+    lo, hi = df.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(hi) - int(lo) + 1 if lo is not None else 1
+    return max(1, math.ceil(span / max_blocks))
+
+
 def pack_shards(
     df: DataFrame,
     capacity_tokens: int = 4096,
@@ -352,11 +367,7 @@ def pack_shards(
     function of the id order, independent of block_size.
     """
     if block_size is None:
-        import math
-
-        lo, hi = df.agg(F.min("doc_id"), F.max("doc_id")).first()
-        span = int(hi) - int(lo) + 1 if lo is not None else 1
-        block_size = max(1, math.ceil(span / max_blocks))
+        block_size = pack_shards_block_size(df, max_blocks)
     toks = df.select(
         "doc_id",
         F.expr(f"cast(size({TOKENS}) as bigint)").alias("n_tokens"),

@@ -47,10 +47,22 @@ def test_pack_shards_auto_bounds_driver_table(spark):
     for r in rows:
         assert r["shard_id"] == before // 8
         before += r["n_tokens"]
-    # and the implied block count is bounded: span/block_size <= max_blocks
-    span = 999 * 1_000_000_000 + 1
-    import math
-    assert math.ceil(span / math.ceil(span / 100)) <= 100
+    # and the block size the implementation ACTUALLY chooses (the same
+    # helper pack_shards calls for block_size=None) bounds the driver-side
+    # offset table: distinct non-empty blocks under that size <= max_blocks
+    # (r3 review finding 5: the old assertion recomputed the formula in the
+    # test — a regression to the r2 block_size=1000 default would have
+    # passed it)
+    from deidcm_spark.operators.textops import pack_shards_block_size
+
+    bs = pack_shards_block_size(d, max_blocks=100)
+    n_blocks = (
+        d.select((F.col("doc_id") / bs).cast("long").alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_blocks <= 100, f"driver-side table would hold {n_blocks} rows"
+    assert bs >= 999 * 1_000_000_000 // 100  # sparse span actually observed
 
 
 def test_stratified_sample_quoted_stratum_key(spark):
@@ -91,19 +103,54 @@ def test_neardup_components_reliable_checkpoint(spark, tmp_path):
     assert any(os.scandir(ckdir))  # checkpoint data actually hit the dir
 
 
+def test_neardup_components_releases_iteration_state(spark):
+    """Regression (r3 review finding 2): DataFrame.unpersist() is a silent
+    no-op on localCheckpoint-backed frames, so superseded rounds used to
+    stay pinned O(iterations).  After a run, the only surviving
+    materialized RDD may be the returned labels frame itself — edges and
+    every superseded round must be gone from executor storage."""
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
+    )
+    labels = dedup.neardup_components(df, pairs=chain, max_iter=10)
+    assert {r["component"] for r in labels.collect()} == {0}
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    # 7-round chain: >= 8 checkpointed frames existed; only the final
+    # labels frame may remain
+    assert after - before <= 1, (
+        f"{after - before} RDDs still pinned after neardup_components"
+    )
+
+
 def test_dedup_decisions_single_scan_plan(spark):
     """The one-shot dedup_decisions must NOT re-derive the minhash/banding
-    subtree inside the Jaccard verify: r2's plan had 61 exchanges; with the
-    materialized candidate list the whole plan stays small."""
+    subtree inside the Jaccard verify: r2's plan had 61 exchanges; the
+    persist()ed candidate list substitutes an InMemoryRelation for that
+    subtree, so the verify plan starts from the cache.  Counted over the
+    NUMBERED nodes of explain("formatted") — tree-string counting reprints
+    the cached plan at every InMemoryTableScan occurrence."""
+    import contextlib
+    import io
+    import re
+
     d = spark.read.parquet(f"{SF}/documents.parquet").select(
         "doc_id", F.col("text")
     )
     out = dedup.dedup_decisions(d, threshold=0.5)
-    out.collect()  # finalize AQE
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
-    # measured 22 with the checkpointed candidates (was 61 in r2); the
-    # remaining exchanges are the inherent verify joins (shingles × sizes)
+    out.collect()  # finalize AQE (and populate the candidate cache)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    nodes = re.findall(r"\(\d+\) (\w+)", buf.getvalue())
+    assert "InMemoryTableScan" in nodes, "candidate cache was not substituted"
+    n_exchanges = nodes.count("Exchange")
+    # measured 17 with the persisted candidates; the remaining exchanges
+    # are the inherent verify joins (shingles × sizes)
     assert n_exchanges <= 25, f"dedup_decisions plan has {n_exchanges} exchanges"
 
 
@@ -184,6 +231,56 @@ def test_asof_join_randomized_vs_bruteforce(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_asof_join_null_payload_not_torn(spark):
+    """Regression (r3 review finding 1): when the LATEST right row holds a
+    NULL in one payload column, that NULL must survive — per-column
+    last(ignorenulls) would tear the row, mixing columns from different
+    right rows.  DuckDB ASOF returns the whole latest row, nulls and all."""
+    from datetime import datetime as dt
+
+    from deidcm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, dt(2024, 1, 1, 0, 30))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, dt(2024, 1, 1, 0, 10), 5.0),
+         (101, 10, dt(2024, 1, 1, 0, 20), None)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    [row] = asof_join(
+        left, right, key="user_id", ts="ts",
+        payload_cols=["event_id", "value"], seq_col="event_id", prefix="v_",
+    ).collect()
+    # latest row is (101, NULL) — value must be NULL, not 5.0 from row 100
+    assert (row["v_event_id"], row["v_value"]) == (101, None)
+
+
+def test_asof_join_seq_col_outside_payload(spark):
+    """Regression (r3 review finding 8): seq_col need not be listed in
+    payload_cols — the tie-break column rides in the carried struct even
+    when the caller doesn't want it in the output."""
+    from datetime import datetime as dt
+
+    from deidcm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, dt(2024, 1, 1, 0, 30))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, dt(2024, 1, 1, 0, 20), 1.0),
+         (101, 10, dt(2024, 1, 1, 0, 20), 2.0)],  # same ts: largest seq wins
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = asof_join(
+        left, right, key="user_id", ts="ts",
+        payload_cols=["value"], seq_col="event_id", prefix="v_",
+    )
+    assert out.columns == ["event_id", "user_id", "ts", "v_value"]
+    [row] = out.collect()
+    assert row["v_value"] == 2.0
 
 
 def test_gopher_repetition_signals(spark):

@@ -12,9 +12,12 @@ Modes:
                                  cost ever lands in a timed window;
   run <sf_dir> <cpus>          — time every lane + query, print ONE JSON.
 
-Per query: one warm pass at sf0.001 (codegen, Arrow worker spin-up, parquet
-footers), then two timed runs at the bench sf — the in-process min of two
-smooths GC pauses; the cross-process min smooths host steal-time.
+Per query: one warm pass (codegen, Arrow worker spin-up, parquet footers),
+then timed runs at the bench sf — best-of-2 for the multi-second lanes
+(deid/extract/media: long windows already average jitter), best-of-3 for
+the mostly sub-second contract queries (50 ms of host steal is 15% on a
+0.3 s query).  The in-process min smooths GC pauses; the cross-process min
+smooths host steal-time.
 """
 
 from __future__ import annotations
@@ -75,7 +78,11 @@ def prepare(sf_dir: str, cpus: int) -> None:
     from deidcm_spark.corpus import synth_documents, synth_media
     from deidcm_spark.session import get_spark
 
-    marker = {"sf_dir": sf_dir}
+    # cpus is part of the identity: the corpora are written with a
+    # cpus-derived partition layout, and the no-shuffle lane consumes that
+    # layout as-is — reusing a 32-core layout for an 8-core run would
+    # silently misattribute the headline number (r3 review finding 3)
+    marker = {"sf_dir": sf_dir, "cpus": cpus}
     if os.path.exists(MARKER):
         try:
             if json.load(open(MARKER)) == marker and all(
@@ -93,18 +100,14 @@ def prepare(sf_dir: str, cpus: int) -> None:
         num_partitions=cpus * 2,
     ).write.mode("overwrite").parquet(DEID_CORPUS)
 
+    from tools.bench_common import replicate_docs
+
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
-    reps = base
-    for i in range(1, 16):
-        reps = reps.unionByName(
-            base.select(
-                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                "text", "lang", "source",
-            )
-        )
-    reps.repartition(cpus * 2).write.mode("overwrite").parquet(HTML_CORPUS)
+    replicate_docs(base, 16).repartition(cpus * 2).write.mode(
+        "overwrite"
+    ).parquet(HTML_CORPUS)
 
     payloads, boxes = synth_media(spark, 200, seed=17, media_rate=0.5)
     payloads.write.mode("overwrite").parquet(MEDIA_PAYLOADS)
