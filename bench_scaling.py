@@ -93,6 +93,7 @@ def main() -> None:
             samples[cores],
             key=lambda r: r.get("extract_shuffled_docs_per_sec", 0),
         )
+        bd = max(samples[cores], key=lambda r: r.get("dedup_docs_per_sec", 0))
         b = dict(b)
         for k in ("extract_n_docs", "extract_n_spans", "extract_elapsed_sec",
                   "extract_docs_per_sec"):
@@ -104,6 +105,10 @@ def main() -> None:
         for k in ("extract_shuffled_elapsed_sec", "extract_shuffled_docs_per_sec"):
             if k in bes:
                 b[k] = bes[k]
+        for k in ("dedup_n_docs", "dedup_n_pairs", "dedup_elapsed_sec",
+                  "dedup_docs_per_sec"):
+            if k in bd:
+                b[k] = bd[k]
         best[cores] = b
 
     def eff(lo: int, hi: int, key: str) -> float:
@@ -120,6 +125,8 @@ def main() -> None:
         "extract_efficiency_8_to_32": eff(8, 32, "extract_docs_per_sec"),
         "extract_shuffled_efficiency_2_to_8": eff(2, 8, "extract_shuffled_docs_per_sec"),
         "extract_shuffled_efficiency_8_to_32": eff(8, 32, "extract_shuffled_docs_per_sec"),
+        "dedup_efficiency_2_to_8": eff(2, 8, "dedup_docs_per_sec"),
+        "dedup_efficiency_8_to_32": eff(8, 32, "dedup_docs_per_sec"),
         "criterion": "efficiency >= 0.8 (north_rule, N vs 4N)",
     }
     result["pass"] = (
@@ -139,6 +146,7 @@ def main() -> None:
         "deid_2_8": result["deid_efficiency_2_to_8"],
         "deid_noshuffle_2_8": result["deid_noshuffle_efficiency_2_to_8"],
         "extract_2_8": result["extract_efficiency_2_to_8"],
+        "dedup_2_8": result["dedup_efficiency_2_to_8"],
         "noshuffle_docs_per_sec_32": best[32].get("noshuffle_docs_per_sec"),
         "pass": result["pass"],
     }
@@ -157,6 +165,7 @@ def main() -> None:
                 f"| {h['label']} | {_c('deid_2_8')} | "
                 f"{_c('deid_noshuffle_2_8')} | "
                 f"{_c('extract_2_8')} | "
+                f"{_c('dedup_2_8')} | "
                 f"{_c('noshuffle_docs_per_sec_32')} | "
                 f"{'PASS' if h.get('pass') else 'see note'} |"
             )
@@ -165,8 +174,9 @@ def main() -> None:
         "Rendered from the append-only `BENCH/SCALING_HISTORY.jsonl` — a\n"
         "regeneration of this file cannot erase prior evidence.\n\n"
         "| invocation | deid (shuffled) 2→8 | deid zero-exchange 2→8 | "
-        "extract zero-exchange 2→8 | zero-exchange docs/s @32c | criterion |\n"
-        "|---|---|---|---|---|---|\n" + "\n".join(hist_rows) + "\n\n"
+        "extract zero-exchange 2→8 | dedup (LSH) 2→8 | "
+        "zero-exchange docs/s @32c | criterion |\n"
+        "|---|---|---|---|---|---|---|\n" + "\n".join(hist_rows) + "\n\n"
         "The r3 best-of-2 invocation's shuffled-deid outlier (0.582, while\n"
         "the zero-exchange and extraction lanes in the SAME invocation\n"
         "matched r2) is the known failure mode: the shuffled local[2]\n"
@@ -182,7 +192,8 @@ def main() -> None:
         f"{best[c].get('noshuffle_docs_per_sec', '-')} | "
         f"{best[c]['extract_elapsed_sec']} | "
         f"{best[c]['extract_docs_per_sec']} | "
-        f"{best[c].get('extract_shuffled_docs_per_sec', '-')} |"
+        f"{best[c].get('extract_shuffled_docs_per_sec', '-')} | "
+        f"{best[c].get('dedup_docs_per_sec', '-')} |"
         for c in sorted(best)
     )
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
@@ -198,16 +209,16 @@ under-reports capability).  Deid corpus: {N_DOCS} span-form documents
 (seed 55, skew 0.02, ~16 spans-out avg/doc x5).  Extraction corpus:
 {best[8]['extract_n_docs']} synthesized HTML documents.
 
-| parallelism | deid elapsed (s) | deid docs/sec | deid no-shuffle docs/sec | extract elapsed (s) | extract docs/sec (zero-exchange) | extract docs/sec (shuffled) |
-|---|---|---|---|---|---|---|
+| parallelism | deid elapsed (s) | deid docs/sec | deid no-shuffle docs/sec | extract elapsed (s) | extract docs/sec (zero-exchange) | extract docs/sec (shuffled) | dedup LSH docs/sec |
+|---|---|---|---|---|---|---|---|
 {rows}
 
 ### N → 4N efficiency
 
-| pair | deid (salted shuffle) | deid (bucketed ingest, zero-exchange) | extraction (zero-exchange) | extraction (salted shuffle) |
-|---|---|---|---|---|
-| 2 → 8 cores  | **{result['deid_efficiency_2_to_8']}** | **{result['deid_noshuffle_efficiency_2_to_8']}** | **{result['extract_efficiency_2_to_8']}** | {result['extract_shuffled_efficiency_2_to_8']} |
-| 8 → 32 cores | {result['deid_efficiency_8_to_32']} | {result['deid_noshuffle_efficiency_8_to_32']} | {result['extract_efficiency_8_to_32']} | {result['extract_shuffled_efficiency_8_to_32']} |
+| pair | deid (salted shuffle) | deid (bucketed ingest, zero-exchange) | extraction (zero-exchange) | extraction (salted shuffle) | dedup (minhash→LSH→pair join) |
+|---|---|---|---|---|---|
+| 2 → 8 cores  | **{result['deid_efficiency_2_to_8']}** | **{result['deid_noshuffle_efficiency_2_to_8']}** | **{result['extract_efficiency_2_to_8']}** | {result['extract_shuffled_efficiency_2_to_8']} | **{result['dedup_efficiency_2_to_8']}** |
+| 8 → 32 cores | {result['deid_efficiency_8_to_32']} | {result['deid_noshuffle_efficiency_8_to_32']} | {result['extract_efficiency_8_to_32']} | {result['extract_shuffled_efficiency_8_to_32']} | {result['dedup_efficiency_8_to_32']} |
 
 The zero-exchange columns are the `lineage.prepare_bucketed_corpus` /
 `prepare_bucketed_raw_corpus` paths: the corpus is stored clustered on the
@@ -217,6 +228,15 @@ input_bucketed=True)` never shuffle the payload — plan is
 scan → mapInArrow/mapInPandas → sink (asserted in tests/test_lineage.py).
 The extraction "shuffled" column times the not-pre-bucketed job shape
 (salted bucket column + repartition before the extractor).
+
+The dedup lane is the full near-dup candidate path — shingle → minhash
+signatures (one map-side-combined hash aggregate) → LSH banding → band
+self-join → distinct pairs — over {best[8].get('dedup_n_docs', '?')}
+documents (a 4-replica corpus subset, so every band bucket holds a real
+duplicate cluster; {best[8].get('dedup_n_pairs', '?')} pairs emitted),
+with the at-scale `hash_impl="fast"` (xxhash64) shingle hashing.  It is
+the shuffle-heaviest lane in the suite (two shuffles + a sort-merge
+self-join), which is why its N→4N behavior gets its own evidence column.
 
 * criterion ≥ 0.8 on the N→4N pair (2→8): **{'PASS' if result['pass'] else 'FAIL'}**
 

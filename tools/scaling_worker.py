@@ -102,6 +102,37 @@ def main() -> None:
             "extract_shuffled_docs_per_sec": round(exs_docs / exs_elapsed, 1),
         })
 
+        # dedup lane: the FULL near-dup candidate path — shingle → minhash
+        # signatures (hash aggregate) → LSH banding → band self-join →
+        # distinct pairs — on a 4-replica subset of the same corpus (each
+        # document appears 4×, so every band bucket holds a small true
+        # duplicate cluster: the join has real work but stays bounded).
+        # hash_impl="fast" (xxhash64) is the at-scale path a 100 TB
+        # pipeline would choose; the md5-portable spec is what the oracle
+        # checks.  Two shuffles (signature agg, band buckets) + one
+        # sort-merge self-join — the shuffle-heaviest lane in the suite,
+        # which is exactly why its N→4N behavior needs its own evidence.
+        from deidcm_spark.operators import dedup
+
+        ded = raw.filter(F.col("doc_id") < 4 * 10_000_000).select(
+            "doc_id", "text"
+        )
+        ded_docs = ded.count()
+        dedup.lsh_candidate_pairs(ded.limit(512), hash_impl="fast").agg(
+            F.count("*")
+        ).collect()
+        t0 = time.perf_counter()
+        n_pairs = dedup.lsh_candidate_pairs(ded, hash_impl="fast").agg(
+            F.count("*")
+        ).collect()[0][0]
+        ded_elapsed = time.perf_counter() - t0
+        result.update({
+            "dedup_n_docs": ded_docs,
+            "dedup_n_pairs": int(n_pairs),
+            "dedup_elapsed_sec": round(ded_elapsed, 3),
+            "dedup_docs_per_sec": round(ded_docs / ded_elapsed, 1),
+        })
+
     print(json.dumps(result))
     spark.stop()
 
