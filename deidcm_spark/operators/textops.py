@@ -159,34 +159,46 @@ def gopher_repetition(df: DataFrame) -> DataFrame:
     * ``dup3_frac``   — fraction of all 3-grams whose gram occurs more
       than once (Gopher's "duplicate n-gram fraction").
 
-    Shape: explode n-grams → per-(doc, gram) hash count → per-doc
-    aggregate — two map-side-combined aggregations per n, shuffle keyed on
-    (doc_id, gram) then doc_id, no windows, no Python.  Both ratios
-    rounded to 4 dp (oracle hash contract)."""
-    base = df.select("doc_id")
-
-    def _per_doc(grams_expr: str, dup: bool) -> DataFrame:
-        per_gram = (
-            df.select("doc_id", F.explode(F.expr(grams_expr)).alias("g"))
-            .groupBy("doc_id", "g")
-            .agg(F.count("*").alias("n"))
-        )
-        if dup:
-            num = F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
-        else:
-            num = F.max("n")
-        return per_gram.groupBy("doc_id").agg((num / F.sum("n")).alias("frac"))
-
-    two = _per_doc(TWOGRAMS_ALL, dup=False).select(
-        "doc_id", F.round("frac", 4).alias("top2_frac")
+    Shape: ROW-LOCAL, zero shuffle.  Both signals depend only on the
+    document's own text, so distributing them as
+    explode → groupBy(doc_id, gram) → groupBy(doc_id) (the previous form)
+    shuffled one row per distinct (doc, gram) — nearly the full corpus
+    volume, twice, to compute a per-row scalar.  Instead each row sorts
+    its n-gram array once (O(k log k), JVM codegen) and a single
+    ``aggregate()`` run-length scan extracts the max multiplicity
+    (top2) / duplicated-gram mass (dup3).  At 100 TB the plan is
+    scan → project, perfectly partition-local.  Both ratios rounded to
+    4 dp (oracle hash contract)."""
+    # run-length scan over the SORTED gram array: equal grams are adjacent,
+    # so one aggregate() pass tracks (prev gram, current run, answer)
+    top2 = (
+        f"case when size({TWOGRAMS_ALL}) = 0 then 0.0 else round("
+        f"aggregate(array_sort({TWOGRAMS_ALL}), "
+        f"named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        f"(acc, x) -> if(acc.prev is not null and x = acc.prev, "
+        f"named_struct('prev', x, 'run', acc.run + 1L, "
+        f"'best', greatest(acc.best, acc.run + 1L)), "
+        f"named_struct('prev', x, 'run', 1L, 'best', greatest(acc.best, 1L))), "
+        f"acc -> acc.best) / size({TWOGRAMS_ALL}), 4) end"
     )
-    three = _per_doc(SHINGLES_ALL, dup=True).select(
-        "doc_id", F.round("frac", 4).alias("dup3_frac")
+    # dup mass: when a run reaches length 2 both copies start counting
+    # (+2), each further copy adds 1 — total = sum of counts > 1
+    dup3 = (
+        f"case when size({SHINGLES_ALL}) = 0 then 0.0 else round("
+        f"aggregate(array_sort({SHINGLES_ALL}), "
+        f"named_struct('prev', cast(null as string), 'run', 0L, 'dup', 0L), "
+        f"(acc, x) -> if(acc.prev is not null and x = acc.prev, "
+        f"named_struct('prev', x, 'run', acc.run + 1L, "
+        f"'dup', acc.dup + if(acc.run = 1L, 2L, 1L)), "
+        f"named_struct('prev', x, 'run', 1L, 'dup', acc.dup)), "
+        f"acc -> acc.dup) / size({SHINGLES_ALL}), 4) end"
     )
-    return (
-        base.join(two, "doc_id", "left")
-        .join(three, "doc_id", "left")
-        .na.fill(0.0, ["top2_frac", "dup3_frac"])
+    # coalesce: a NULL text tokenizes to a NULL array (size() = NULL, not
+    # 0) — such docs score 0.0, matching the previous left-join + fill form
+    return df.select(
+        "doc_id",
+        F.expr(f"coalesce({top2}, 0.0)").alias("top2_frac"),
+        F.expr(f"coalesce({dup3}, 0.0)").alias("dup3_frac"),
     )
 
 

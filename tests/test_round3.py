@@ -233,6 +233,27 @@ def test_asof_join_randomized_vs_bruteforce(spark):
     assert got == expect
 
 
+def test_gopher_repetition_zero_exchange_plan(spark):
+    """The repetition signals are per-row scalars; the plan must stay
+    scan → project — any Exchange means the row-local rewrite regressed
+    to a corpus-wide n-gram shuffle."""
+    import contextlib
+    import io
+    import re
+
+    from deidcm_spark.operators.textops import gopher_repetition
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    out = gopher_repetition(d)
+    out.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    nodes = re.findall(r"\(\d+\) (\w+)", buf.getvalue())
+    n_ex = nodes.count("Exchange") + nodes.count("BroadcastExchange")
+    assert n_ex == 0, f"gopher_repetition plan has {n_ex} exchanges: {nodes}"
+
+
 def test_asof_join_null_payload_not_torn(spark):
     """Regression (r3 review finding 1): when the LATEST right row holds a
     NULL in one payload column, that NULL must survive — per-column
@@ -292,7 +313,8 @@ def test_gopher_repetition_signals(spark):
         [(1, "spam spam spam spam"),
          (2, "all tokens here are unique words"),
          (3, "one"),
-         (4, "x y x y x y z z z")],
+         (4, "x y x y x y z z z"),
+         (5, None)],
         "doc_id long, text string",
     )
     got = {r["doc_id"]: (r["top2_frac"], r["dup3_frac"])
@@ -302,6 +324,9 @@ def test_gopher_repetition_signals(spark):
     assert got[3] == (0.0, 0.0)
     # doc 4: 2-grams [xy yx xy yx xy yz zz zz] -> top 'x y' 3/8
     assert got[4][0] == round(3 / 8, 4)
+    # doc 4: 3-grams [xyx yxy xyx yxy xyz yzz zzz] -> dup mass 4/7
+    assert got[4][1] == round(4 / 7, 4)
+    assert got[5] == (0.0, 0.0)  # NULL text scores 0, not NULL
 
 
 def test_passage_dedup_shared_chunks(spark):

@@ -104,28 +104,36 @@ def main() -> None:
 
         # dedup lane: the FULL near-dup candidate path — shingle → minhash
         # signatures (hash aggregate) → LSH banding → band self-join →
-        # distinct pairs — on a 4-replica subset of the same corpus (each
-        # document appears 4×, so every band bucket holds a small true
-        # duplicate cluster: the join has real work but stays bounded).
+        # distinct pairs — over the whole replicated corpus (every band
+        # bucket holds a true 64-doc duplicate cluster, so the join has
+        # real work; the window is long enough that compute, not per-stage
+        # scheduling latency, dominates at every level — measured: a 20k-doc
+        # subset read 0.52 "efficiency" that was pure stage-pipeline floor).
         # hash_impl="fast" (xxhash64) is the at-scale path a 100 TB
         # pipeline would choose; the md5-portable spec is what the oracle
-        # checks.  Two shuffles (signature agg, band buckets) + one
-        # sort-merge self-join — the shuffle-heaviest lane in the suite,
-        # which is exactly why its N→4N behavior needs its own evidence.
+        # checks.  Broadcast is DISABLED for this lane: at probe scale the
+        # 320k-row band side slips under the 10 MB threshold and the self-
+        # join becomes a BroadcastHashJoin whose hash-relation build is
+        # driver-serial (measured: the non-scaling term) — at corpus scale
+        # that side could never broadcast, so the representative plan is
+        # the sort-merge self-join, which is also absolutely faster here.
         from deidcm_spark.operators import dedup
 
-        ded = raw.filter(F.col("doc_id") < 4 * 10_000_000).select(
-            "doc_id", "text"
-        )
-        ded_docs = ded.count()
-        dedup.lsh_candidate_pairs(ded.limit(512), hash_impl="fast").agg(
-            F.count("*")
-        ).collect()
-        t0 = time.perf_counter()
-        n_pairs = dedup.lsh_candidate_pairs(ded, hash_impl="fast").agg(
-            F.count("*")
-        ).collect()[0][0]
-        ded_elapsed = time.perf_counter() - t0
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ded = raw.select("doc_id", "text")
+            ded_docs = ded.count()
+            dedup.lsh_candidate_pairs(ded.limit(512), hash_impl="fast").agg(
+                F.count("*")
+            ).collect()
+            t0 = time.perf_counter()
+            n_pairs = dedup.lsh_candidate_pairs(ded, hash_impl="fast").agg(
+                F.count("*")
+            ).collect()[0][0]
+            ded_elapsed = time.perf_counter() - t0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         result.update({
             "dedup_n_docs": ded_docs,
             "dedup_n_pairs": int(n_pairs),
