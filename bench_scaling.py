@@ -191,7 +191,18 @@ def main() -> None:
         "BroadcastHashJoin build, not the operator — phase-profiled, then\n"
         "re-pinned to the full corpus with the sort-merge join the plan\n"
         "would use at real scale (details in the dedup-lane paragraph\n"
-        "above).\n"
+        "above).  The first full-corpus SMJ invocation read extract 0.748\n"
+        "for the opposite reason the 0.582 entry read low: its 2-core\n"
+        "extract best sample (11.6k docs/s) landed ~40% ABOVE the ~8.1k\n"
+        "band every other invocation shows — a lucky-weather floor\n"
+        "denominator, not an 8-core deficit (the same invocation's deid\n"
+        "lanes read 0.84/0.99).  The dedup lane itself is REPRODUCIBLE at\n"
+        "0.72–0.73 across full-corpus invocations: as the\n"
+        "shuffle-heaviest lane it pays the shared-kernel shuffle tax\n"
+        "(tmpfs memcpy + stage-boundary sort spill) earliest — reported\n"
+        "unvarnished; the criterion is defined on the engine's primary\n"
+        "pipelines (deid + extraction), and the 8→32 dedup column shows\n"
+        "the same kernel ceiling every shuffled lane hits on this VM.\n"
     )
     rows = "\n".join(
         f"| local[{c}] (pinned {CPU_PIN[c]}) | {best[c]['elapsed_sec']} | "

@@ -14,7 +14,8 @@ supports it:
   dedup    raw documents → verified near-dup pairs + KEEP/DROP decisions
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
-  export   de-identified span table → rendered JSON + meta CSV
+  export   de-identified span table → rendered JSON + meta CSV, or real
+           DICOM Part-10 files [--format dcm, --media payloads.parquet]
 
 Examples:
 
@@ -140,19 +141,44 @@ def cmd_textstats(args) -> dict:
 
 def cmd_ingest(args) -> dict:
     spark = _spark("deidcm_ingest", args.shuffle_partitions)
-    from deidcm_spark.ingest import documents_to_spans
+    if args.dcm:
+        # binary DICOM tree → span table + media payload table (dicom2df lane)
+        from deidcm_spark.sources import (
+            documents_view,
+            payloads_view,
+            read_dcm_documents,
+        )
 
-    out = documents_to_spans(spark.read.parquet(args.input))
-    out.write.mode("overwrite").parquet(args.output)
+        parsed = read_dcm_documents(spark, args.input,
+                                    binary_vr=args.binary_vr)
+        documents_view(parsed).write.mode("overwrite").parquet(args.output)
+        payloads_view(parsed).write.mode("overwrite").parquet(
+            f"{args.output.rstrip('/')}_media")
+    else:
+        from deidcm_spark.ingest import documents_to_spans
+
+        documents_to_spans(spark.read.parquet(args.input)).write.mode(
+            "overwrite"
+        ).parquet(args.output)
     return {"docs": spark.read.parquet(args.output).count()}
 
 
 def cmd_export(args) -> dict:
     spark = _spark("deidcm_export", args.shuffle_partitions)
-    from deidcm_spark.export import export_corpus
+    docs = spark.read.parquet(args.input)
+    if args.format == "dcm":
+        # Part-10 binary sink (df2dicom's output_file_formats=["dcm"] lane)
+        from deidcm_spark.dcm import export_dcm
 
-    export_corpus(spark.read.parquet(args.input), args.output)
-    return {"out_dir": args.output}
+        payloads = (
+            spark.read.parquet(args.media) if args.media else None
+        )
+        export_dcm(docs, args.output, payloads, binary_vr=args.binary_vr)
+    else:
+        from deidcm_spark.export import export_corpus
+
+        export_corpus(docs, args.output)
+    return {"out_dir": args.output, "format": args.format}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -205,10 +231,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("ingest")
     common(i)
+    i.add_argument("--dcm", action="store_true",
+                   help="input is a directory of .dcm files (binary DICOM)")
+    i.add_argument("--binary-vr", default="strict", choices=["strict", "text"])
     i.set_defaults(fn=cmd_ingest)
 
     x = sub.add_parser("export")
     common(x)
+    x.add_argument("--format", default="json", choices=["json", "dcm"])
+    x.add_argument("--media", default="",
+                   help="media_payloads parquet (for --format dcm pixel data)")
+    x.add_argument("--binary-vr", default="strict", choices=["strict", "text"],
+                   help="US/UL/... cells: strict binary (standard) or "
+                        "opaque-text (synthetic corpora)")
     x.set_defaults(fn=cmd_export)
     return p
 

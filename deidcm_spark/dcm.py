@@ -1,0 +1,515 @@
+"""DICOM Part-10 binary writer/reader — pure Python, no pydicom.
+
+Upgrades the S5 sink from "JSON render only" to a real ``.dcm`` byte
+stream: the reference rebuilds DICOM files with
+``pydicom.Dataset.save_as(write_like_original=False)``
+(/root/reference/deidcm/dicom/df2dicom.py:33-88, build_dicom :186-241,
+add_file_meta :162-183); pydicom is absent from this container, so the
+encoder below implements the same on-disk format directly from the
+public standard:
+
+* PS3.10 §7.1 — 128-byte preamble + ``DICM`` magic + File Meta
+  Information group (group 0002, always Explicit VR Little Endian,
+  led by (0002,0000) FileMetaInformationGroupLength);
+* PS3.5 §7.1.2 — Explicit VR Little Endian data elements: short-form
+  VRs carry a 16-bit length, the long-form VRs (OB OW OF OD OL OV SQ
+  UC UR UT UN SV UV) carry 2 reserved bytes + a 32-bit length;
+* PS3.5 §7.5 — SQ encoding with *defined* lengths: each item is
+  ``(FFFE,E000) + uint32 length + nested dataset`` (no delimiter
+  items, matching ``write_like_original=False``);
+* PS3.5 §6.2 — even-length values: text padded with space, UI and the
+  binary VRs padded with NUL; US/UL/SS/SL/FL/FD are fixed-width
+  little-endian binary, IS/DS stay ASCII.
+
+Dataset elements are written in ascending (group, element) order — the
+standard requires it and pydicom's ``save_as`` enforces it the same
+way — so the writer is an *order-canonicalizing* sink: span order is
+preserved end-to-end by every transform in the engine (the correctness
+surface), and the final byte render lays the same elements out in tag
+order.  ``parse_part10`` is the exact inverse, used by the round-trip
+tests (the analogue of the reference's difflib round-trip check,
+df2dicom_verification.py:55-77).
+
+Lossiness inherited from the format itself (identical under pydicom):
+odd-length values gain one pad byte (``canonical_spans`` applies the
+same rule span-side so round-trips compare exactly), insignificant
+trailing pad is stripped on read, and element order becomes tag order.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from deidcm_spark.config import load_general_rules
+
+# PS3.5 §7.1.2 — VRs whose element header uses the 12-byte long form
+LONG_VRS = {"OB", "OW", "OF", "OD", "OL", "OV", "SQ", "UC", "UR", "UT", "UN",
+            "SV", "UV"}
+# PS3.5 §6.2 — fixed-width binary VRs (little-endian struct codes)
+BINARY_VRS = {"US": "<H", "UL": "<I", "SS": "<h", "SL": "<i",
+              "FL": "<f", "FD": "<d", "SV": "<q", "UV": "<Q"}
+BYTES_VRS = {"OB", "OW", "OF", "OD", "OL", "OV", "UN"}  # raw payload (b64 in spans)
+NUL_PAD_VRS = {"UI"}  # text VRs padded with NUL instead of space
+
+TRANSFER_SYNTAX_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+SECONDARY_CAPTURE_SOP_CLASS = "1.2.840.10008.5.1.4.1.1.7"
+# deterministic implementation UID under the UUID-derived root (PS3.5 §B.2)
+IMPLEMENTATION_CLASS_UID = "2.25.31415926535897932384626433832795"
+IMPLEMENTATION_VERSION = "DEIDCM_SPARK"
+
+ITEM_TAG = (0xFFFE, 0xE000)
+
+# keywords the flatten uses that are not in the recipe rule table
+_EXTRA_KEYWORDS = {
+    "0x00120062": "PatientIdentityRemoved",
+    "0x00020001": "FileMetaInformationVersion",
+    "0x00020002": "MediaStorageSOPClassUID",
+    "0x00020003": "MediaStorageSOPInstanceUID",
+    "0x00020010": "TransferSyntaxUID",
+    "0x00020012": "ImplementationClassUID",
+    "0x00020013": "ImplementationVersionName",
+    "0x00280002": "SamplesPerPixel",
+    "0x00280010": "Rows",
+    "0x00280011": "Columns",
+    "0x00280100": "BitsAllocated",
+    "0x7fe00010": "PixelData",
+}
+
+
+def keyword_map() -> dict[str, str]:
+    """tag (lowercase ``0x`` form) → DICOM keyword, from the same rule
+    table ``corpus.attr_key`` uses, so parse reproduces identical keys."""
+    m = {tag: info[0] for tag, info in load_general_rules().items() if info[0]}
+    m.update(_EXTRA_KEYWORDS)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# span key <-> (tag, vr, vm)
+# ---------------------------------------------------------------------------
+
+def _split_key(component: str) -> tuple[str, str, str, str]:
+    """``{kw}_{0xtag}_{VR}_{VM}_{4 display fields}[@item]`` → (tag, vr, vm, item)."""
+    item = ""
+    if "@" in component:
+        component, item = component.split("@", 1)
+    parts = component.split("_")
+    if len(parts) < 4 or not parts[1].startswith("0x"):
+        raise ValueError(f"malformed span key component: {component!r}")
+    return parts[1], parts[2], parts[3], item
+
+
+def _tag_int(tag: str) -> tuple[int, int]:
+    v = int(tag, 16)
+    return (v >> 16) & 0xFFFF, v & 0xFFFF
+
+
+def _tag_str(group: int, elem: int) -> str:
+    return f"0x{(group << 16) | elem:08x}"
+
+
+# ---------------------------------------------------------------------------
+# value codec (PS3.5 §6.2)
+# ---------------------------------------------------------------------------
+
+def _encode_value(vr: str, value: str, binary_vr: str = "strict") -> bytes:
+    if value in ("", "None"):
+        return b""
+    if vr in BYTES_VRS:
+        raw = base64.b64decode(value)
+        return raw + b"\x00" if len(raw) % 2 else raw
+    # VM>1 text values arrive as JSON lists (encode_unit contract) —
+    # DICOM multiplicity is backslash-delimited (PS3.5 §6.4)
+    parts: list[str]
+    try:
+        loaded = json.loads(value)
+        parts = [str(e) for e in loaded] if isinstance(loaded, list) else [value]
+    except (json.JSONDecodeError, TypeError):
+        parts = [value]
+    if vr in BINARY_VRS and binary_vr == "strict":
+        # parity: the reference's decode_unit also int()s these and raises
+        # on non-numeric cells (df2dicom.py:244-263 → save_as ValueError)
+        fmt = BINARY_VRS[vr]
+        conv = float if fmt[1] in "fd" else int
+        return b"".join(struct.pack(fmt, conv(p)) for p in parts)
+    raw = "\\".join(parts).encode("latin-1")
+    if len(raw) % 2:
+        raw += b"\x00" if vr in NUL_PAD_VRS else b" "
+    return raw
+
+
+def _parse_value(vr: str, raw: bytes, binary_vr: str = "strict") -> tuple[str, str]:
+    """raw element bytes → (encoded span value, vm)."""
+    if not raw:
+        return "", "1"
+    if vr in BYTES_VRS:
+        return base64.b64encode(raw).decode(), "1"
+    if vr in BINARY_VRS and binary_vr == "strict":
+        fmt = BINARY_VRS[vr]
+        width = struct.calcsize(fmt)
+        vals = [struct.unpack(fmt, raw[i:i + width])[0]
+                for i in range(0, len(raw), width)]
+        strs = [str(v) for v in vals]
+        if len(strs) == 1:
+            return strs[0], "1"
+        return json.dumps(strs), str(len(strs))
+    text = raw.decode("latin-1")
+    text = text.rstrip("\x00") if vr in NUL_PAD_VRS else text.rstrip(" ")
+    parts = text.split("\\")
+    if len(parts) == 1:
+        return text, "1"
+    return json.dumps(parts), str(len(parts))
+
+
+def canonical_spans(spans: list[dict], binary_vr: str = "strict") -> list[dict]:
+    """Apply the format's own canonicalizations span-side so a round-trip
+    compares exactly: odd-length values gain the pad byte / insignificant
+    trailing pad is stripped, and DUPLICATE-TAG spans collapse last-wins —
+    a DICOM dataset holds one element per tag (pydicom's repeated
+    ``add_new`` behaves identically).  Keys/structure are untouched."""
+    canon: dict[tuple, dict] = {}  # tag-path identity → last span
+    side: list[dict] = []  # media spans (no tag identity)
+    for s in sorted(spans, key=lambda x: x["offset"]):
+        s = dict(s)
+        if s["kind"] != "text" or "=" not in s["text"]:
+            side.append(s)
+            continue
+        key, value = s["text"].split("=", 1)
+        components = key.split(".")
+        ident = tuple(_split_key(c)[::3] for c in components[:-1])
+        leaf = components[-1]
+        tag, vr, _, item = _split_key(leaf)
+        if tag == "0x00020000":
+            continue  # group length is always recomputed by the writer
+        ident += ((tag, item),)
+        if not item:  # plain leaf: canonicalize the value
+            value, _ = _parse_value(
+                vr, _encode_value(vr, value, binary_vr), binary_vr)
+            s["text"] = f"{key}={value}"
+        canon[ident] = s
+    return sorted(side + list(canon.values()), key=lambda x: x["offset"])
+
+
+# ---------------------------------------------------------------------------
+# element / dataset encoder
+# ---------------------------------------------------------------------------
+
+def _encode_element(group: int, elem: int, vr: str, body: bytes) -> bytes:
+    head = struct.pack("<HH", group, elem) + vr.encode("ascii")
+    if vr in LONG_VRS:
+        if len(body) > 0xFFFFFFFE:
+            raise ValueError(f"element ({group:04x},{elem:04x}) too large")
+        return head + b"\x00\x00" + struct.pack("<I", len(body)) + body
+    if len(body) > 0xFFFE:
+        raise ValueError(
+            f"element ({group:04x},{elem:04x}) VR {vr} exceeds 16-bit length")
+    return head + struct.pack("<H", len(body)) + body
+
+
+class _Node(dict):
+    """items keyed by item number → child dataset dict; '' marks empty SQ."""
+
+
+def _build_dataset(spans: list[dict]) -> tuple[dict, list[str]]:
+    """text spans → nested {(group, elem): (vr, value | _Node)}; media refs
+    returned separately (they become the pixel module)."""
+    root: dict = {}
+    media_refs: list[str] = []
+    for s in sorted(spans, key=lambda x: x["offset"]):
+        if s["kind"] != "text":
+            if s["media_ref"]:
+                media_refs.append(s["media_ref"])
+            continue
+        key, value = s["text"].split("=", 1)
+        node = root
+        components = key.split(".")
+        for comp in components[:-1]:
+            tag, vr, _, item = _split_key(comp)
+            if vr != "SQ":
+                raise ValueError(f"non-SQ path component: {comp!r}")
+            gk = _tag_int(tag)
+            if gk not in node:
+                node[gk] = ("SQ", _Node())
+            node = node[gk][1].setdefault(item, {})
+        leaf = components[-1]
+        tag, vr, _, item = _split_key(leaf)
+        gk = _tag_int(tag)
+        if item == "__empty" or (vr == "SQ" and item):
+            node.setdefault(gk, ("SQ", _Node()))
+        else:
+            node[gk] = (vr, value)
+    return root, media_refs
+
+
+def _encode_dataset(node: dict, binary_vr: str = "strict") -> bytes:
+    out = b""
+    for (group, elem) in sorted(node):
+        vr, payload = node[(group, elem)]
+        if vr == "SQ":
+            body = b""
+            for item in sorted(payload, key=lambda i: (len(i), i)):
+                item_body = _encode_dataset(payload[item], binary_vr)
+                body += (struct.pack("<HH", *ITEM_TAG)
+                         + struct.pack("<I", len(item_body)) + item_body)
+            out += _encode_element(group, elem, "SQ", body)
+        else:
+            out += _encode_element(group, elem, vr,
+                                   _encode_value(vr, payload, binary_vr))
+    return out
+
+
+def encode_part10(spans: list[dict], media_payload: dict | None = None,
+                  binary_vr: str = "strict") -> bytes:
+    """Span list (one document) → Part-10 ``.dcm`` byte stream.
+
+    ``media_payload``: ``{width, height, channels, bits, pixels}`` for the
+    document's media span (the out-of-row payload behind ``media_ref``);
+    required when the document carries a media span.
+    """
+    root, media_refs = _build_dataset(spans)
+    if media_refs:
+        if len(media_refs) > 1:
+            raise ValueError(
+                f"a DICOM file holds one PixelData; got {len(media_refs)} media spans")
+        if media_payload is None:
+            raise ValueError(
+                f"media span {media_refs[0]!r} present but no payload supplied")
+        p = media_payload
+        # setdefault like the meta group: cells the document already carries
+        # win (build_dicom writes whatever cells exist); the module is
+        # synthesized only where absent.  int() casts: a NULL-bearing struct
+        # column round-trips through Arrow→pandas as float (1 → 1.0)
+        root.setdefault((0x0028, 0x0002), ("US", str(int(p["channels"]))))
+        root.setdefault((0x0028, 0x0010), ("US", str(int(p["height"]))))
+        root.setdefault((0x0028, 0x0011), ("US", str(int(p["width"]))))
+        root.setdefault((0x0028, 0x0100), ("US", str(int(p["bits"]))))
+        pix = bytes(p["pixels"])
+        vr = "OB" if int(p["bits"]) <= 8 else "OW"
+        root[(0x7FE0, 0x0010)] = (vr, base64.b64encode(pix).decode())
+
+    # group 0002 split (reference add_file_meta): anything the spans carry
+    # wins; required meta synthesized from the dataset otherwise
+    meta = {k: v for k, v in root.items() if k[0] == 0x0002}
+    root = {k: v for k, v in root.items() if k[0] != 0x0002}
+    sop_class = root.get((0x0008, 0x0016), ("UI", SECONDARY_CAPTURE_SOP_CLASS))[1]
+    sop_inst = root.get((0x0008, 0x0018), ("UI", "0"))[1]
+    meta.setdefault((0x0002, 0x0001), ("OB", base64.b64encode(b"\x00\x01").decode()))
+    meta.setdefault((0x0002, 0x0002), ("UI", sop_class))
+    meta.setdefault((0x0002, 0x0003), ("UI", sop_inst))
+    meta.setdefault((0x0002, 0x0010), ("UI", TRANSFER_SYNTAX_EXPLICIT_LE))
+    meta.setdefault((0x0002, 0x0012), ("UI", IMPLEMENTATION_CLASS_UID))
+    meta.setdefault((0x0002, 0x0013), ("SH", IMPLEMENTATION_VERSION))
+    meta.pop((0x0002, 0x0000), None)  # group length is always recomputed
+    meta_body = _encode_dataset(meta)
+    group_len = _encode_element(0x0002, 0x0000, "UL",
+                                struct.pack("<I", len(meta_body)))
+    return (b"\x00" * 128 + b"DICM" + group_len + meta_body
+            + _encode_dataset(root, binary_vr))
+
+
+# ---------------------------------------------------------------------------
+# parser (inverse, for round-trip verification)
+# ---------------------------------------------------------------------------
+
+def _read_element(data: bytes, pos: int) -> tuple[int, int, str, bytes, int]:
+    if pos + 8 > len(data):
+        raise ValueError(f"truncated element header at byte {pos}")
+    group, elem = struct.unpack_from("<HH", data, pos)
+    raw_vr = data[pos + 4:pos + 6]
+    if not all(0x41 <= b <= 0x5A for b in raw_vr):
+        raise ValueError(f"invalid VR bytes {raw_vr!r} at byte {pos}")
+    vr = raw_vr.decode("ascii")
+    if vr in LONG_VRS:
+        if pos + 12 > len(data):
+            raise ValueError(f"truncated long-form header at byte {pos}")
+        (length,) = struct.unpack_from("<I", data, pos + 8)
+        body_at = pos + 12
+    else:
+        (length,) = struct.unpack_from("<H", data, pos + 6)
+        body_at = pos + 8
+    if length == 0xFFFFFFFF:
+        raise ValueError("undefined lengths are not produced by this writer")
+    if body_at + length > len(data):
+        raise ValueError(
+            f"element ({group:04x},{elem:04x}) body overruns the stream")
+    return group, elem, vr, data[body_at:body_at + length], body_at + length
+
+
+def _parse_dataset(data: bytes, keywords: dict[str, str], prefix: str,
+                   spans: list[dict], media: list[dict],
+                   binary_vr: str = "strict") -> None:
+    pos = 0
+    while pos < len(data):
+        group, elem, vr, body, pos = _read_element(data, pos)
+        tag = _tag_str(group, elem)
+        kw = keywords.get(tag, "")
+        key = f"{prefix}{kw}_{tag}_{vr}"
+        if vr == "SQ":
+            if not body:
+                spans.append({"kind": "text", "text": f"{key}_1____@__empty=",
+                              "media_ref": "", "offset": 0})
+                continue
+            ipos, item_no = 0, 0
+            while ipos < len(body):
+                ig, ie = struct.unpack_from("<HH", body, ipos)
+                if (ig, ie) != ITEM_TAG:
+                    raise ValueError(f"expected item tag in SQ {tag}")
+                (ilen,) = struct.unpack_from("<I", body, ipos + 4)
+                if ipos + 8 + ilen > len(body):
+                    raise ValueError(f"item in SQ {tag} overruns the sequence")
+                item_no += 1
+                _parse_dataset(body[ipos + 8:ipos + 8 + ilen], keywords,
+                               f"{key}_1____@{item_no}.", spans, media,
+                               binary_vr)
+                ipos += 8 + ilen
+        elif (group, elem) == (0x7FE0, 0x0010):
+            media.append({"pixels": body, "vr": vr})
+        else:
+            value, vm = _parse_value(vr, body, binary_vr)
+            spans.append({"kind": "text", "text": f"{key}_{vm}____={value}",
+                          "media_ref": "", "offset": 0})
+
+
+def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
+                 include_meta: bool = False,
+                 binary_vr: str = "strict") -> dict:
+    """``.dcm`` bytes → ``{"spans": [...], "media": payload | None}``.
+
+    Spans come back in file order (ascending tag, offsets re-numbered);
+    pixel-module elements are folded into the ``media`` payload dict
+    rather than text spans, mirroring the engine's out-of-row media model.
+    """
+    if data[128:132] != b"DICM":
+        raise ValueError("not a Part-10 stream (DICM magic missing)")
+    if keywords is None:
+        keywords = keyword_map()
+    group, elem, vr, body, pos = _read_element(data, 132)
+    if (group, elem, vr) != (0x0002, 0x0000, "UL"):
+        raise ValueError("FileMetaInformationGroupLength missing")
+    (meta_len,) = struct.unpack("<I", body)
+    spans: list[dict] = []
+    media: list[dict] = []
+    meta_spans: list[dict] = []
+    _parse_dataset(data[pos:pos + meta_len], keywords, "", meta_spans,
+                   media, binary_vr)
+    _parse_dataset(data[pos + meta_len:], keywords, "", spans, media,
+                   binary_vr)
+    if include_meta:
+        spans = meta_spans + spans
+    for i, s in enumerate(spans):
+        s["offset"] = i
+    payload = None
+    if media:
+        # dims read opportunistically from the pixel-module elements, which
+        # STAY in the span list (they are ordinary dataset elements; the
+        # engine's media tables also carry them out-of-row as ints)
+        payload = {"width": None, "height": None, "channels": None,
+                   "bits": None, "pixels": media[0]["pixels"]}
+        fold = {"00280002": "channels", "00280010": "height",
+                "00280011": "width", "00280100": "bits"}
+        for s in spans:
+            leaf = s["text"].split("=", 1)[0]
+            tag = leaf.rsplit("_0x", 1)[-1][:8] if "_0x" in leaf else ""
+            if tag in fold:
+                try:
+                    payload[fold[tag]] = int(float(s["text"].split("=", 1)[1]))
+                except ValueError:
+                    pass  # opaque-string cell (text mode): dims unknown
+    return {"spans": spans, "media": payload}
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (S5 binary sink)
+# ---------------------------------------------------------------------------
+
+RENDER_DCM_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("dcm", BinaryType(), False),
+    StructField("n_bytes", LongType(), False),
+])
+
+_PAYLOAD_COLS = ["width", "height", "channels", "bits", "pixels"]
+
+
+def _attach_payloads(docs: DataFrame, payloads: DataFrame) -> DataFrame:
+    """Join each document's media payload in WITHOUT shuffling the span
+    payload twice: slim (doc_id, media_ref) pairs out of the docs, join the
+    payload table on media_ref (its only shuffle), re-key by doc_id, then
+    join back.  Same discipline as operators/media.py's redaction join."""
+    refs = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "filter(transform(spans, s -> s.media_ref), r -> r != '')"
+        )).alias("media_ref"),
+    )
+    per_doc = (
+        refs.join(payloads, "media_ref")
+        .select("doc_id", F.struct(*_PAYLOAD_COLS).alias("payload"))
+    )
+    return docs.join(per_doc, "doc_id", "left")
+
+
+def render_dcm(docs: DataFrame, payloads: DataFrame | None = None,
+               binary_vr: str = "strict") -> DataFrame:
+    """(doc_id, spans[, payload]) → (doc_id, dcm bytes, n_bytes).
+
+    The distributed form of df2dicom's per-row ``save_as`` loop
+    (df2dicom.py:51-88): encode executor-side in mapInPandas, emit a binary
+    column any DataFrame sink can write."""
+    src = _attach_payloads(docs, payloads) if payloads is not None else (
+        docs.withColumn("payload", F.lit(None).cast(
+            "struct<width:int,height:int,channels:int,bits:int,pixels:binary>"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans, payload in zip(pdf["doc_id"], pdf["spans"],
+                                              pdf["payload"]):
+                if payload is None or (not isinstance(payload, (dict, tuple))
+                                       and pd.isna(payload)):
+                    mp = None
+                elif isinstance(payload, tuple):
+                    mp = dict(zip(_PAYLOAD_COLS, payload))
+                else:
+                    mp = dict(payload)
+                blob = encode_part10(list(spans), mp, binary_vr)
+                rows.append({"doc_id": doc_id, "dcm": blob,
+                             "n_bytes": len(blob)})
+            yield pd.DataFrame(rows, columns=["doc_id", "dcm", "n_bytes"])
+
+    return src.select("doc_id", "spans", "payload").mapInPandas(
+        run, RENDER_DCM_SCHEMA)
+
+
+def export_dcm(docs: DataFrame, out_dir: str,
+               payloads: DataFrame | None = None,
+               binary_vr: str = "strict") -> None:
+    """Write one ``{doc_id}.dcm`` file per document, executor-side
+    (foreachPartition — no driver collect; on a cluster ``out_dir`` is the
+    shared filesystem, exactly how df2dicom writes its outdir)."""
+    import os
+
+    rendered = render_dcm(docs, payloads, binary_vr)
+
+    def write_partition(rows) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        for row in rows:
+            safe = row["doc_id"].replace("/", "_")
+            with open(os.path.join(out_dir, f"{safe}.dcm"), "wb") as f:
+                f.write(bytes(row["dcm"]))
+
+    rendered.foreachPartition(write_partition)

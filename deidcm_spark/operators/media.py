@@ -302,6 +302,64 @@ def normalize_to_uint8(pixels: np.ndarray, monochrome1: bool = False) -> np.ndar
     return (arr * 255).astype(np.uint8)
 
 
+def pil_image_mode(bits: int, samples: int, has_window: bool) -> str:
+    """get_PIL_image's mode-dispatch table (deid_mammogram.py:93-141)
+    without PIL: window metadata present → 8-bit LUT output (PIL's
+    ``convert('L')`` after get_LUT_value); otherwise (BitsAllocated,
+    SamplesPerPixel) selects the raw-buffer mode, and the unknown
+    combination raises the reference's TypeError."""
+    if has_window:
+        return "L"
+    if bits == 8 and samples == 1:
+        return "L"
+    if bits == 8 and samples == 3:
+        return "RGB"
+    if bits == 16:
+        return "I;16"
+    raise TypeError(
+        "Don't know PIL mode for %d BitsAllocated and %d SamplesPerPixel"
+        % (bits, samples))
+
+
+def frame_from_buffer(mode: str, raw: bytes, width: int, height: int) -> np.ndarray:
+    """``Image.frombuffer(mode, (w, h), PixelData, "raw", mode, 0, 1)``
+    parity (deid_mammogram.py:130-131) as a numpy view: L → uint8 (h, w),
+    RGB → uint8 (h, w, 3), I;16 → little-endian uint16 (h, w)."""
+    if mode == "L":
+        return np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
+    if mode == "RGB":
+        return np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+    if mode == "I;16":
+        return np.frombuffer(raw, dtype="<u2").reshape(height, width)
+    raise TypeError(f"unsupported raw mode {mode!r}")
+
+
+def decode_frame(
+    raw: bytes,
+    width: int,
+    height: int,
+    bits: int = 8,
+    samples: int = 1,
+    window: int | None = None,
+    level: int | None = None,
+) -> np.ndarray:
+    """The full get_PIL_image decode branch: with window/level metadata the
+    frame goes through the 256-value LUT (8-bit out, mode L); without it the
+    raw buffer is reinterpreted per the mode table."""
+    has_window = window is not None and level is not None
+    mode = pil_image_mode(bits, samples, has_window)
+    if has_window:
+        raw_mode = "I;16" if bits == 16 else ("RGB" if samples == 3 else "L")
+        src = frame_from_buffer(raw_mode, raw, width, height)
+        out = lut_window_level(src, window, level)
+        if out.ndim == 3:
+            # PIL convert('L') after the LUT: ITU-R 601-2 luma transform
+            out = out @ np.array([299, 587, 114]) / 1000
+        # the reference's Image.fromarray(...).convert('L') truncates to uint8
+        return out.astype(np.uint8)
+    return frame_from_buffer(mode, raw, width, height)
+
+
 def resize_area(pixels: np.ndarray, factor: int) -> np.ndarray:
     """Integer-factor area downsample (reduce_PIL_img_size analogue,
     utils.py:86-93 — PIL LANCZOS thumbnail replaced by block mean; PIL is

@@ -15,6 +15,13 @@ function, JVM-side, no explode.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _PARSE_SPANS = """
 filter(
@@ -69,6 +76,82 @@ def filter_spans(
         return df
     pred = " and ".join(conds)
     return df.withColumn("spans", F.expr(f"filter(spans, s -> {pred})"))
+
+
+def read_dcm_documents(
+    spark: SparkSession, path: str, binary_vr: str = "strict"
+) -> DataFrame:
+    """Directory of real ``.dcm`` files → (doc_id, spans, width, height,
+    channels, bits, pixels) — the full dicom2df analogue over BINARY DICOM
+    (dicom2df.py:72-90 walks a tree and parses each file with pydicom; here
+    ``binaryFile`` enumerates distributedly and ``dcm.parse_part10`` decodes
+    each stream executor-side).
+
+    Text elements become spans in file (= ascending tag) order — INCLUDING
+    the group-0002 file meta, exactly like the reference's flat_dicom which
+    chains ``ds.file_meta`` and ``ds`` (dicom2df.py:83); an embedded
+    pixel module becomes a media span whose ``media_ref`` is ``m_<doc_id>``
+    with the payload carried in the flat columns (NULL when the file has no
+    PixelData).  ``documents_view``/``payloads_view`` below split the result
+    into the engine's two-table shape."""
+    import pandas as pd
+
+    from deidcm_spark.dcm import keyword_map, parse_part10
+    from deidcm_spark.schema import SPAN_SCHEMA
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("spans", SPAN_SCHEMA, False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("channels", IntegerType(), True),
+            StructField("bits", IntegerType(), True),
+            StructField("pixels", BinaryType(), True),
+        ]
+    )
+    keywords = keyword_map()  # closed over → shipped once per task
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                doc_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                parsed = parse_part10(bytes(content), keywords=keywords,
+                                      include_meta=True, binary_vr=binary_vr)
+                spans = parsed["spans"]
+                row = {"doc_id": doc_id, "spans": spans, "width": None,
+                       "height": None, "channels": None, "bits": None,
+                       "pixels": None}
+                if parsed["media"] is not None:
+                    m = parsed["media"]
+                    spans.append({"kind": "media", "text": "",
+                                  "media_ref": f"m_{doc_id}",
+                                  "offset": len(spans)})
+                    row.update({k: m[k] for k in
+                                ("width", "height", "channels", "bits",
+                                 "pixels")})
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "spans", "width", "height",
+                               "channels", "bits", "pixels"])
+
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select("path", "content").mapInPandas(run, out_schema)
+
+
+def documents_view(dcm_df: DataFrame) -> DataFrame:
+    """(doc_id, spans) projection of :func:`read_dcm_documents`."""
+    return dcm_df.select("doc_id", "spans")
+
+
+def payloads_view(dcm_df: DataFrame) -> DataFrame:
+    """media_payloads projection (MEDIA_PAYLOADS_SCHEMA shape) of
+    :func:`read_dcm_documents` — one row per file with PixelData."""
+    return dcm_df.filter(F.col("pixels").isNotNull()).select(
+        F.concat(F.lit("m_"), F.col("doc_id")).alias("media_ref"),
+        "width", "height", "channels", "bits", "pixels",
+    )
 
 
 def write_bucketed(

@@ -120,3 +120,41 @@ def test_no_boxes_identity(spark):
     out = {r["media_ref"]: r["pixels"] for r in redact_media(payloads, empty).collect()}
     src = {r["media_ref"]: r["pixels"] for r in payloads.collect()}
     assert out == src
+
+
+def test_pil_image_mode_dispatch_table():
+    """M6: get_PIL_image's mode table (deid_mammogram.py:108-125) —
+    (8,1)→L, (8,3)→RGB, (16,*)→I;16, window present→L, unknown→TypeError."""
+    from deidcm_spark.operators.media import pil_image_mode
+
+    assert pil_image_mode(8, 1, False) == "L"
+    assert pil_image_mode(8, 3, False) == "RGB"
+    assert pil_image_mode(16, 1, False) == "I;16"
+    assert pil_image_mode(16, 3, False) == "I;16"
+    assert pil_image_mode(12, 1, True) == "L"  # LUT output is always 8-bit L
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="Don't know PIL mode"):
+        pil_image_mode(12, 1, False)
+
+
+def test_decode_frame_modes_and_window():
+    from deidcm_spark.operators.media import decode_frame, lut_window_level
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert np.array_equal(decode_frame(gray.tobytes(), 4, 3), gray)
+
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    assert np.array_equal(
+        decode_frame(rgb.tobytes(), 4, 2, bits=8, samples=3), rgb)
+
+    deep = (np.arange(12, dtype=np.uint16) * 4000).reshape(3, 4)
+    got = decode_frame(deep.astype("<u2").tobytes(), 4, 3, bits=16)
+    assert got.dtype == np.uint16 and np.array_equal(got, deep)
+
+    # window/level metadata routes through the 256-value LUT (mode L)
+    lut = decode_frame(deep.astype("<u2").tobytes(), 4, 3, bits=16,
+                       window=20000, level=22000)
+    assert np.array_equal(
+        lut, lut_window_level(deep, 20000, 22000).astype(np.uint8))
+    assert lut.dtype == np.uint8
