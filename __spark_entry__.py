@@ -375,6 +375,58 @@ def events_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", "view_event_id", "view_value")
 
 
+def events_range_join(spark, sf_dir):
+    """Range/interval join (the second temporal operator Spark lacks):
+    each click event paired with every same-user 6-hour error window that
+    contains it, via the binned equi-join shape (operators/rangejoin.py) —
+    no theta join, no BroadcastNestedLoop.  Timestamps compared as exact
+    epoch-microsecond bigints so Spark and DuckDB agree at the window
+    boundary — computed timezone-free (timestampdiff from a naive epoch
+    anchor ≡ DuckDB's epoch_us on TIMESTAMP_NTZ; double epoch seconds
+    cannot represent microseconds exactly at 2024 magnitudes)."""
+    from deidcm_spark.operators.rangejoin import range_join
+
+    w_us = 21600 * 1_000_000  # 6-hour windows
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    e = _load(spark, sf_dir, "events")
+    clicks = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.expr(us).alias("pt_us"),
+    )
+    windows = e.filter("event_type = 'error'").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.expr(us).alias("start_us"),
+        (F.expr(us) + F.lit(w_us)).alias("end_us"),
+    )
+    out = range_join(
+        clicks, windows, key="user_id", point_col="pt_us",
+        start_col="start_us", end_col="end_us", bin_width=w_us,
+    )
+    return out.select(
+        "click_id", "error_id", "user_id",
+        (F.col("pt_us") - F.col("start_us")).alias("lag_us"),
+    )
+
+
+_EVENTS_RANGE_SQL = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS pt_us
+  FROM events WHERE event_type = 'click'
+),
+windows AS (
+  SELECT event_id AS error_id, user_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + 21600000000 AS end_us
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.click_id, w.error_id, c.user_id, c.pt_us - w.start_us AS lag_us
+FROM clicks c JOIN windows w
+  ON c.user_id = w.user_id
+ AND w.start_us <= c.pt_us AND c.pt_us <= w.end_us
+"""
+
+
 def q_vocab_top_terms(spark, sf_dir):
     """Corpus vocabulary build: global top-100 tokens, deterministic ties."""
     return textops.vocab_top_terms(_load(spark, sf_dir, "documents"), k=100).select(
@@ -645,17 +697,18 @@ _DOUBLED_SQL = (
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dedup.dedup_exact(_doubled_docs(spark, sf_dir)).select(
-        "fp", "keep_doc_id", "n_dupes"
+    """BOTH exact-dedup code paths in one entry: the single hash aggregate
+    and the two-phase salted variant (hot keys split across reducers) must
+    produce the identical result set by construction — the tagged union
+    oracle-checks each against the same SQL aggregation."""
+    docs = _doubled_docs(spark, sf_dir)
+    plain = dedup.dedup_exact(docs).select(
+        F.lit("plain").alias("variant"), "fp", "keep_doc_id", "n_dupes"
     )
-
-
-def q_dedup_exact_salted(spark, sf_dir):
-    """Two-phase salted variant — same result set as dedup_exact (same
-    oracle SQL), hot keys split across reducers."""
-    return dedup.dedup_exact_salted(_doubled_docs(spark, sf_dir)).select(
-        "fp", "keep_doc_id", "n_dupes"
+    salted = dedup.dedup_exact_salted(docs).select(
+        F.lit("salted").alias("variant"), "fp", "keep_doc_id", "n_dupes"
     )
+    return plain.union(salted)
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -1296,7 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dataset_split": q_dataset_split,
         "dedup_exact": q_dedup_exact,
-        "dedup_exact_salted": q_dedup_exact_salted,
+        "events_range_join": events_range_join,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1633,15 +1686,15 @@ SELECT doc_id,
 FROM h
 """,
         "dedup_exact": f"""
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-       min(doc_id) AS keep_doc_id, count(*) AS n_dupes
-FROM ({_DOUBLED_SQL}) GROUP BY 1
+WITH agg AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         min(doc_id) AS keep_doc_id, count(*) AS n_dupes
+  FROM ({_DOUBLED_SQL}) GROUP BY 1
+)
+SELECT v.variant, a.fp, a.keep_doc_id, a.n_dupes
+FROM agg a CROSS JOIN (VALUES ('plain'), ('salted')) AS v(variant)
 """,
-        "dedup_exact_salted": f"""
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-       min(doc_id) AS keep_doc_id, count(*) AS n_dupes
-FROM ({_DOUBLED_SQL}) GROUP BY 1
-""",
+        "events_range_join": _EVENTS_RANGE_SQL,
         "minhash_signatures": _minhash_sql(),
         "lsh_candidate_pairs": jac + """
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
