@@ -94,11 +94,24 @@ def orders_priority_counts(spark, sf_dir):
     )
 
 
-def events_hourly(spark, sf_dir):
+def events_rollup(spark, sf_dir):
+    """Hypertable rollup (continuous-aggregate family): hour/day/week
+    bucketed aggregates from ONE corpus-sized shuffle — the coarser
+    resolutions re-aggregate the hourly partials (operators/rollup.py),
+    with the hourly exchange reused across levels.  Oracle = three
+    independent direct aggregations, one per resolution."""
+    from deidcm_spark.operators.rollup import hypertable_rollup
+
     e = _load(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 3).alias("sum_value"))
+    out = hypertable_rollup(
+        e, ts_col="ts", key_cols=["event_type"], value_col="value",
+        granularities=["hour", "day", "week"],
+    )
+    return out.select(
+        "bucket", "granularity", "event_type", "n_events",
+        F.round("sum_value", 3).alias("sum_value"),
+        F.round("min_value", 3).alias("min_value"),
+        F.round("max_value", 3).alias("max_value"),
     )
 
 
@@ -1328,7 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_customer_nation_region": join_customer_nation_region,
         "anti_join_customers_without_orders": anti_join_customers_without_orders,
         "orders_priority_counts": orders_priority_counts,
-        "events_hourly": events_hourly,
+        "events_rollup": events_rollup,
         "events_sessionize": events_sessionize,
         "orders_topn_per_customer": orders_topn_per_customer,
         "user_running_value": user_running_value,
@@ -1643,10 +1656,19 @@ SELECT o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total
 FROM orders GROUP BY o_orderpriority
 """,
-        "events_hourly": """
-SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*) AS n_events, round(sum(value), 3) AS sum_value
-FROM events GROUP BY 1, 2
+        "events_rollup": """
+SELECT date_trunc('hour', ts) AS bucket, 'hour' AS granularity, event_type,
+       count(*) AS n_events, round(sum(value), 3) AS sum_value,
+       round(min(value), 3) AS min_value, round(max(value), 3) AS max_value
+FROM events GROUP BY 1, 3
+UNION ALL
+SELECT date_trunc('day', ts), 'day', event_type,
+       count(*), round(sum(value), 3), round(min(value), 3), round(max(value), 3)
+FROM events GROUP BY 1, 3
+UNION ALL
+SELECT date_trunc('week', ts), 'week', event_type,
+       count(*), round(sum(value), 3), round(min(value), 3), round(max(value), 3)
+FROM events GROUP BY 1, 3
 """,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "orders_topn_per_customer": _ORDERS_TOPN_SQL,

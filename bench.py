@@ -50,7 +50,9 @@ PREV = {
     "deid_synth": 2.436, "deid_synth_noshuffle": 1.348, "extract_bulk": 1.899,
     "deid_ingest_testdata": 0.832, "q1_pricing_summary": 0.412,
     "join_customer_nation_region": 0.573,
-    "anti_join_customers_without_orders": 0.533, "events_hourly": 0.461,
+    # events_hourly became events_rollup (3-resolution hypertable rollup) —
+    # more work than the r2 hourly-only query, so no comparable prev
+    "anti_join_customers_without_orders": 0.533,
     "rule_classification": 0.509, "minhash_signatures": 1.342,
     "lsh_candidate_pairs": 2.974, "dedup_exact": 0.395,
     "simhash": 0.981, "ann_threshold": 0.299, "media_redaction_plan": 0.579,

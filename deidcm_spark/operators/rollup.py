@@ -1,0 +1,83 @@
+"""Hypertable rollup — multi-resolution time-bucketed continuous
+aggregates (the TimescaleDB ``time_bucket`` rollup family) as a
+hierarchical re-aggregation.
+
+THE SCALE SHAPE: the naive way to produce hour+day+week aggregates is
+``GROUP BY GROUPING SETS`` — but Spark plans grouping sets by EXPANDING
+the input (one copy per set) before a single hash aggregate, so a
+3-resolution rollup shuffles ~3× the corpus.  The hierarchical form
+aggregates the raw stream ONCE at the finest resolution (the only
+corpus-sized shuffle), then derives every coarser resolution from the
+finer partials: a day has ≤24 hourly rows and a week ≤7 daily rows per
+key, so the re-aggregations shuffle bucket-cardinality rows — metadata
+scale, exactly how a TimescaleDB continuous aggregate refreshes its
+coarser materializations from the finer one.
+
+Decomposable aggregates only (count → sum of counts, sum → sum of sums,
+min/max → min/max): the partials compose exactly, so the derived
+coarse rows are bit-equal to aggregating the raw stream directly —
+which is precisely what the DuckDB oracle does (three independent
+direct aggregations, one per resolution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# supported bucket widths, finest → coarsest (date_trunc units)
+GRANULARITIES = ["hour", "day", "week", "month", "year"]
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    granularities: list[str] | None = None,
+) -> DataFrame:
+    """(bucket, granularity, *key_cols, n_events, sum_value, min_value,
+    max_value) at every requested resolution, the coarser levels derived
+    from the finest level's partials (one corpus-sized shuffle total).
+
+    ``granularities``: subset of hour/day/week/month/year, any order;
+    the FINEST one is aggregated from the raw stream and each coarser
+    one re-aggregates the finest partials.
+    """
+    gs = granularities or ["hour", "day", "week"]
+    bad = [g for g in gs if g not in GRANULARITIES]
+    if bad:
+        raise ValueError(f"unknown granularities {bad}; pick from {GRANULARITIES}")
+    gs = sorted(set(gs), key=GRANULARITIES.index)
+
+    finest = (
+        events.groupBy(
+            F.date_trunc(gs[0], ts_col).alias("bucket"), *key_cols
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+    levels = [finest.withColumn("granularity", F.lit(gs[0]))]
+    for g in gs[1:]:
+        levels.append(
+            finest.groupBy(
+                F.date_trunc(g, "bucket").alias("bucket"), *key_cols
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .withColumn("granularity", F.lit(g))
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "bucket", "granularity", *key_cols,
+        "n_events", "sum_value", "min_value", "max_value",
+    )

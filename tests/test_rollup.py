@@ -1,0 +1,89 @@
+"""Hypertable rollup: hierarchical re-aggregation equals direct
+aggregation at every resolution, and the finest-level exchange is
+computed once and reused by the coarser levels."""
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from deidcm_spark.operators.rollup import hypertable_rollup
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def _direct(events, gran):
+    return (
+        events.groupBy(
+            F.date_trunc(gran, "ts").alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def test_rollup_levels_equal_direct_aggregation(spark, events):
+    out = hypertable_rollup(
+        events, "ts", ["event_type"], "value",
+        granularities=["hour", "day", "week"],
+    )
+    for gran in ["hour", "day", "week"]:
+        got = {
+            (r["bucket"], r["event_type"]): (
+                r["n_events"], round(r["sum_value"], 6),
+                r["min_value"], r["max_value"],
+            )
+            for r in out.filter(F.col("granularity") == gran).collect()
+        }
+        want = {
+            (r["bucket"], r["event_type"]): (
+                r["n_events"], r["sum_value"], r["min_value"], r["max_value"]
+            )
+            for r in _direct(events, gran).collect()
+        }
+        assert got == want and len(want) > 0, gran
+
+
+def test_rollup_single_corpus_shuffle(spark, events):
+    """The AQE-final plan must read the corpus ONCE: coarser levels start
+    from a ReusedExchange of the finest level's shuffle, never a second
+    scan (GROUPING SETS would expand the input per resolution instead)."""
+    out = hypertable_rollup(
+        events, "ts", ["event_type"], "value",
+        granularities=["hour", "day", "week"],
+    )
+    out.collect()  # finalize AQE before reading the executed plan (CLAUDE.md)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    final = buf.getvalue().split("== Initial Plan ==")[0]
+    assert len(re.findall(r"\bScan parquet\b", final)) == 1
+    assert len(re.findall(r"\bReusedExchange\b", final)) == 2
+
+
+def test_rollup_validates_granularities(spark, events):
+    with pytest.raises(ValueError, match="unknown granularities"):
+        hypertable_rollup(events, "ts", ["event_type"], "value",
+                          granularities=["hour", "fortnight"])
+
+
+def test_rollup_orders_mixed_granularity_input(spark, events):
+    """Caller order doesn't matter: the finest requested resolution is the
+    aggregation base."""
+    out = hypertable_rollup(
+        events, "ts", ["event_type"], "value",
+        granularities=["week", "hour"],
+    )
+    grans = {r["granularity"] for r in out.select("granularity").distinct().collect()}
+    assert grans == {"hour", "week"}

@@ -45,7 +45,7 @@ HEADLINERS = [
     "q1_pricing_summary",
     "join_customer_nation_region",
     "anti_join_customers_without_orders",
-    "events_hourly",
+    "events_rollup",
     "rule_classification",
     "minhash_signatures",
     "lsh_candidate_pairs",
