@@ -27,21 +27,32 @@ NORM_FP = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
 # number of times per row.  The naive transform(sequence(...), i -> T[i]...)
 # form re-evaluates the full tokenize expression PER ELEMENT inside the
 # lambda (no common-subexpression elimination through higher-order
-# functions): 15x slower measured at sf0.1.
-_NSH = f"greatest(size({TOKENS}) - 2, 0)"
-# ALL word-3-grams in order (non-distinct — repetition signals need the
-# multiplicities); SHINGLES is the distinct set used by minhash/Jaccard
-SHINGLES_ALL = (
-    f"zip_with(zip_with("
-    f"slice({TOKENS}, 1, {_NSH}), slice({TOKENS}, 2, {_NSH}), (a, b) -> concat(a, ' ', b)),"
-    f" slice({TOKENS}, 3, {_NSH}), (ab, c) -> concat(ab, ' ', c))"
-)
-SHINGLES = f"array_distinct({SHINGLES_ALL})"
-_N2 = f"greatest(size({TOKENS}) - 1, 0)"
-TWOGRAMS_ALL = (
-    f"zip_with(slice({TOKENS}, 1, {_N2}), slice({TOKENS}, 2, {_N2}),"
-    f" (a, b) -> concat(a, ' ', b))"
-)
+# functions): 15x slower measured at sf0.1.  The *_expr builders take the
+# token-array SQL as a parameter so multi-signal operators can reference a
+# once-materialized token COLUMN instead of re-inlining the tokenizer
+# (layered-projection pattern — see gopher_repetition's docstring).
+def shingles_all_expr(tok: str = TOKENS) -> str:
+    """ALL word-3-grams in order (non-distinct — repetition signals need
+    the multiplicities)."""
+    nsh = f"greatest(size({tok}) - 2, 0)"
+    return (
+        f"zip_with(zip_with("
+        f"slice({tok}, 1, {nsh}), slice({tok}, 2, {nsh}), (a, b) -> concat(a, ' ', b)),"
+        f" slice({tok}, 3, {nsh}), (ab, c) -> concat(ab, ' ', c))"
+    )
+
+
+def twograms_all_expr(tok: str = TOKENS) -> str:
+    n2 = f"greatest(size({tok}) - 1, 0)"
+    return (
+        f"zip_with(slice({tok}, 1, {n2}), slice({tok}, 2, {n2}),"
+        f" (a, b) -> concat(a, ' ', b))"
+    )
+
+
+SHINGLES_ALL = shingles_all_expr()
+SHINGLES = f"array_distinct({SHINGLES_ALL})"  # distinct set: minhash/Jaccard
+TWOGRAMS_ALL = twograms_all_expr()
 
 # tiny marker-word lists for the n-gram/stopword language heuristic
 LANG_WORDS = {
@@ -62,21 +73,30 @@ def with_tokens(df: DataFrame) -> DataFrame:
     return df.withColumn("tokens", F.expr(TOKENS))
 
 
-def _token_cols() -> list[Column]:
+def _tokenized(df: DataFrame) -> DataFrame:
+    """Layered-projection base: materialize the token array ONCE as a
+    column so every signal expression reads it instead of re-inlining the
+    tokenizer (interpreted HOFs get no codegen CSE; the inlined
+    text_stats tree tokenized each row ~25× and its per-construction
+    ANALYSIS time dominated the bench — see gopher_repetition)."""
+    return df.select("doc_id", "text", F.expr(TOKENS).alias("_tok"))
+
+
+def _token_cols(tok: str = TOKENS) -> list[Column]:
     return [
-        F.expr(f"size({TOKENS})").alias("n_tokens"),
+        F.expr(f"size({tok})").alias("n_tokens"),
         F.expr("cast(ceil(length(text) / 4.0) as bigint)").alias("n_bpe_est"),
     ]
 
 
 def token_count(df: DataFrame) -> DataFrame:
     """Whitespace token counting (BPE-ish heuristic: words + a chars/4 bound)."""
-    return df.select("doc_id", *_token_cols())
+    return _tokenized(df).select("doc_id", *_token_cols(tok="_tok"))
 
 
-def _quality_cols(with_tokens: bool = True) -> list[Column]:
-    toks = f"size({TOKENS})"
-    stop = f"size(filter({TOKENS}, t -> array_contains({_sql_list(EN_STOPWORDS)}, t)))"
+def _quality_cols(with_tokens: bool = True, tok: str = TOKENS) -> list[Column]:
+    toks = f"size({tok})"
+    stop = f"size(filter({tok}, t -> array_contains({_sql_list(EN_STOPWORDS)}, t)))"
     punct = "length(text) - length(regexp_replace(text, '[.,;:!?]', ''))"
     cols = [F.expr(toks).alias("n_tokens")] if with_tokens else []
     return cols + [
@@ -93,12 +113,12 @@ def _quality_cols(with_tokens: bool = True) -> list[Column]:
 
 def quality_score(df: DataFrame) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + score."""
-    return df.select("doc_id", *_quality_cols())
+    return _tokenized(df).select("doc_id", *_quality_cols(tok="_tok"))
 
 
-def _lang_cols() -> list[Column]:
+def _lang_cols(tok: str = TOKENS) -> list[Column]:
     counts = {
-        lang: f"size(filter({TOKENS}, t -> array_contains({_sql_list(words)}, t)))"
+        lang: f"size(filter({tok}, t -> array_contains({_sql_list(words)}, t)))"
         for lang, words in LANG_WORDS.items()
     }
     pred = (
@@ -116,7 +136,7 @@ def _lang_cols() -> list[Column]:
 
 def lang_id(df: DataFrame) -> DataFrame:
     """Marker-word language heuristic with fixed tie-break en>fr>de>es."""
-    return df.select("doc_id", *_lang_cols())
+    return _tokenized(df).select("doc_id", *_lang_cols(tok="_tok"))
 
 
 # URL pattern, ONE spec two dialects (CLAUDE.md rule: Spark string literals
@@ -132,12 +152,12 @@ def quality_flags(df: DataFrame) -> DataFrame:
     """Additional corpus-filter signals (C4/Gopher-style heuristics):
     repetition ratio (1 − distinct/total tokens), digit ratio, uppercase
     ratio, URL mentions.  Pure codegen, exact SQL oracle."""
-    return df.select("doc_id", *_flag_cols())
+    return _tokenized(df).select("doc_id", *_flag_cols(tok="_tok"))
 
 
-def _flag_cols() -> list[Column]:
-    toks = f"size({TOKENS})"
-    dtoks = f"size(array_distinct({TOKENS}))"
+def _flag_cols(tok: str = TOKENS) -> list[Column]:
+    toks = f"size({tok})"
+    dtoks = f"size(array_distinct({tok}))"
     digits = "length(text) - length(regexp_replace(text, '[0-9]', ''))"
     uppers = "length(text) - length(regexp_replace(text, '[A-Z]', ''))"
     urls = f"size(regexp_extract_all(text, '{url_pat_sql('spark')}', 0))"
@@ -168,34 +188,51 @@ def gopher_repetition(df: DataFrame) -> DataFrame:
     ``aggregate()`` run-length scan extracts the max multiplicity
     (top2) / duplicated-gram mass (dup3).  At 100 TB the plan is
     scan → project, perfectly partition-local.  Both ratios rounded to
-    4 dp (oracle hash contract)."""
+    4 dp (oracle hash contract).
+
+    Evaluated in LAYERED projections, not inlined macros: each
+    ``TWOGRAMS_ALL``/``SHINGLES_ALL`` mention expands to 4-6 ``split``
+    calls and each signal mentions its macro 3×, so the inlined form was
+    a ~30-way-duplicated expression tree.  That cost twice: analysis of
+    the huge tree dominated wall time whenever the query is constructed
+    fresh (3.09 s → 0.82 s construct+collect at sf0.1, 3.8×), and the
+    interpreted HOFs re-evaluated shared subtrees at execution (0.204 s
+    → 0.171 s execute-only).  The chained selects keep every array
+    computed ONCE — CollapseProject leaves multi-referenced non-cheap
+    aliases alone — and results are identical."""
+    toks = df.select("doc_id", F.expr(TOKENS).alias("_tok"))
+    grams = toks.select(
+        "doc_id",
+        F.expr(f"array_sort({twograms_all_expr('_tok')})").alias("_g2"),
+        F.expr(f"array_sort({shingles_all_expr('_tok')})").alias("_g3"),
+    )
     # run-length scan over the SORTED gram array: equal grams are adjacent,
     # so one aggregate() pass tracks (prev gram, current run, answer)
     top2 = (
-        f"case when size({TWOGRAMS_ALL}) = 0 then 0.0 else round("
-        f"aggregate(array_sort({TWOGRAMS_ALL}), "
-        f"named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
-        f"(acc, x) -> if(acc.prev is not null and x = acc.prev, "
-        f"named_struct('prev', x, 'run', acc.run + 1L, "
-        f"'best', greatest(acc.best, acc.run + 1L)), "
-        f"named_struct('prev', x, 'run', 1L, 'best', greatest(acc.best, 1L))), "
-        f"acc -> acc.best) / size({TWOGRAMS_ALL}), 4) end"
+        "case when size(_g2) = 0 then 0.0 else round("
+        "aggregate(_g2, "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> if(acc.prev is not null and x = acc.prev, "
+        "named_struct('prev', x, 'run', acc.run + 1L, "
+        "'best', greatest(acc.best, acc.run + 1L)), "
+        "named_struct('prev', x, 'run', 1L, 'best', greatest(acc.best, 1L))), "
+        "acc -> acc.best) / size(_g2), 4) end"
     )
     # dup mass: when a run reaches length 2 both copies start counting
     # (+2), each further copy adds 1 — total = sum of counts > 1
     dup3 = (
-        f"case when size({SHINGLES_ALL}) = 0 then 0.0 else round("
-        f"aggregate(array_sort({SHINGLES_ALL}), "
-        f"named_struct('prev', cast(null as string), 'run', 0L, 'dup', 0L), "
-        f"(acc, x) -> if(acc.prev is not null and x = acc.prev, "
-        f"named_struct('prev', x, 'run', acc.run + 1L, "
-        f"'dup', acc.dup + if(acc.run = 1L, 2L, 1L)), "
-        f"named_struct('prev', x, 'run', 1L, 'dup', acc.dup)), "
-        f"acc -> acc.dup) / size({SHINGLES_ALL}), 4) end"
+        "case when size(_g3) = 0 then 0.0 else round("
+        "aggregate(_g3, "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'dup', 0L), "
+        "(acc, x) -> if(acc.prev is not null and x = acc.prev, "
+        "named_struct('prev', x, 'run', acc.run + 1L, "
+        "'dup', acc.dup + if(acc.run = 1L, 2L, 1L)), "
+        "named_struct('prev', x, 'run', 1L, 'dup', acc.dup)), "
+        "acc -> acc.dup) / size(_g3), 4) end"
     )
     # coalesce: a NULL text tokenizes to a NULL array (size() = NULL, not
     # 0) — such docs score 0.0, matching the previous left-join + fill form
-    return df.select(
+    return grams.select(
         "doc_id",
         F.expr(f"coalesce({top2}, 0.0)").alias("top2_frac"),
         F.expr(f"coalesce({dup3}, 0.0)").alias("dup3_frac"),
@@ -274,11 +311,12 @@ def tfidf_top_term(df: DataFrame) -> DataFrame:
 def fingerprint(df: DataFrame) -> DataFrame:
     """Document fingerprints: whitespace-normalized md5 + a winnowing-style
     sketch (md5 of the 4 smallest word-3-gram hashes)."""
-    return df.select("doc_id", *_fp_cols())
+    return _tokenized(df).select("doc_id", *_fp_cols(tok="_tok"))
 
 
-def _fp_cols() -> list[Column]:
-    hashes = f"array_sort(transform({SHINGLES}, s -> md5(s)))"
+def _fp_cols(tok: str = TOKENS) -> list[Column]:
+    shingles = f"array_distinct({shingles_all_expr(tok)})"
+    hashes = f"array_sort(transform({shingles}, s -> md5(s)))"
     return [
         F.expr(NORM_FP).alias("fp_exact"),
         F.expr(f"md5(concat_ws(',', slice({hashes}, 1, 4)))").alias("fp_sketch"),
@@ -290,14 +328,14 @@ def text_stats(df: DataFrame) -> DataFrame:
     score, corpus-filter flags, language id, fingerprints.  One scan, zero
     joins (each signal is a pure function of (doc_id, text); joining the
     individual operators would pay five scans and four doc_id shuffles for
-    the same table)."""
-    return df.select(
+    the same table).  Tokenizes ONCE via the layered-projection base."""
+    return _tokenized(df).select(
         "doc_id",
-        *_token_cols(),
-        *_quality_cols(with_tokens=False),
-        *_flag_cols(),
-        *_lang_cols(),
-        *_fp_cols(),
+        *_token_cols(tok="_tok"),
+        *_quality_cols(with_tokens=False, tok="_tok"),
+        *_flag_cols(tok="_tok"),
+        *_lang_cols(tok="_tok"),
+        *_fp_cols(tok="_tok"),
     )
 
 
