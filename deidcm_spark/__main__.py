@@ -151,9 +151,15 @@ def cmd_ingest(args) -> dict:
 
         parsed = read_dcm_documents(spark, args.input,
                                     binary_vr=args.binary_vr)
-        documents_view(parsed).write.mode("overwrite").parquet(args.output)
-        payloads_view(parsed).write.mode("overwrite").parquet(
-            f"{args.output.rstrip('/')}_media")
+        # two views = two actions: persist so the binaryFile scan +
+        # Part-10 parse of every file runs once, not once per write
+        parsed.persist()
+        try:
+            documents_view(parsed).write.mode("overwrite").parquet(args.output)
+            payloads_view(parsed).write.mode("overwrite").parquet(
+                f"{args.output.rstrip('/')}_media")
+        finally:
+            parsed.unpersist()
     else:
         from deidcm_spark.ingest import documents_to_spans
 

@@ -34,6 +34,19 @@ Lossiness inherited from the format itself (identical under pydicom):
 odd-length values gain one pad byte (``canonical_spans`` applies the
 same rule span-side so round-trips compare exactly), insignificant
 trailing pad is stripped on read, and element order becomes tag order.
+An ITEM WITH ZERO ELEMENTS inside a sequence leaves no trace in the
+span model — exactly like the reference's flatten, whose ``dico_add``
+recursion over an empty item emits no columns (dicom2df.py:105-113),
+so the rebuilt SQ drops it and later item indices shift; documented
+parity, not an engine deviation.
+
+The parser reads BOTH native little-endian syntaxes — Explicit VR and
+Implicit VR (``1.2.840.10008.1.2``, the DICOM default; VRs resolve via
+the rule table, unknown tags → UN) — including undefined-length
+sequences/items via the delimitation items.  Big-endian and compressed
+(encapsulated) syntaxes raise a clear per-file error.  The writer
+always emits Explicit VR LE with defined lengths, pydicom
+``write_like_original=False`` behavior.
 """
 
 from __future__ import annotations
@@ -207,7 +220,13 @@ def canonical_spans(spans: list[dict], binary_vr: str = "strict") -> list[dict]:
 # element / dataset encoder
 # ---------------------------------------------------------------------------
 
-def _encode_element(group: int, elem: int, vr: str, body: bytes) -> bytes:
+def _encode_element(group: int, elem: int, vr: str, body: bytes,
+                    explicit: bool = True) -> bytes:
+    if not explicit:
+        # Implicit VR LE (PS3.5 §7.1.3): tag + 32-bit length, no VR bytes
+        if len(body) > 0xFFFFFFFE:
+            raise ValueError(f"element ({group:04x},{elem:04x}) too large")
+        return struct.pack("<HHI", group, elem, len(body)) + body
     head = struct.pack("<HH", group, elem) + vr.encode("ascii")
     if vr in LONG_VRS:
         if len(body) > 0xFFFFFFFE:
@@ -254,20 +273,22 @@ def _build_dataset(spans: list[dict]) -> tuple[dict, list[str]]:
     return root, media_refs
 
 
-def _encode_dataset(node: dict, binary_vr: str = "strict") -> bytes:
+def _encode_dataset(node: dict, binary_vr: str = "strict",
+                    explicit: bool = True) -> bytes:
     out = b""
     for (group, elem) in sorted(node):
         vr, payload = node[(group, elem)]
         if vr == "SQ":
             body = b""
             for item in sorted(payload, key=lambda i: (len(i), i)):
-                item_body = _encode_dataset(payload[item], binary_vr)
+                item_body = _encode_dataset(payload[item], binary_vr, explicit)
                 body += (struct.pack("<HH", *ITEM_TAG)
                          + struct.pack("<I", len(item_body)) + item_body)
-            out += _encode_element(group, elem, "SQ", body)
+            out += _encode_element(group, elem, "SQ", body, explicit)
         else:
             out += _encode_element(group, elem, vr,
-                                   _encode_value(vr, payload, binary_vr))
+                                   _encode_value(vr, payload, binary_vr),
+                                   explicit)
     return out
 
 
@@ -313,74 +334,185 @@ def encode_part10(spans: list[dict], media_payload: dict | None = None,
     meta.setdefault((0x0002, 0x0012), ("UI", IMPLEMENTATION_CLASS_UID))
     meta.setdefault((0x0002, 0x0013), ("SH", IMPLEMENTATION_VERSION))
     meta.pop((0x0002, 0x0000), None)  # group length is always recomputed
-    meta_body = _encode_dataset(meta)
+    # the DECLARED (0002,0010) drives the dataset encoding, mirroring the
+    # reference's add_file_meta flag mapping (df2dicom.py:173-181):
+    # explicit-LE UID → explicit; big-endian/deflated → unwritable here
+    # (pydicom would write BE; declared scope); ANYTHING ELSE — including
+    # the synthetic corpus's pseudonymized UIDs — → Implicit VR LE, the
+    # reference's else-branch default.  The meta group itself is always
+    # Explicit VR LE (PS3.10 §7.1).
+    declared = meta[(0x0002, 0x0010)][1]
+    explicit = _syntax_explicit(declared)
+    meta_body = _encode_dataset(meta, binary_vr)
     group_len = _encode_element(0x0002, 0x0000, "UL",
                                 struct.pack("<I", len(meta_body)))
     return (b"\x00" * 128 + b"DICM" + group_len + meta_body
-            + _encode_dataset(root, binary_vr))
+            + _encode_dataset(root, binary_vr, explicit))
 
 
 # ---------------------------------------------------------------------------
-# parser (inverse, for round-trip verification)
+# parser (inverse, for round-trip verification + binary .dcm ingest)
 # ---------------------------------------------------------------------------
+# Supports BOTH native little-endian syntaxes: Explicit VR (what the writer
+# emits) and Implicit VR (1.2.840.10008.1.2 — the DICOM *default*, common
+# in real archives; pydicom's reader handles it transparently, so the
+# dicom2df-analogue source must too).  Implicit VRs resolve through the
+# same rule table the flatten uses (tag → VR; unknown tags → UN), and
+# undefined lengths (0xFFFFFFFF) are walked via the delimitation items
+# (FFFE,E0DD / FFFE,E00D) per PS3.5 §7.5.  Big-endian and compressed
+# (encapsulated-pixel) syntaxes raise a clear per-file error.
 
-def _read_element(data: bytes, pos: int) -> tuple[int, int, str, bytes, int]:
+TRANSFER_SYNTAX_IMPLICIT_LE = "1.2.840.10008.1.2"
+# syntaxes that exist but are not readable/writable here — clear error
+# instead of misparsing (big endian, deflated, every encapsulated family)
+_UNREADABLE_SYNTAX_PREFIXES = (
+    "1.2.840.10008.1.2.2",   # Explicit VR Big Endian (retired)
+    "1.2.840.10008.1.2.99",  # Deflated Explicit VR LE
+    "1.2.840.10008.1.2.4",   # JPEG* encapsulated families
+    "1.2.840.10008.1.2.5",   # RLE Lossless
+)
+
+
+def _syntax_explicit(uid: str) -> bool:
+    """Declared transfer syntax → is the dataset Explicit VR LE?  Mirrors
+    the reference's mapping (df2dicom.py:173-181): explicit-LE → explicit,
+    BE/deflated/encapsulated → error, everything else → implicit (the
+    reference's default branch — pydicom then writes implicit LE)."""
+    if uid == TRANSFER_SYNTAX_EXPLICIT_LE:
+        return True
+    if any(uid.startswith(p) for p in _UNREADABLE_SYNTAX_PREFIXES):
+        raise ValueError(
+            f"unsupported transfer syntax {uid!r} — only the native "
+            f"little-endian syntaxes (explicit {TRANSFER_SYNTAX_EXPLICIT_LE}"
+            f", implicit-or-default {TRANSFER_SYNTAX_IMPLICIT_LE}) are handled")
+    return False
+
+
+SEQ_DELIM_TAG = (0xFFFE, 0xE0DD)
+ITEM_DELIM_TAG = (0xFFFE, 0xE00D)
+UNDEFINED = 0xFFFFFFFF
+
+# pixel-module / marker tags the flatten uses that are outside the rule
+# table (group 0002 is always Explicit VR — never needs this map)
+_EXTRA_VRS = {"0x00120062": "CS", "0x00280002": "US", "0x00280010": "US",
+              "0x00280011": "US", "0x00280100": "US", "0x7fe00010": "OW"}
+
+
+def vr_map() -> dict[str, str]:
+    """tag (lowercase ``0x`` form) → VR, from the same rule table the
+    flatten uses — the Implicit-VR dictionary."""
+    m = {tag: info[1] for tag, info in load_general_rules().items() if info[1]}
+    m.update(_EXTRA_VRS)
+    return m
+
+
+def _read_header(
+    data: bytes, pos: int, explicit: bool, vrs: dict[str, str] | None,
+) -> tuple[int, int, str, int, int]:
+    """-> (group, elem, vr, length, body_at).  Delimiter-group (FFFE)
+    tags carry no VR in either syntax."""
     if pos + 8 > len(data):
         raise ValueError(f"truncated element header at byte {pos}")
     group, elem = struct.unpack_from("<HH", data, pos)
-    raw_vr = data[pos + 4:pos + 6]
-    if not all(0x41 <= b <= 0x5A for b in raw_vr):
-        raise ValueError(f"invalid VR bytes {raw_vr!r} at byte {pos}")
-    vr = raw_vr.decode("ascii")
-    if vr in LONG_VRS:
-        if pos + 12 > len(data):
-            raise ValueError(f"truncated long-form header at byte {pos}")
-        (length,) = struct.unpack_from("<I", data, pos + 8)
-        body_at = pos + 12
-    else:
+    if group == 0xFFFE:
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        return group, elem, "", length, pos + 8
+    if explicit:
+        raw_vr = data[pos + 4:pos + 6]
+        if not all(0x41 <= b <= 0x5A for b in raw_vr):
+            raise ValueError(f"invalid VR bytes {raw_vr!r} at byte {pos}")
+        vr = raw_vr.decode("ascii")
+        if vr in LONG_VRS:
+            if pos + 12 > len(data):
+                raise ValueError(f"truncated long-form header at byte {pos}")
+            (length,) = struct.unpack_from("<I", data, pos + 8)
+            return group, elem, vr, length, pos + 12
         (length,) = struct.unpack_from("<H", data, pos + 6)
-        body_at = pos + 8
-    if length == 0xFFFFFFFF:
-        raise ValueError("undefined lengths are not produced by this writer")
-    if body_at + length > len(data):
-        raise ValueError(
-            f"element ({group:04x},{elem:04x}) body overruns the stream")
-    return group, elem, vr, data[body_at:body_at + length], body_at + length
+        return group, elem, vr, length, pos + 8
+    (length,) = struct.unpack_from("<I", data, pos + 4)
+    vr = (vrs or {}).get(_tag_str(group, elem), "UN")
+    if length == UNDEFINED and vr != "SQ":
+        vr = "SQ"  # undefined length implies a sequence (pydicom convention)
+    return group, elem, vr, length, pos + 8
 
 
-def _parse_dataset(data: bytes, keywords: dict[str, str], prefix: str,
+def _parse_dataset(data: bytes, pos: int, end: int | None,
+                   keywords: dict[str, str], prefix: str,
                    spans: list[dict], media: list[dict],
-                   binary_vr: str = "strict") -> None:
-    pos = 0
-    while pos < len(data):
-        group, elem, vr, body, pos = _read_element(data, pos)
+                   binary_vr: str = "strict", explicit: bool = True,
+                   vrs: dict[str, str] | None = None,
+                   stop_tag: tuple[int, int] | None = None) -> int:
+    """Parse elements from ``pos`` until ``end`` (or until ``stop_tag`` is
+    consumed, for undefined-length items); returns the new position."""
+    limit = len(data) if end is None else end
+    while pos < limit:
+        group, elem, vr, length, body_at = _read_header(
+            data, pos, explicit, vrs)
+        if stop_tag is not None and (group, elem) == stop_tag:
+            return body_at  # delimiter consumed (its length is 0)
         tag = _tag_str(group, elem)
         kw = keywords.get(tag, "")
         key = f"{prefix}{kw}_{tag}_{vr}"
         if vr == "SQ":
-            if not body:
+            pos, item_no = _parse_sq(
+                data, body_at, length, keywords, key, spans, media,
+                binary_vr, explicit, vrs, tag)
+            if item_no == 0:
                 spans.append({"kind": "text", "text": f"{key}_1____@__empty=",
                               "media_ref": "", "offset": 0})
-                continue
-            ipos, item_no = 0, 0
-            while ipos < len(body):
-                ig, ie = struct.unpack_from("<HH", body, ipos)
-                if (ig, ie) != ITEM_TAG:
-                    raise ValueError(f"expected item tag in SQ {tag}")
-                (ilen,) = struct.unpack_from("<I", body, ipos + 4)
-                if ipos + 8 + ilen > len(body):
-                    raise ValueError(f"item in SQ {tag} overruns the sequence")
-                item_no += 1
-                _parse_dataset(body[ipos + 8:ipos + 8 + ilen], keywords,
-                               f"{key}_1____@{item_no}.", spans, media,
-                               binary_vr)
-                ipos += 8 + ilen
-        elif (group, elem) == (0x7FE0, 0x0010):
+            continue
+        if length == UNDEFINED:
+            raise ValueError(
+                f"element ({group:04x},{elem:04x}) VR {vr} has undefined "
+                f"length — encapsulated (compressed) pixel data is not "
+                f"supported; transcode to a native syntax first")
+        if body_at + length > len(data):
+            raise ValueError(
+                f"element ({group:04x},{elem:04x}) body overruns the stream")
+        body = data[body_at:body_at + length]
+        pos = body_at + length
+        if (group, elem) == (0x7FE0, 0x0010):
             media.append({"pixels": body, "vr": vr})
         else:
             value, vm = _parse_value(vr, body, binary_vr)
             spans.append({"kind": "text", "text": f"{key}_{vm}____={value}",
                           "media_ref": "", "offset": 0})
+    return pos
+
+
+def _parse_sq(data: bytes, pos: int, length: int,
+              keywords: dict[str, str], key: str,
+              spans: list[dict], media: list[dict], binary_vr: str,
+              explicit: bool, vrs: dict[str, str] | None,
+              tag: str) -> tuple[int, int]:
+    """Walk a sequence body (defined or undefined length) item by item;
+    returns (position after the sequence, number of items parsed)."""
+    seq_end = None if length == UNDEFINED else pos + length
+    if seq_end is not None and seq_end > len(data):
+        raise ValueError(f"SQ {tag} body overruns the stream")
+    item_no = 0
+    while True:
+        if seq_end is not None and pos >= seq_end:
+            return pos, item_no
+        ig, ie, _, ilen, ibody = _read_header(data, pos, explicit, vrs)
+        if (ig, ie) == SEQ_DELIM_TAG:
+            if seq_end is None:
+                return ibody, item_no
+            raise ValueError(f"unexpected sequence delimiter in defined-length SQ {tag}")
+        if (ig, ie) != ITEM_TAG:
+            raise ValueError(f"expected item tag in SQ {tag}")
+        item_no += 1
+        item_prefix = f"{key}_1____@{item_no}."
+        if ilen == UNDEFINED:
+            pos = _parse_dataset(
+                data, ibody, None, keywords, item_prefix, spans, media,
+                binary_vr, explicit, vrs, stop_tag=ITEM_DELIM_TAG)
+        else:
+            if ibody + ilen > len(data):
+                raise ValueError(f"item in SQ {tag} overruns the sequence")
+            _parse_dataset(data, ibody, ibody + ilen, keywords, item_prefix,
+                           spans, media, binary_vr, explicit, vrs)
+            pos = ibody + ilen
 
 
 def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
@@ -396,17 +528,27 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
         raise ValueError("not a Part-10 stream (DICM magic missing)")
     if keywords is None:
         keywords = keyword_map()
-    group, elem, vr, body, pos = _read_element(data, 132)
+    group, elem, vr, glen, pos = _read_header(data, 132, True, None)
     if (group, elem, vr) != (0x0002, 0x0000, "UL"):
         raise ValueError("FileMetaInformationGroupLength missing")
-    (meta_len,) = struct.unpack("<I", body)
+    (meta_len,) = struct.unpack_from("<I", data, pos)
+    pos += glen
     spans: list[dict] = []
     media: list[dict] = []
     meta_spans: list[dict] = []
-    _parse_dataset(data[pos:pos + meta_len], keywords, "", meta_spans,
-                   media, binary_vr)
-    _parse_dataset(data[pos + meta_len:], keywords, "", spans, media,
-                   binary_vr)
+    # the file meta group is ALWAYS Explicit VR Little Endian (PS3.10 §7.1)
+    _parse_dataset(data, pos, pos + meta_len, keywords, "", meta_spans,
+                   media, binary_vr, explicit=True)
+    # (0002,0010) selects the DATASET syntax — same mapping as the writer
+    syntax = TRANSFER_SYNTAX_EXPLICIT_LE
+    for s in meta_spans:
+        if "_0x00020010_" in s["text"]:
+            syntax = s["text"].split("=", 1)[1]
+            break
+    explicit = _syntax_explicit(syntax)
+    _parse_dataset(data, pos + meta_len, None, keywords, "", spans, media,
+                   binary_vr, explicit=explicit,
+                   vrs=None if explicit else vr_map())
     if include_meta:
         spans = meta_spans + spans
     for i, s in enumerate(spans):
@@ -502,13 +644,17 @@ def export_dcm(docs: DataFrame, out_dir: str,
     (foreachPartition — no driver collect; on a cluster ``out_dir`` is the
     shared filesystem, exactly how df2dicom writes its outdir)."""
     import os
+    from urllib.parse import quote
 
     rendered = render_dcm(docs, payloads, binary_vr)
 
     def write_partition(rows) -> None:
         os.makedirs(out_dir, exist_ok=True)
         for row in rows:
-            safe = row["doc_id"].replace("/", "_")
+            # collision-free, reversible filename: percent-encode every
+            # non-alphanumeric byte ('a/b' and 'a_b' must not both map to
+            # a_b.dcm — the last partition to write would silently win)
+            safe = quote(row["doc_id"], safe="")
             with open(os.path.join(out_dir, f"{safe}.dcm"), "wb") as f:
                 f.write(bytes(row["dcm"]))
 

@@ -18,6 +18,15 @@ min/max → min/max): the partials compose exactly, so the derived
 coarse rows are bit-equal to aggregating the raw stream directly —
 which is precisely what the DuckDB oracle does (three independent
 direct aggregations, one per resolution).
+
+Bucket nesting: hour ⊂ day ⊂ week/month ⊂/⊄ … — WEEKS do not nest in
+months or years (a Monday-truncated week can straddle a month
+boundary), so when ``week`` is the finest requested resolution and a
+coarser calendar level is also requested, the internal aggregation
+base drops to ``day`` (still one corpus-sized shuffle; the day partials
+are never emitted unless requested) and every level derives from that
+base.  Deriving ``month`` from week partials would silently put every
+event of a straddling week in the wrong month.
 """
 
 from __future__ import annotations
@@ -49,9 +58,14 @@ def hypertable_rollup(
         raise ValueError(f"unknown granularities {bad}; pick from {GRANULARITIES}")
     gs = sorted(set(gs), key=GRANULARITIES.index)
 
+    # nesting-safe aggregation base: weeks don't nest in months/years
+    base = gs[0]
+    if base == "week" and len(gs) > 1:
+        base = "day"
+
     finest = (
         events.groupBy(
-            F.date_trunc(gs[0], ts_col).alias("bucket"), *key_cols
+            F.date_trunc(base, ts_col).alias("bucket"), *key_cols
         )
         .agg(
             F.count("*").alias("n_events"),
@@ -60,8 +74,10 @@ def hypertable_rollup(
             F.max(value_col).alias("max_value"),
         )
     )
-    levels = [finest.withColumn("granularity", F.lit(gs[0]))]
-    for g in gs[1:]:
+    levels = []
+    if base == gs[0]:
+        levels.append(finest.withColumn("granularity", F.lit(base)))
+    for g in gs if base != gs[0] else gs[1:]:
         levels.append(
             finest.groupBy(
                 F.date_trunc(g, "bucket").alias("bucket"), *key_cols

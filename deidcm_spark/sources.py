@@ -113,10 +113,14 @@ def read_dcm_documents(
     keywords = keyword_map()  # closed over → shipped once per task
 
     def run(batches):
+        from urllib.parse import unquote
+
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                doc_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                # inverse of export_dcm's percent-encoded filenames
+                # (identity for names that never needed encoding)
+                doc_id = unquote(p.rsplit("/", 1)[-1].rsplit(".", 1)[0])
                 parsed = parse_part10(bytes(content), keywords=keywords,
                                       include_meta=True, binary_vr=binary_vr)
                 spans = parsed["spans"]

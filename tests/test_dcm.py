@@ -310,3 +310,122 @@ def test_dcm_files_full_circle(spark, tmp_path):
     deid = deidentify_attributes(documents_view(back), org_root="9.9.9.9.9",
                                  salt="circle")
     assert deid.count() == 24
+
+
+# ---------------------------------------------------------------------------
+# review fixes: implicit VR, undefined lengths, meta text mode, filenames
+# ---------------------------------------------------------------------------
+
+def _implicit_stream(ts_uid: str = "1.2.840.10008.1.2") -> bytes:
+    """Hand-assembled Implicit VR LE file: meta (explicit, as the standard
+    requires) declaring the given transfer syntax, then a dataset with an
+    implicit element, a pixel-module US element, and an UNDEFINED-length
+    private SQ holding an UNDEFINED-length item."""
+    ts = ts_uid.encode()
+    if len(ts) % 2:
+        ts += b"\x00"  # UI NUL-pads to even length
+    meta_body = struct.pack("<HH", 2, 0x10) + b"UI" + struct.pack("<H", len(ts)) + ts
+    meta = (
+        struct.pack("<HH", 2, 0) + b"UL" + struct.pack("<H", 4)
+        + struct.pack("<I", len(meta_body)) + meta_body
+    )
+    ds = b""
+    ds += struct.pack("<HHI", 0x0008, 0x0018, 6) + b"1.2.3\x00"   # UI via rule table
+    ds += struct.pack("<HHI", 0x0028, 0x0010, 2) + struct.pack("<H", 123)  # Rows US
+    inner = struct.pack("<HHI", 0x0009, 0x1002, 4) + b"ABCD"      # unknown -> UN
+    item = (struct.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF) + inner
+            + struct.pack("<HHI", 0xFFFE, 0xE00D, 0))
+    ds += (struct.pack("<HHI", 0x0009, 0x1001, 0xFFFFFFFF) + item
+           + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    return b"\x00" * 128 + b"DICM" + meta + ds
+
+
+def test_parse_implicit_vr_with_undefined_lengths():
+    """The DICOM default syntax (Implicit VR LE) parses: VRs resolve via
+    the rule table (unknown tags -> UN), undefined-length SQ/items walk
+    the delimitation items."""
+    out = parse_part10(_implicit_stream())
+    texts = _text_set(out["spans"])
+    assert "SOPInstanceUID_0x00080018_UI_1____=1.2.3" in texts
+    assert "Rows_0x00280010_US_1____=123" in texts
+    assert "_0x00091001_SQ_1____@1._0x00091002_UN_1____=QUJDRA==" in texts
+    assert out["media"] is None
+
+
+def test_parse_rejects_unreadable_syntaxes():
+    """Big-endian / compressed syntaxes fail with a clear per-file error,
+    not a cryptic struct error."""
+    for uid in ("1.2.840.10008.1.2.2",        # Explicit VR Big Endian
+                "1.2.840.10008.1.2.4.70"):    # JPEG Lossless (encapsulated)
+        with pytest.raises(ValueError, match="unsupported transfer syntax"):
+            parse_part10(_implicit_stream(uid))
+
+
+def test_meta_group_honors_text_mode():
+    """binary_vr='text' must reach the group-0002 encoder too: a private
+    meta element with a binary VR holding an opaque-text cell round-trips
+    instead of raising from the strict struct packer."""
+    spans = [
+        {"kind": "text", "text": "_0x00020102_US_1____=opaque", "media_ref": "",
+         "offset": 0},
+        {"kind": "text", "text": "SOPInstanceUID_0x00080018_UI_1____=1.2.3",
+         "media_ref": "", "offset": 1},
+    ]
+    blob = encode_part10(spans, binary_vr="text")
+    out = parse_part10(blob, binary_vr="text", include_meta=True)
+    assert "_0x00020102_US_1____=opaque" in _text_set(out["spans"])
+    with pytest.raises((ValueError, struct.error)):
+        encode_part10(spans, binary_vr="strict")
+
+
+def test_export_filenames_collision_free(spark, tmp_path):
+    """doc_ids that sanitize identically under naive replacement must not
+    overwrite each other: percent-encoding keeps them distinct and the
+    ingest side inverts it."""
+    import os
+
+    from pyspark.sql import Row
+
+    from deidcm_spark.dcm import export_dcm
+    from deidcm_spark.schema import SPAN_SCHEMA
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("spans", SPAN_SCHEMA, False),
+    ])
+    span = [{"kind": "text", "text": "SOPInstanceUID_0x00080018_UI_1____=1.2.3",
+             "media_ref": "", "offset": 0}]
+    docs = spark.createDataFrame(
+        [Row(doc_id="a/b", spans=span), Row(doc_id="a_b", spans=span)], schema)
+    out_dir = str(tmp_path / "dcm_out")
+    export_dcm(docs, out_dir)
+    files = sorted(os.listdir(out_dir))
+    assert files == ["a%2Fb.dcm", "a_b.dcm"]
+
+    from deidcm_spark.sources import read_dcm_documents
+
+    back = read_dcm_documents(spark, out_dir)
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {"a/b", "a_b"}
+
+
+def test_writer_defaults_to_implicit_on_unrecognized_syntax():
+    """Reference parity (df2dicom.py:173-181 else-branch): a declared
+    (0002,0010) that is neither explicit-LE nor an unreadable family is
+    written as Implicit VR LE with the declared value preserved as data —
+    and round-trips through the implicit parser."""
+    spans = [
+        {"kind": "text",
+         "text": "TransferSyntaxUID_0x00020010_UI_1____=1.3.6.1.4.1.99999.1",
+         "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "SOPInstanceUID_0x00080018_UI_1____=1.2.3",
+         "media_ref": "", "offset": 1},
+    ]
+    blob = encode_part10(spans)
+    # implicit header for (0008,0018): tag + uint32 length, no VR bytes
+    at = blob.index(struct.pack("<HH", 0x0008, 0x0018))
+    assert blob[at + 4:at + 6] != b"UI"
+    out = parse_part10(blob, include_meta=True)
+    texts = _text_set(out["spans"])
+    assert "SOPInstanceUID_0x00080018_UI_1____=1.2.3" in texts
+    assert any("_0x00020010_UI_1____=1.3.6.1.4.1.99999.1" in t for t in texts)

@@ -87,3 +87,25 @@ def test_rollup_orders_mixed_granularity_input(spark, events):
     )
     grans = {r["granularity"] for r in out.select("granularity").distinct().collect()}
     assert grans == {"hour", "week"}
+
+
+def test_rollup_week_finest_does_not_misbucket_months(spark):
+    """Weeks don't nest in months: an event on Feb 1 whose Monday-truncated
+    week starts Jan 29 must still land in the February month bucket (the
+    internal base drops to 'day' when week is finest with coarser levels)."""
+    from pyspark.sql import Row
+
+    events = spark.createDataFrame(
+        [Row(ts="2024-02-01 12:00:00", event_type="click", value=5.0)]
+    ).select(
+        F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type", "value"
+    )
+    out = hypertable_rollup(
+        events, "ts", ["event_type"], "value",
+        granularities=["week", "month"],
+    )
+    rows = {r["granularity"]: str(r["bucket"]) for r in out.collect()}
+    assert rows["week"].startswith("2024-01-29")
+    assert rows["month"].startswith("2024-02-01")
+    grans = {r["granularity"] for r in out.collect()}
+    assert grans == {"week", "month"}  # internal day base is not emitted
