@@ -37,6 +37,76 @@ from pyspark.sql import DataFrame, functions as F
 GRANULARITIES = ["hour", "day", "week", "month", "year"]
 
 
+def resolve_granularities(granularities: list[str] | None) -> tuple[list[str], str]:
+    """Validate + order the requested resolutions and pick the
+    nesting-safe aggregation base (weeks don't nest in months/years)."""
+    gs = granularities or ["hour", "day", "week"]
+    bad = [g for g in gs if g not in GRANULARITIES]
+    if bad:
+        raise ValueError(f"unknown granularities {bad}; pick from {GRANULARITIES}")
+    gs = sorted(set(gs), key=GRANULARITIES.index)
+    base = gs[0]
+    if base == "week" and len(gs) > 1:
+        base = "day"
+    return gs, base
+
+
+def base_partials(
+    events: DataFrame, ts_col: str, key_cols: list[str], value_col: str,
+    base: str,
+) -> DataFrame:
+    """The finest-resolution partial aggregate — the ONE corpus-sized
+    shuffle, and the unit a streaming refresh appends per micro-batch
+    (partials compose: re-aggregating partials of partials is exact)."""
+    return (
+        events.groupBy(
+            F.date_trunc(base, ts_col).alias("bucket"), *key_cols
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+
+
+def _combine(df: DataFrame, bucket_expr, key_cols: list[str]) -> DataFrame:
+    return df.groupBy(bucket_expr.alias("bucket"), *key_cols).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def derive_levels(
+    finest: DataFrame, gs: list[str], base: str, key_cols: list[str],
+    combine_base: bool = False,
+) -> DataFrame:
+    """finest partials → tagged union of every requested resolution.
+    ``combine_base=True`` first merges duplicate base buckets (needed when
+    ``finest`` is an APPEND-ONLY partial log, e.g. the streaming refresh,
+    where one bucket may appear in several micro-batches)."""
+    if combine_base:
+        finest = _combine(finest, F.col("bucket"), key_cols)
+    levels = []
+    if base == gs[0]:
+        levels.append(finest.withColumn("granularity", F.lit(base)))
+    for g in gs if base != gs[0] else gs[1:]:
+        levels.append(
+            _combine(finest, F.date_trunc(g, "bucket"), key_cols)
+            .withColumn("granularity", F.lit(g))
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "bucket", "granularity", *key_cols,
+        "n_events", "sum_value", "min_value", "max_value",
+    )
+
+
 def hypertable_rollup(
     events: DataFrame,
     ts_col: str,
@@ -49,51 +119,9 @@ def hypertable_rollup(
     from the finest level's partials (one corpus-sized shuffle total).
 
     ``granularities``: subset of hour/day/week/month/year, any order;
-    the FINEST one is aggregated from the raw stream and each coarser
-    one re-aggregates the finest partials.
+    the finest NESTING-SAFE base is aggregated from the raw stream and
+    every requested level derives from it.
     """
-    gs = granularities or ["hour", "day", "week"]
-    bad = [g for g in gs if g not in GRANULARITIES]
-    if bad:
-        raise ValueError(f"unknown granularities {bad}; pick from {GRANULARITIES}")
-    gs = sorted(set(gs), key=GRANULARITIES.index)
-
-    # nesting-safe aggregation base: weeks don't nest in months/years
-    base = gs[0]
-    if base == "week" and len(gs) > 1:
-        base = "day"
-
-    finest = (
-        events.groupBy(
-            F.date_trunc(base, ts_col).alias("bucket"), *key_cols
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(value_col).alias("sum_value"),
-            F.min(value_col).alias("min_value"),
-            F.max(value_col).alias("max_value"),
-        )
-    )
-    levels = []
-    if base == gs[0]:
-        levels.append(finest.withColumn("granularity", F.lit(base)))
-    for g in gs if base != gs[0] else gs[1:]:
-        levels.append(
-            finest.groupBy(
-                F.date_trunc(g, "bucket").alias("bucket"), *key_cols
-            )
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("sum_value").alias("sum_value"),
-                F.min("min_value").alias("min_value"),
-                F.max("max_value").alias("max_value"),
-            )
-            .withColumn("granularity", F.lit(g))
-        )
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out.select(
-        "bucket", "granularity", *key_cols,
-        "n_events", "sum_value", "min_value", "max_value",
-    )
+    gs, base = resolve_granularities(granularities)
+    finest = base_partials(events, ts_col, key_cols, value_col, base)
+    return derive_levels(finest, gs, base, key_cols)

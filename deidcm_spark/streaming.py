@@ -295,3 +295,72 @@ def stream_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_rollup(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    granularities: list[str] | None = None,
+    available_now: bool = True,
+    queryName: str = "rollup_refresh",
+):
+    """Streaming CONTINUOUS-AGGREGATE refresh of the hypertable rollup
+    (operators/rollup.py): each micro-batch appends its finest-resolution
+    PARTIALS (count/sum/min/max per bucket — decomposable, so partials of
+    partials re-aggregate exactly) through the idempotent batch-partition
+    sink; :func:`read_rollup` compacts the partial log and derives every
+    requested resolution.  This is how TimescaleDB-style continuous
+    aggregates refresh — the raw stream is touched once per batch, the
+    materialization is bucket-cardinality, and a replayed micro-batch
+    overwrites its own partition instead of double-counting."""
+    from deidcm_spark.operators.rollup import (
+        base_partials,
+        resolve_granularities,
+    )
+
+    keys = key_cols or ["event_type"]
+    _, base = resolve_granularities(granularities)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(in_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _idempotent_write(
+            base_partials(batch_df, "ts", keys, value_col, base),
+            batch_id, out_dir,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: list[str] | None = None,
+    granularities: list[str] | None = None,
+) -> DataFrame:
+    """Compact the streaming partial log into the SAME output as the batch
+    :func:`hypertable_rollup` over all events seen so far (equality is the
+    test's invariant): merge duplicate base buckets across micro-batches,
+    then derive each requested resolution."""
+    from deidcm_spark.operators.rollup import (
+        derive_levels,
+        resolve_granularities,
+    )
+
+    keys = key_cols or ["event_type"]
+    gs, base = resolve_granularities(granularities)
+    partials = spark.read.parquet(out_dir).drop("batch_id")
+    return derive_levels(partials, gs, base, keys, combine_base=True)
