@@ -1,0 +1,169 @@
+"""Importance resampling for training-data curation (DSIR-style).
+
+Data Selection with Importance Resampling (Xie et al., 2023,
+arXiv:2302.03169): score every raw document by how target-like it is
+under a pair of hashed n-gram bag-of-words models, then sample documents
+with probability proportional to the importance weight.  This is the
+standard way a 100 TB web crawl gets steered toward a high-quality
+target distribution (e.g. a curated reference corpus) without training
+a classifier.
+
+Spark-first decomposition — every stage is a bounded-state primitive:
+
+1. **feature counts** (one hash aggregate per corpus): each document's
+   hashed n-gram multiset collapses into ``n_buckets`` counters; the
+   per-corpus distribution is ``n_buckets`` rows — driver/broadcast
+   scale (like the IVF codebook), NEVER corpus scale, at any input size.
+2. **log-likelihood ratio table**: Laplace-smoothed
+   ``log((c_t[b]+1)/(T_t+B)) - log((c_r[b]+1)/(T_r+B))`` per bucket,
+   computed from the two count tables — ``n_buckets`` rows, broadcast.
+3. **per-doc weight**: explode grams → broadcast-join the ratio table →
+   map-side-combined sum per doc.  ONE shuffle (the per-doc hash agg);
+   the join side is the tiny table, so no corpus data moves for it.
+4. **selection**: Gumbel top-k over ``logw + gumbel(hash(doc_id))`` —
+   the Efraimidis–Spirakis weighted sample WITHOUT replacement, fully
+   deterministic (the "noise" is a hash of the doc_id, so retries and
+   engines agree bit-for-bit, per the repo-wide no-RNG invariant).
+   Spark executes orderBy+limit as TakeOrderedAndProject: each partition
+   keeps its local top-k, only k rows reach the driver.
+
+All hashing uses the repo-wide md5-prefix convention (portable to the
+DuckDB/pure-Python oracles); tokens/2-grams reuse the exact textops
+spec so the feature space matches the other text operators.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from deidcm_spark.operators.textops import TOKENS, twograms_all_expr
+
+# first-8-hex-chars-of-md5 → bigint, same convention as textops.SPLIT_HASH
+_H32 = "cast(conv(substring(md5({v}), 1, 8), 16, 10) as bigint)"
+
+
+def _gram_expr(ngram: int) -> str:
+    if ngram == 1:
+        return TOKENS
+    if ngram == 2:
+        return twograms_all_expr()
+    raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+
+
+def bucket_counts(df: DataFrame, n_buckets: int, ngram: int = 2) -> DataFrame:
+    """(bucket, n) hashed n-gram counts — the corpus's bag-of-hashed-grams
+    distribution in at most ``n_buckets`` rows.  One explode + one hash
+    aggregate (map-side partial combine); output is metadata-scale."""
+    gram = _gram_expr(ngram)
+    return (
+        df.select(F.explode(F.expr(gram)).alias("g"))
+        .select(F.expr(_H32.format(v="g") + f" % {n_buckets}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    ngram: int = 2,
+) -> DataFrame:
+    """(doc_id, logw) — per-document DSIR importance log-weight
+    ``sum over grams of log p_target(bucket) - log p_raw(bucket)`` with
+    Laplace(+1) smoothing.  Documents with no grams keep ``logw = 0.0``
+    (an empty document is distribution-neutral, not dropped).
+
+    The two distribution tables are ``n_buckets`` rows each (persisted —
+    gram totals are a sum over them, not a second corpus scan); the ratio
+    table is broadcast into the gram stream, so the only corpus-sized
+    shuffle is the per-doc aggregation.  ``explode_outer`` keeps
+    gram-less documents in the stream (their null gram scores 0.0), so
+    no corpus-sized re-join is needed to restore them."""
+    gram = _gram_expr(ngram)
+
+    r = bucket_counts(raw, n_buckets, ngram).withColumnRenamed("n", "n_raw")
+    t = bucket_counts(target, n_buckets, ngram).withColumnRenamed("n", "n_tgt")
+    r.persist(), t.persist()
+    totals_r = int(r.agg(F.sum("n_raw")).first()[0] or 0)
+    totals_t = int(t.agg(F.sum("n_tgt")).first()[0] or 0)
+
+    # full_outer over two <=n_buckets-row tables (SMJ on metadata, fine)
+    ratio = (
+        r.join(t, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("n_tgt", F.lit(0)) + 1)
+                      / F.lit(float(totals_t + n_buckets)))
+                - F.log((F.coalesce("n_raw", F.lit(0)) + 1)
+                        / F.lit(float(totals_r + n_buckets)))
+            ).alias("llr"),
+        )
+    )
+    # an UNSEEN bucket (absent from both tables) still has a defined ratio
+    llr_unseen = math.log(1.0 / (totals_t + n_buckets)) - math.log(
+        1.0 / (totals_r + n_buckets)
+    )
+
+    return (
+        raw.select("doc_id", F.explode_outer(F.expr(gram)).alias("g"))
+        .select(
+            "doc_id",
+            "g",
+            F.expr(_H32.format(v="g") + f" % {n_buckets}").alias("bucket"),
+        )
+        .join(F.broadcast(ratio), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("g").isNull(), F.lit(0.0)).otherwise(
+                        F.coalesce("llr", F.lit(llr_unseen))
+                    )
+                ),
+                6,
+            ).alias("logw")
+        )
+    )
+
+
+# Gumbel noise from the doc_id hash: u in (0,1) from a 32-bit md5 prefix,
+# g = -ln(-ln(u)).  Top-k of logw + g is an exact weighted sample without
+# replacement with P(i in sample) matching w_i = exp(logw_i) (Gumbel-max /
+# Efraimidis–Spirakis equivalence) — and it is a pure function of
+# (doc_id, logw), so engines and retries agree.
+_GUMBEL = (
+    "-ln(-ln((" + _H32.format(v="concat(cast(doc_id as string), ':dsir')")
+    + " + 0.5) / 4294967296.0))"
+)
+
+
+def importance_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 4096,
+    ngram: int = 2,
+) -> DataFrame:
+    """The k raw documents sampled without replacement with probability
+    proportional to their DSIR importance weight — ``(doc_id, logw,
+    gumbel_key)`` of the selected set.  Deterministic: selection is a
+    pure function of the corpus contents.
+
+    At scale: the weight stage is one shuffle (see
+    :func:`importance_weights`); selection is orderBy+limit, which Spark
+    plans as TakeOrderedAndProject — per-partition top-k, only ``k``
+    rows cross to the driver."""
+    w = importance_weights(raw, target, n_buckets=n_buckets, ngram=ngram)
+    return (
+        w.select(
+            "doc_id",
+            "logw",
+            F.round(F.expr(_GUMBEL) + F.col("logw"), 6).alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), "doc_id")
+        .limit(k)
+    )

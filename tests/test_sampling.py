@@ -1,0 +1,142 @@
+"""DSIR importance sampling vs an independent pure-Python oracle.
+
+The oracle re-derives the full pipeline (tokenize → hashed 2-gram bucket
+counts → Laplace-smoothed log-likelihood ratios → per-doc weights →
+Gumbel top-k) from the written spec with hashlib/math only — no Spark,
+no shared helpers — so an implementation bug can't hide in reused code.
+"""
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from deidcm_spark.operators.sampling import (
+    bucket_counts,
+    importance_sample,
+    importance_weights,
+)
+
+SF = "/root/testdata/sf0.001/documents.parquet"
+N_BUCKETS = 512
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _grams(text: str) -> list[str]:
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _py_weights(raw_rows, target_rows):
+    def counts(rows):
+        c: dict[int, int] = {}
+        total = 0
+        for _, text in rows:
+            for g in _grams(text):
+                b = _h32(g) % N_BUCKETS
+                c[b] = c.get(b, 0) + 1
+                total += 1
+        return c, total
+
+    cr, tr = counts(raw_rows)
+    ct, tt = counts(target_rows)
+    out = {}
+    for doc_id, text in raw_rows:
+        logw = 0.0
+        for g in _grams(text):
+            b = _h32(g) % N_BUCKETS
+            logw += math.log((ct.get(b, 0) + 1) / (tt + N_BUCKETS))
+            logw -= math.log((cr.get(b, 0) + 1) / (tr + N_BUCKETS))
+        out[doc_id] = round(logw, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    docs = spark.read.parquet(SF)
+    raw = docs.filter("doc_id % 5 != 0")
+    target = docs.filter("doc_id % 5 = 0 and lang = 'en'")
+    return raw, target
+
+
+def test_weights_match_python_oracle(spark, corpora):
+    raw, target = corpora
+    got = {
+        r["doc_id"]: r["logw"]
+        for r in importance_weights(raw, target, n_buckets=N_BUCKETS).collect()
+    }
+    rows = lambda df: [(r["doc_id"], r["text"]) for r in df.collect()]
+    want = _py_weights(rows(raw), rows(target))
+    assert got.keys() == want.keys()
+    off = {d: (got[d], want[d]) for d in want
+           if abs(got[d] - want[d]) > 1e-4}
+    assert not off, f"{len(off)} weight mismatches, e.g. {list(off.items())[:3]}"
+
+
+def test_sample_is_gumbel_topk_of_weights(spark, corpora):
+    raw, target = corpora
+    k = 40
+    sel = importance_sample(raw, target, k, n_buckets=N_BUCKETS).collect()
+    assert len(sel) == k
+    # re-derive the selection from the (already-verified) weights + the
+    # documented Gumbel spec
+    w = {
+        r["doc_id"]: r["logw"]
+        for r in importance_weights(raw, target, n_buckets=N_BUCKETS).collect()
+    }
+
+    def key(doc_id):
+        u = (_h32(f"{doc_id}:dsir") + 0.5) / 4294967296.0
+        return round(-math.log(-math.log(u)) + w[doc_id], 6)
+
+    want = sorted(w, key=lambda d: (-key(d), d))[:k]
+    got = [r["doc_id"] for r in sel]
+    assert got == want
+    for r in sel:
+        assert abs(r["gumbel_key"] - key(r["doc_id"])) <= 1e-6
+
+
+def test_sample_is_deterministic_and_target_steered(spark, corpora):
+    raw, target = corpora
+    a = [r["doc_id"] for r in importance_sample(raw, target, 25,
+                                                n_buckets=N_BUCKETS).collect()]
+    b = [r["doc_id"] for r in importance_sample(raw, target, 25,
+                                                n_buckets=N_BUCKETS).collect()]
+    assert a == b
+    # steering: an English-target sample must over-represent English docs
+    docs = spark.read.parquet(SF).select("doc_id", "lang")
+    base = docs.filter("doc_id % 5 != 0")
+    base_en = base.filter("lang = 'en'").count() / base.count()
+    sel = importance_sample(raw, target, 100, n_buckets=N_BUCKETS)
+    sel_en = (sel.join(docs, "doc_id").filter("lang = 'en'").count()
+              / sel.count())
+    assert sel_en > base_en
+
+
+def test_empty_and_missing_gram_docs_keep_neutral_weight(spark, corpora):
+    _, target = corpora
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["logw"]
+           for r in importance_weights(raw, target, n_buckets=N_BUCKETS).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == 0.0 and got[3] == 0.0  # no 2-grams → neutral
+
+
+def test_bucket_table_is_bounded(spark, corpora):
+    raw, _ = corpora
+    assert bucket_counts(raw, 64).count() <= 64
+
+
+def test_selection_plan_is_take_ordered(spark, corpora):
+    raw, target = corpora
+    df = importance_sample(raw, target, 10, n_buckets=N_BUCKETS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
