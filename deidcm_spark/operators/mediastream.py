@@ -126,7 +126,10 @@ def audio_features(audio: DataFrame) -> DataFrame:
                     )
                 M = flat.reshape(-1, ch).astype(np.int64)
                 n = M.shape[0]
-                rms = float(np.sqrt(np.mean(M.astype(np.float64) ** 2)))
+                rms = (
+                    float(np.sqrt(np.mean(M.astype(np.float64) ** 2)))
+                    if n else 0.0  # empty clip: 0.0, not NaN
+                )
                 signs = M >= 0
                 zcr = (
                     float(np.mean(signs[1:] != signs[:-1])) if n > 1 else 0.0

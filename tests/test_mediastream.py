@@ -108,6 +108,16 @@ def test_audio_features_match_hand_computation(spark):
     assert s["zero_cross_rate"] == round(flips / 6, 6)
 
 
+def test_audio_empty_clip_is_zeroes_not_nan(spark):
+    df = spark.createDataFrame(
+        [("e", 8000, 2, b"")],
+        "media_ref string, sample_rate int, n_channels int, pcm binary",
+    )
+    r = audio_features(df).first()
+    assert (r["n_samples"], r["duration_s"], r["rms"], r["peak"],
+            r["zero_cross_rate"]) == (0, 0.0, 0.0, 0, 0.0)
+
+
 def test_lanes_are_zero_shuffle(spark, videos):
     for df in (frame_sample(videos, k=2),):
         df.collect()
