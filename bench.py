@@ -110,6 +110,10 @@ def main() -> None:
         "minhash_signatures_fast_sec": min(
             s["extras"]["minhash_signatures_fast_sec"] for s in samples
         ),
+        "semdedup_sec": min(s["extras"]["semdedup_sec"] for s in samples),
+        "dsir_sample_sec": min(
+            s["extras"]["dsir_sample_sec"] for s in samples
+        ),
         "deid_n_docs": samples[0]["extras"]["deid_n_docs"],
         "extract_n_docs": samples[0]["extras"]["extract_n_docs"],
         "n_workers": N_WORKERS,

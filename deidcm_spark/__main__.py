@@ -12,6 +12,10 @@ supports it:
            main-content span table [--resume via lineage.run_extract_job]
   scrub    raw documents → PHI-scrubbed text (dates/times/emails/names/UIDs)
   dedup    raw documents → verified near-dup pairs + KEEP/DROP decisions
+  semdedup embeddings → SemDeDup KEEP/DROP decisions + persisted codebook
+           [--codebook: prune a new drop against a prior run's space]
+  dsir     raw documents + --target corpus → the --k most target-like
+           documents (DSIR importance sampling, deterministic)
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -127,6 +131,51 @@ def cmd_dedup(args) -> dict:
     }
 
 
+def cmd_semdedup(args) -> dict:
+    """Semantic-dedup lane (SemDeDup): codebook → cluster → within-cluster
+    prune.  The codebook is WRITTEN next to the decisions so incremental
+    re-runs (and the next corpus drop) prune against the SAME embedding
+    space — pass it back via --codebook."""
+    spark = _spark("deidcm_semdedup", args.shuffle_partitions)
+    from deidcm_spark.operators.semdedup import semdedup
+    from deidcm_spark.operators.similarity import ivf_centroids
+
+    emb = spark.read.parquet(args.input).select("vec_id", "embedding")
+    if args.codebook:
+        rows = spark.read.parquet(args.codebook).orderBy("cluster").collect()
+        cents = [list(r["centroid"]) for r in rows]
+    else:
+        cents = ivf_centroids(emb, n_centroids=args.centroids)
+    spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(args.output + "/codebook")
+    semdedup(emb, threshold=args.threshold, centroids=cents).write.mode(
+        "overwrite"
+    ).parquet(args.output + "/decisions")
+    dec = spark.read.parquet(args.output + "/decisions")
+    return {
+        "vectors": dec.count(),
+        "dropped": dec.filter("action = 'DROP'").count(),
+        "clusters": len(cents),
+    }
+
+
+def cmd_dsir(args) -> dict:
+    """DSIR importance-sampling lane: select the --k raw documents most
+    like the --target corpus (hashed-2-gram LLR weights, deterministic
+    Gumbel top-k)."""
+    spark = _spark("deidcm_dsir", args.shuffle_partitions)
+    from deidcm_spark.operators.sampling import importance_sample
+
+    raw = spark.read.parquet(args.input).select("doc_id", "text")
+    tgt = spark.read.parquet(args.target).select("doc_id", "text")
+    importance_sample(
+        raw, tgt, args.k, n_buckets=args.buckets
+    ).write.mode("overwrite").parquet(args.output)
+    return {"selected": spark.read.parquet(args.output).count(), "k": args.k}
+
+
 def cmd_textstats(args) -> dict:
     """Text-analysis lane: token counts, quality score + flags, language
     id, fingerprints — ONE projection over one scan (textops.text_stats),
@@ -234,6 +283,23 @@ def build_parser() -> argparse.ArgumentParser:
     ts = sub.add_parser("textstats")
     common(ts)
     ts.set_defaults(fn=cmd_textstats)
+
+    sd = sub.add_parser("semdedup")
+    common(sd)
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument("--centroids", type=int, default=16)
+    sd.add_argument("--codebook", default="",
+                    help="existing codebook parquet (prune against the "
+                         "same space as a prior run)")
+    sd.set_defaults(fn=cmd_semdedup)
+
+    ds = sub.add_parser("dsir")
+    common(ds)
+    ds.add_argument("--target", required=True,
+                    help="target-distribution documents parquet")
+    ds.add_argument("--k", type=int, required=True)
+    ds.add_argument("--buckets", type=int, default=4096)
+    ds.set_defaults(fn=cmd_dsir)
 
     i = sub.add_parser("ingest")
     common(i)

@@ -120,3 +120,38 @@ def test_cli_dedup_and_textstats(tmp_path, capsys, spark):
     cols = set(spark.read.parquet(ts).columns)
     assert {"doc_id", "n_tokens", "quality", "repetition_ratio",
             "lang_pred", "fp_exact"} <= cols
+
+
+def test_cli_semdedup_codebook_reuse(tmp_path, capsys, spark):
+    out1 = str(tmp_path / "sd1")
+    out2 = str(tmp_path / "sd2")
+    emb = f"{SF}/embeddings.parquet"
+    r = _run(capsys, [
+        "semdedup", "--input", emb, "--output", out1,
+        "--threshold", "0.45", "--centroids", "8", "--shuffle-partitions", "8",
+    ])
+    assert r["vectors"] == 500 and r["clusters"] == 8 and r["dropped"] > 0
+    # second run pruning against the FIRST run's codebook must agree
+    r2 = _run(capsys, [
+        "semdedup", "--input", emb, "--output", out2,
+        "--threshold", "0.45", "--codebook", out1 + "/codebook",
+        "--shuffle-partitions", "8",
+    ])
+    assert r2 == r
+    a = sorted(spark.read.parquet(out1 + "/decisions").collect())
+    b = sorted(spark.read.parquet(out2 + "/decisions").collect())
+    assert a == b
+
+
+def test_cli_dsir(tmp_path, capsys, spark):
+    out = str(tmp_path / "dsir")
+    docs = f"{SF}/documents.parquet"
+    tgt = str(tmp_path / "target")
+    spark.read.parquet(docs).filter("lang = 'en'").limit(50).write.parquet(tgt)
+    r = _run(capsys, [
+        "dsir", "--input", docs, "--target", tgt, "--k", "40",
+        "--output", out, "--shuffle-partitions", "8",
+    ])
+    assert r == {"selected": 40, "k": 40}
+    sel = spark.read.parquet(out)
+    assert set(sel.columns) == {"doc_id", "logw", "gumbel_key"}

@@ -208,6 +208,40 @@ def run(sf_dir: str, cpus: int) -> None:
         "minhash_signatures_fast"
     )
 
+    # --- round-3 training-data additions, also extras-only evidence:
+    # SemDeDup prune with a prebuilt codebook (the production shape —
+    # codebooks persist across incremental runs) and DSIR importance
+    # sampling (English-target steering over the documents table)
+    from deidcm_spark.operators.sampling import importance_sample
+    from deidcm_spark.operators.semdedup import semdedup
+    from deidcm_spark.operators.similarity import ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = ivf_centroids(emb, n_centroids=16)
+    semdedup(emb.limit(64), threshold=0.9, centroids=cents).agg(
+        F.count("*")
+    ).collect()
+    timed("semdedup", lambda: semdedup(
+        emb, threshold=0.9, centroids=cents
+    ).agg(F.count("*"), F.count_if(F.col("action") == "DROP")).collect(),
+        runs=3)
+    extras["semdedup_sec"] = timings.pop("semdedup")
+
+    docs_all = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    raw = docs_all.filter("doc_id % 10 != 0").select("doc_id", "text")
+    tgt = docs_all.filter("doc_id % 10 = 0 and lang = 'en'").select(
+        "doc_id", "text"
+    )
+    importance_sample(raw.limit(64), tgt.limit(64), 8, n_buckets=512).collect()
+    timed("dsir_sample", lambda: importance_sample(
+        raw, tgt, 200, n_buckets=4096
+    ).collect(), runs=3)
+    extras["dsir_sample_sec"] = timings.pop("dsir_sample")
+
     # --- contract queries
     qs = entry_mod.queries()
     # best-of-3 for the (mostly sub-second) contract queries: 50 ms of host
