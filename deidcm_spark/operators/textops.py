@@ -470,3 +470,29 @@ def hash_sample(df: DataFrame, keep_bp: int = 1000) -> DataFrame:
     under repartitioning).  ``keep_bp`` is in BASIS POINTS (1/10000):
     keep_bp=2500 → 25% kept."""
     return df.filter(F.expr(f"{SPLIT_HASH} < {keep_bp}"))
+
+
+def cap_per_source(
+    df: DataFrame, max_docs: int, source_col: str = "source"
+) -> DataFrame:
+    """Per-source document cap (domain balancing — the C4/RefinedWeb-style
+    guard against one domain dominating the training mix): keep at most
+    ``max_docs`` documents per source, chosen by the SAME md5(doc_id)
+    order every sampling operator here uses, so the kept subset is a
+    deterministic, repartition-stable function of the corpus.
+
+    One window over one shuffle keyed by the source — no driver-side
+    per-source state; a hot source costs one fat partition, bounded by
+    the cap itself (row_number short-circuits nothing, but the emitted
+    excess is filtered map-side right after the sort)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_docs)
+        .drop("_rn")
+    )

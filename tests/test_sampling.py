@@ -140,3 +140,36 @@ def test_selection_plan_is_take_ordered(spark, corpora):
     df = importance_sample(raw, target, 10, n_buckets=N_BUCKETS)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cap_per_source_deterministic_and_exact(spark):
+    import hashlib
+
+    from deidcm_spark.operators.textops import cap_per_source
+
+    docs = spark.read.parquet(SF).select("doc_id", "source")
+    got = cap_per_source(docs, 20).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    # cap respected, and sources smaller than the cap keep everything
+    counts = {r["source"]: c for r, c in
+              [(x, x["n"]) for x in docs.groupBy("source")
+               .agg(F.count("*").alias("n")).collect()]}
+    for s, ids in per.items():
+        assert len(ids) == min(20, counts[s])
+    # membership = first-20 by md5(doc_id) — re-derived independently
+    all_rows = docs.collect()
+    by_src = {}
+    for r in all_rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    for s, ids in by_src.items():
+        want = sorted(
+            ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )[:20]
+        assert sorted(per[s]) == sorted(want)
+    # repartition-stable
+    again = cap_per_source(docs.repartition(7), 20).collect()
+    assert sorted((r["doc_id"], r["source"]) for r in again) == sorted(
+        (r["doc_id"], r["source"]) for r in got
+    )
