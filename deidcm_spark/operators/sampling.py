@@ -27,9 +27,12 @@ Spark-first decomposition — every stage is a bounded-state primitive:
    Spark executes orderBy+limit as TakeOrderedAndProject: each partition
    keeps its local top-k, only k rows reach the driver.
 
-All hashing uses the repo-wide md5-prefix convention (portable to the
-DuckDB/pure-Python oracles); tokens/2-grams reuse the exact textops
-spec so the feature space matches the other text operators.
+All hashing defaults to the repo-wide md5-prefix convention (portable
+to the DuckDB/pure-Python oracles); ``hash_impl="fast"`` swaps the gram
+bucketing to xxhash64 (the dedup.py at-scale convention — JVM integer
+mix, no hex round-trip) without changing weight semantics.  Tokens and
+2-grams reuse the exact textops spec so the feature space matches the
+other text operators.
 """
 
 from __future__ import annotations
@@ -44,6 +47,22 @@ from deidcm_spark.operators.textops import TOKENS, twograms_all_expr
 _H32 = "cast(conv(substring(md5({v}), 1, 8), 16, 10) as bigint)"
 
 
+def _bucket_expr(n_buckets: int, hash_impl: str) -> str:
+    """gram → bucket.  ``portable`` = the md5 spec the pure-Python oracle
+    re-derives; ``fast`` = xxhash64 (JVM integer mix, no hex round-trip —
+    the dedup.py at-scale convention, ~2x cheaper per gram, NOT
+    oracle-portable).  Weight SEMANTICS are hash-agnostic: both
+    distributions and the doc scores use the same bucketing, so only the
+    (arbitrary) feature-space partition changes."""
+    if hash_impl == "portable":
+        return _H32.format(v="g") + f" % {n_buckets}"
+    if hash_impl == "fast":
+        return f"pmod(xxhash64(g), {n_buckets})"
+    raise ValueError(
+        f"hash_impl must be 'portable' or 'fast', got {hash_impl!r}"
+    )
+
+
 def _gram_expr(ngram: int) -> str:
     if ngram == 1:
         return TOKENS
@@ -52,14 +71,17 @@ def _gram_expr(ngram: int) -> str:
     raise ValueError(f"ngram must be 1 or 2, got {ngram}")
 
 
-def bucket_counts(df: DataFrame, n_buckets: int, ngram: int = 2) -> DataFrame:
+def bucket_counts(
+    df: DataFrame, n_buckets: int, ngram: int = 2,
+    hash_impl: str = "portable",
+) -> DataFrame:
     """(bucket, n) hashed n-gram counts — the corpus's bag-of-hashed-grams
     distribution in at most ``n_buckets`` rows.  One explode + one hash
     aggregate (map-side partial combine); output is metadata-scale."""
     gram = _gram_expr(ngram)
     return (
         df.select(F.explode(F.expr(gram)).alias("g"))
-        .select(F.expr(_H32.format(v="g") + f" % {n_buckets}").alias("bucket"))
+        .select(F.expr(_bucket_expr(n_buckets, hash_impl)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
@@ -70,6 +92,7 @@ def importance_weights(
     target: DataFrame,
     n_buckets: int = 4096,
     ngram: int = 2,
+    hash_impl: str = "portable",
 ) -> DataFrame:
     """(doc_id, logw) — per-document DSIR importance log-weight
     ``sum over grams of log p_target(bucket) - log p_raw(bucket)`` with
@@ -84,8 +107,8 @@ def importance_weights(
     no corpus-sized re-join is needed to restore them."""
     gram = _gram_expr(ngram)
 
-    r = bucket_counts(raw, n_buckets, ngram).withColumnRenamed("n", "n_raw")
-    t = bucket_counts(target, n_buckets, ngram).withColumnRenamed("n", "n_tgt")
+    r = bucket_counts(raw, n_buckets, ngram, hash_impl).withColumnRenamed("n", "n_raw")
+    t = bucket_counts(target, n_buckets, ngram, hash_impl).withColumnRenamed("n", "n_tgt")
     r.persist(), t.persist()
     totals_r = int(r.agg(F.sum("n_raw")).first()[0] or 0)
     totals_t = int(t.agg(F.sum("n_tgt")).first()[0] or 0)
@@ -113,7 +136,7 @@ def importance_weights(
         .select(
             "doc_id",
             "g",
-            F.expr(_H32.format(v="g") + f" % {n_buckets}").alias("bucket"),
+            F.expr(_bucket_expr(n_buckets, hash_impl)).alias("bucket"),
         )
         .join(F.broadcast(ratio), "bucket", "left")
         .groupBy("doc_id")
@@ -147,6 +170,7 @@ def importance_sample(
     k: int,
     n_buckets: int = 4096,
     ngram: int = 2,
+    hash_impl: str = "portable",
 ) -> DataFrame:
     """The k raw documents sampled without replacement with probability
     proportional to their DSIR importance weight — ``(doc_id, logw,
@@ -157,7 +181,8 @@ def importance_sample(
     :func:`importance_weights`); selection is orderBy+limit, which Spark
     plans as TakeOrderedAndProject — per-partition top-k, only ``k``
     rows cross to the driver."""
-    w = importance_weights(raw, target, n_buckets=n_buckets, ngram=ngram)
+    w = importance_weights(raw, target, n_buckets=n_buckets, ngram=ngram,
+                           hash_impl=hash_impl)
     return (
         w.select(
             "doc_id",

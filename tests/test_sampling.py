@@ -173,3 +173,25 @@ def test_cap_per_source_deterministic_and_exact(spark):
     assert sorted((r["doc_id"], r["source"]) for r in again) == sorted(
         (r["doc_id"], r["source"]) for r in got
     )
+
+
+def test_fast_hash_path_runs_and_steers(spark, corpora):
+    """hash_impl='fast' (xxhash64 bucketing, at-scale path): same weight
+    semantics under a different feature-space partition — deterministic,
+    still target-steered, and rejects unknown impls."""
+    raw, target = corpora
+    a = [r["doc_id"] for r in importance_sample(
+        raw, target, 25, n_buckets=N_BUCKETS, hash_impl="fast").collect()]
+    b = [r["doc_id"] for r in importance_sample(
+        raw, target, 25, n_buckets=N_BUCKETS, hash_impl="fast").collect()]
+    assert a == b and len(a) == 25
+    docs = spark.read.parquet(SF).select("doc_id", "lang")
+    base = docs.filter("doc_id % 5 != 0")
+    base_en = base.filter("lang = 'en'").count() / base.count()
+    sel = importance_sample(raw, target, 100, n_buckets=N_BUCKETS,
+                            hash_impl="fast")
+    sel_en = (sel.join(docs, "doc_id").filter("lang = 'en'").count()
+              / sel.count())
+    assert sel_en > base_en
+    with pytest.raises(ValueError, match="hash_impl"):
+        importance_weights(raw, target, hash_impl="nope")
