@@ -473,7 +473,8 @@ def hash_sample(df: DataFrame, keep_bp: int = 1000) -> DataFrame:
 
 
 def cap_per_source(
-    df: DataFrame, max_docs: int, source_col: str = "source"
+    df: DataFrame, max_docs: int, source_col: str = "source",
+    n_salts: int = 1,
 ) -> DataFrame:
     """Per-source document cap (domain balancing — the C4/RefinedWeb-style
     guard against one domain dominating the training mix): keep at most
@@ -481,16 +482,28 @@ def cap_per_source(
     order every sampling operator here uses, so the kept subset is a
     deterministic, repartition-stable function of the corpus.
 
-    One window over one shuffle keyed by the source — no driver-side
-    per-source state; a hot source costs one fat partition, bounded by
-    the cap itself (row_number short-circuits nothing, but the emitted
-    excess is filtered map-side right after the sort)."""
+    SKEW: a window partitioned by the source alone fully SORTS a hot
+    source in one task — at web scale one domain can be 10^9 rows.
+    ``n_salts > 1`` runs the standard two-phase top-N: a local window per
+    ``(source, xxhash64(doc_id) % n_salts)`` keeps each salt's first
+    ``max_docs`` (top-N by a fixed order is decomposable — every global
+    survivor survives its salt), so the final per-source window sorts at
+    most ``max_docs * n_salts`` rows.  The result is IDENTICAL for any
+    ``n_salts`` (asserted in tests); pick ``n_salts`` so
+    ``hot_source_rows / n_salts`` fits one task."""
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    )
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    if n_salts > 1:
+        w1 = Window.partitionBy(
+            source_col, F.expr(f"pmod(xxhash64(doc_id), {n_salts})")
+        ).orderBy(*order)
+        df = (
+            df.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= max_docs)
+            .drop("_rn1")
+        )
+    w = Window.partitionBy(source_col).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_docs)

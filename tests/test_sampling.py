@@ -195,3 +195,19 @@ def test_fast_hash_path_runs_and_steers(spark, corpora):
     assert sel_en > base_en
     with pytest.raises(ValueError, match="hash_impl"):
         importance_weights(raw, target, hash_impl="nope")
+
+
+def test_cap_per_source_salted_identical(spark):
+    """n_salts>1 (the hot-source scale path: bounded per-task sorts) must
+    select EXACTLY the same documents as the single-window form."""
+    from deidcm_spark.operators.textops import cap_per_source
+
+    docs = spark.read.parquet(SF).select("doc_id", "source")
+    plain = sorted((r["doc_id"], r["source"])
+                   for r in cap_per_source(docs, 20).collect())
+    for n_salts in (2, 4, 16):
+        salted = sorted(
+            (r["doc_id"], r["source"])
+            for r in cap_per_source(docs, 20, n_salts=n_salts).collect()
+        )
+        assert salted == plain
