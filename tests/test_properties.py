@@ -147,3 +147,97 @@ def test_uid_remap_total_and_stable(text):
     a = remap_uids_in_text(text, "9.9")
     b = remap_uids_in_text(text, "9.9")
     assert a == b  # deterministic
+
+
+# ---------------------------------------------------------------------------
+# DICOM Part-10 codec: random flat documents round-trip losslessly
+# ---------------------------------------------------------------------------
+
+_dcm_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    min_size=0, max_size=24,
+)
+
+
+@st.composite
+def dcm_spans(draw):
+    """A random FLAT document in the span encoding: 1-12 elements over
+    text / binary-int / raw-bytes VRs, arbitrary tags outside the
+    writer-reserved groups (0000-0007 handles, 0002 file meta, 7FE0
+    pixel module, FFFE delimiters)."""
+    import base64 as b64
+
+    n = draw(st.integers(min_value=1, max_value=12))
+    spans = []
+    for off in range(n):
+        group = draw(st.integers(min_value=0x0008, max_value=0x7FDF)
+                     .filter(lambda g: g != 0x0002))
+        elem = draw(st.integers(min_value=0x0001, max_value=0xFFFE))
+        v = draw(vr.filter(lambda x: x not in ("SQ", "UN", "UC", "LT", "DT",
+                                               "FD", "PN")))
+        if v in ("UI",):
+            value = draw(st.text(alphabet="0123456789.", max_size=20))
+        elif v in ("IS", "DS"):
+            value = str(draw(st.integers(min_value=-10**6, max_value=10**6)))
+        elif v == "OB":
+            value = b64.b64encode(draw(st.binary(max_size=16))).decode()
+        else:
+            value = draw(_dcm_text)
+        tag = f"0x{(group << 16) | elem:08x}"
+        spans.append({"kind": "text", "offset": off, "media_ref": "",
+                      "text": f"T_{tag}_{v}_1____={value}"})
+    return spans
+
+
+def _tag_vr_values(spans):
+    """Round-trip identity: (tag, vr, value) per NON-META span — keyword
+    naming differs for tags outside the dictionary, so compare on the
+    codec-relevant triple."""
+    from deidcm_spark.dcm import _split_key
+
+    out = {}
+    for s in spans:
+        if s["kind"] != "text" or "=" not in s["text"]:
+            continue
+        key, value = s["text"].split("=", 1)
+        tag, v, _, _ = _split_key(key.split(".")[-1])
+        if tag.startswith("0x0002") or tag == "0x00080016" or tag == "0x00080018":
+            continue  # synthesized file meta reflects these back
+        out[(tag, v)] = value
+    return out
+
+
+@given(dcm_spans())
+@settings(max_examples=150, deadline=None)
+def test_dcm_random_flat_roundtrip(spans):
+    from deidcm_spark.dcm import canonical_spans, encode_part10, parse_part10
+
+    blob = encode_part10(spans)
+    assert blob[128:132] == b"DICM"
+    back = parse_part10(blob)
+    assert back["media"] is None
+    want = _tag_vr_values(canonical_spans(spans))
+    got = _tag_vr_values(back["spans"])
+    for k, v in want.items():
+        assert got.get(k) == v, (k, v, got.get(k))
+    # parser may only ADD the synthesized meta/sop identity — nothing else
+    assert set(got) <= set(want) | {("0x00080016", "UI"), ("0x00080018", "UI")}
+
+
+# ---------------------------------------------------------------------------
+# frame-sampling index spec
+# ---------------------------------------------------------------------------
+
+@given(st.integers(min_value=0, max_value=100_000),
+       st.integers(min_value=1, max_value=64))
+@settings(max_examples=300, deadline=None)
+def test_sample_frame_indices_properties(n, k):
+    from deidcm_spark.operators.mediastream import sample_frame_indices
+
+    idx = sample_frame_indices(n, k)
+    assert len(idx) == min(n, k)
+    assert idx == sorted(set(idx))            # strictly increasing, unique
+    assert all(0 <= i < n for i in idx)
+    if n > k:  # uniform coverage: one index per length-(n/k) stride
+        for j, i in enumerate(idx):
+            assert j * n // k <= i <= ((j + 1) * n) // k
