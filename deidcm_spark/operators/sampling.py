@@ -192,3 +192,70 @@ def importance_sample(
         .orderBy(F.desc("gumbel_key"), "doc_id")
         .limit(k)
     )
+
+
+def perplexity_score(
+    docs: DataFrame,
+    reference: DataFrame,
+    n_buckets: int = 65536,
+    alpha: float = 0.1,
+    hash_impl: str = "portable",
+) -> DataFrame:
+    """(doc_id, n_bigrams, logprob_avg, ppl) — CCNet-style quality
+    filtering (Wenzek et al. 2020, arXiv:1911.00359): score each document
+    by its perplexity under an n-gram language model trained on a clean
+    reference corpus; low perplexity ≈ reference-like text.
+
+    The LM is a HASHED add-alpha bigram model — both count tables collapse
+    to ``n_buckets`` rows (broadcast scale at ANY reference size, the
+    DSIR trick; collisions only smooth the model, a documented deviation
+    from CCNet's KenLM 5-gram):
+
+        logP(w2 | w1) = ln(c2[h(w1 w2)] + alpha) - ln(c1[h(w1)] + alpha*B)
+        ppl           = exp(-avg over the doc's bigrams)
+
+    Plan: reference scanned once per order (two bounded hash aggregates);
+    doc bigrams broadcast-join BOTH tiny tables; ONE corpus shuffle (the
+    per-doc average — partial-combined map-side, ~1 row/doc crosses).
+    Documents with <2 tokens have no bigram: ``n_bigrams = 0`` and NULL
+    scores (no evidence ≠ good or bad — let the caller policy decide)."""
+    uni = bucket_counts(reference, n_buckets, ngram=1, hash_impl=hash_impl
+                        ).withColumnRenamed("n", "c1")
+    bi = bucket_counts(reference, n_buckets, ngram=2, hash_impl=hash_impl
+                       ).withColumnRenamed("n", "c2")
+    gram = _gram_expr(2)
+    g1 = "substring_index(g, ' ', 1)"
+    b2 = _bucket_expr(n_buckets, hash_impl)
+    b1 = b2.replace("(g)", f"({g1})") if hash_impl == "fast" else (
+        _H32.format(v=g1) + f" % {n_buckets}")
+    scored = (
+        docs.select("doc_id", F.explode_outer(F.expr(gram)).alias("g"))
+        .select(
+            "doc_id", "g",
+            F.expr(b2).alias("kb"),
+            F.expr(b1).alias("ku"),
+        )
+        .join(F.broadcast(bi.withColumnRenamed("bucket", "kb")), "kb", "left")
+        .join(F.broadcast(uni.withColumnRenamed("bucket", "ku")), "ku", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").alias("n_bigrams"),
+            # the expression must be NULL on the explode_outer placeholder
+            # row (g IS NULL) — coalesce would otherwise feed avg() a
+            # spurious "unseen bigram" value for bigram-less documents
+            F.avg(
+                F.when(
+                    F.col("g").isNotNull(),
+                    F.log(F.coalesce("c2", F.lit(0)) + F.lit(alpha))
+                    - F.log(F.coalesce("c1", F.lit(0))
+                            + F.lit(alpha * n_buckets)),
+                )
+            ).alias("_lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("_lp", 6).alias("logprob_avg"),
+        F.round(F.exp(-F.col("_lp")), 6).alias("ppl"),
+    )

@@ -211,3 +211,96 @@ def test_cap_per_source_salted_identical(spark):
             for r in cap_per_source(docs, 20, n_salts=n_salts).collect()
         )
         assert salted == plain
+
+
+def _py_perplexity(doc_rows, ref_rows, n_buckets, alpha):
+    """Independent re-derivation of the hashed bigram LM scores."""
+    def toks(t):
+        return [x for x in re.split(r"\s+", t.lower()) if x]
+
+    c1, c2 = {}, {}
+    for _, t in ref_rows:
+        ts = toks(t)
+        for w in ts:
+            c1[_h32(w) % n_buckets] = c1.get(_h32(w) % n_buckets, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            k = _h32(f"{a} {b}") % n_buckets
+            c2[k] = c2.get(k, 0) + 1
+    out = {}
+    for doc_id, t in doc_rows:
+        ts = toks(t)
+        lps = []
+        for a, b in zip(ts, ts[1:]):
+            kb = _h32(f"{a} {b}") % n_buckets
+            ku = _h32(a) % n_buckets
+            lps.append(math.log(c2.get(kb, 0) + alpha)
+                       - math.log(c1.get(ku, 0) + alpha * n_buckets))
+        if lps:
+            lp = sum(lps) / len(lps)
+            out[doc_id] = (len(lps), round(lp, 6), round(math.exp(-lp), 6))
+        else:
+            out[doc_id] = (0, None, None)
+    return out
+
+
+def test_perplexity_matches_python_oracle(spark, corpora):
+    from deidcm_spark.operators.sampling import perplexity_score
+
+    raw, target = corpora
+    nb, alpha = 1024, 0.1
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_avg"], r["ppl"])
+        for r in perplexity_score(raw, target, n_buckets=nb,
+                                  alpha=alpha).collect()
+    }
+    rows = lambda df: [(r["doc_id"], r["text"]) for r in df.collect()]
+    want = _py_perplexity(rows(raw), rows(target), nb, alpha)
+    assert got.keys() == want.keys()
+    bad = {}
+    for d, (n, lp, pp) in want.items():
+        gn, glp, gpp = got[d]
+        ok = gn == n and (
+            (lp is None and glp is None)
+            or (abs(glp - lp) <= 1e-4 and abs(gpp - pp) / max(pp, 1e-9) <= 1e-3)
+        )
+        if not ok:
+            bad[d] = (got[d], want[d])
+    assert not bad, f"{len(bad)} mismatches, e.g. {list(bad.items())[:3]}"
+
+
+def test_perplexity_separates_reference_like_text(spark, corpora):
+    """Documents drawn from the reference distribution itself must score
+    lower perplexity than token-shuffled gibberish built from the same
+    vocabulary (bigram structure is what the LM measures)."""
+    from deidcm_spark.operators.sampling import perplexity_score
+
+    _, target = corpora
+    real = [r["text"] for r in target.limit(20).collect()]
+    # deterministic derangement: reverse each document's token order
+    fake = [" ".join(reversed(t.split())) for t in real]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(real)]
+        + [(1000 + i, t) for i, t in enumerate(fake)],
+        "doc_id long, text string",
+    )
+    res = {r["doc_id"]: r["ppl"]
+           for r in perplexity_score(docs, target, n_buckets=4096).collect()}
+    import statistics
+    real_med = statistics.median(res[i] for i in range(len(real)))
+    fake_med = statistics.median(res[1000 + i] for i in range(len(fake)))
+    assert real_med < fake_med
+
+
+def test_perplexity_no_bigram_docs_are_null(spark, corpora):
+    from deidcm_spark.operators.sampling import perplexity_score
+
+    _, target = corpora
+    docs = spark.createDataFrame(
+        [(1, "two tokens"), (2, "one"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in perplexity_score(docs, target).collect()}
+    assert got[1]["n_bigrams"] == 1 and got[1]["ppl"] is not None
+    for d in (2, 3):
+        assert got[d]["n_bigrams"] == 0
+        assert got[d]["logprob_avg"] is None and got[d]["ppl"] is None
