@@ -16,6 +16,8 @@ supports it:
            [--codebook: prune a new drop against a prior run's space]
   dsir     raw documents + --target corpus → the --k most target-like
            documents (DSIR importance sampling, deterministic)
+  ppl      raw documents + --reference corpus → per-doc LM perplexity
+           (CCNet-style quality filtering)
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -176,6 +178,24 @@ def cmd_dsir(args) -> dict:
     return {"selected": spark.read.parquet(args.output).count(), "k": args.k}
 
 
+def cmd_ppl(args) -> dict:
+    """LM-perplexity quality-filter lane (CCNet): score every document's
+    perplexity under a hashed bigram LM trained on --reference."""
+    spark = _spark("deidcm_ppl", args.shuffle_partitions)
+    from deidcm_spark.operators.sampling import perplexity_score
+
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    ref = spark.read.parquet(args.reference).select("doc_id", "text")
+    perplexity_score(
+        docs, ref, n_buckets=args.buckets, alpha=args.alpha
+    ).write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    return {
+        "docs": out.count(),
+        "scored": out.filter("ppl is not null").count(),
+    }
+
+
 def cmd_textstats(args) -> dict:
     """Text-analysis lane: token counts, quality score + flags, language
     id, fingerprints — ONE projection over one scan (textops.text_stats),
@@ -300,6 +320,14 @@ def build_parser() -> argparse.ArgumentParser:
     ds.add_argument("--k", type=int, required=True)
     ds.add_argument("--buckets", type=int, default=4096)
     ds.set_defaults(fn=cmd_dsir)
+
+    pp = sub.add_parser("ppl")
+    common(pp)
+    pp.add_argument("--reference", required=True,
+                    help="clean reference-corpus parquet (trains the LM)")
+    pp.add_argument("--buckets", type=int, default=65536)
+    pp.add_argument("--alpha", type=float, default=0.1)
+    pp.set_defaults(fn=cmd_ppl)
 
     i = sub.add_parser("ingest")
     common(i)

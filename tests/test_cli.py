@@ -155,3 +155,17 @@ def test_cli_dsir(tmp_path, capsys, spark):
     assert r == {"selected": 40, "k": 40}
     sel = spark.read.parquet(out)
     assert set(sel.columns) == {"doc_id", "logw", "gumbel_key"}
+
+
+def test_cli_ppl(tmp_path, capsys, spark):
+    out = str(tmp_path / "ppl")
+    docs = f"{SF}/documents.parquet"
+    ref = str(tmp_path / "ref")
+    spark.read.parquet(docs).filter("lang = 'en'").write.parquet(ref)
+    r = _run(capsys, [
+        "ppl", "--input", docs, "--reference", ref, "--output", out,
+        "--buckets", "4096", "--shuffle-partitions", "8",
+    ])
+    assert r["docs"] == 500 and 0 < r["scored"] <= 500
+    cols = set(spark.read.parquet(out).columns)
+    assert cols == {"doc_id", "n_bigrams", "logprob_avg", "ppl"}
