@@ -18,6 +18,8 @@ supports it:
            documents (DSIR importance sampling, deterministic)
   ppl      raw documents + --reference corpus → per-doc LM perplexity
            (CCNet-style quality filtering)
+  bpe      train a BPE tokenizer (or reuse --merges) → persisted merge
+           list + per-doc subword counts
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -178,6 +180,41 @@ def cmd_dsir(args) -> dict:
     return {"selected": spark.read.parquet(args.output).count(), "k": args.k}
 
 
+def cmd_bpe(args) -> dict:
+    """BPE tokenizer lane: train the merge list (on --reference if given,
+    else on the input corpus), persist it, and write per-doc subword
+    counts.  --merges reuses a previously persisted list (count a new
+    drop under the SAME tokenizer)."""
+    spark = _spark("deidcm_bpe", args.shuffle_partitions)
+    from deidcm_spark.operators.bpe import bpe_token_count, train_bpe
+
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    if args.merges:
+        rows = spark.read.parquet(args.merges).orderBy("rank").collect()
+        merges = [(r["a"], r["b"]) for r in rows]
+    else:
+        ref = (spark.read.parquet(args.reference).select("doc_id", "text")
+               if args.reference else docs)
+        merges = train_bpe(ref, n_merges=args.n_merges)
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(args.output + "/merges")
+    bpe_token_count(docs, merges).write.mode("overwrite").parquet(
+        args.output + "/counts"
+    )
+    out = spark.read.parquet(args.output + "/counts")
+    from pyspark.sql import functions as SF
+
+    tot = out.agg(SF.sum("n_words"), SF.sum("n_bpe_tokens")).first()
+    return {
+        "docs": out.count(),
+        "merges": len(merges),
+        "words": int(tot[0] or 0),
+        "bpe_tokens": int(tot[1] or 0),
+    }
+
+
 def cmd_ppl(args) -> dict:
     """LM-perplexity quality-filter lane (CCNet): score every document's
     perplexity under a hashed bigram LM trained on --reference."""
@@ -328,6 +365,17 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--buckets", type=int, default=65536)
     pp.add_argument("--alpha", type=float, default=0.1)
     pp.set_defaults(fn=cmd_ppl)
+
+    bp = sub.add_parser("bpe")
+    common(bp)
+    bp.add_argument("--reference", default="",
+                    help="train the tokenizer on this corpus instead of "
+                         "the input")
+    bp.add_argument("--merges", default="",
+                    help="existing merges parquet (reuse a trained "
+                         "tokenizer; skips training)")
+    bp.add_argument("--n-merges", type=int, default=200)
+    bp.set_defaults(fn=cmd_bpe)
 
     i = sub.add_parser("ingest")
     common(i)

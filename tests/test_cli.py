@@ -169,3 +169,23 @@ def test_cli_ppl(tmp_path, capsys, spark):
     assert r["docs"] == 500 and 0 < r["scored"] <= 500
     cols = set(spark.read.parquet(out).columns)
     assert cols == {"doc_id", "n_bigrams", "logprob_avg", "ppl"}
+
+
+def test_cli_bpe_train_and_reuse(tmp_path, capsys, spark):
+    out1, out2 = str(tmp_path / "bpe1"), str(tmp_path / "bpe2")
+    docs = f"{SF}/documents.parquet"
+    r = _run(capsys, [
+        "bpe", "--input", docs, "--output", out1, "--n-merges", "15",
+        "--shuffle-partitions", "8",
+    ])
+    assert r["docs"] == 500 and r["merges"] == 15
+    assert r["bpe_tokens"] < r["words"] * 10  # merges compress vs raw chars
+    # reuse the persisted tokenizer: identical counts, no retraining
+    r2 = _run(capsys, [
+        "bpe", "--input", docs, "--output", out2,
+        "--merges", out1 + "/merges", "--shuffle-partitions", "8",
+    ])
+    assert r2 == r
+    a = sorted(spark.read.parquet(out1 + "/counts").collect())
+    b = sorted(spark.read.parquet(out2 + "/counts").collect())
+    assert a == b
