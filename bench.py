@@ -114,6 +114,8 @@ def main() -> None:
         "dsir_sample_sec": min(
             s["extras"]["dsir_sample_sec"] for s in samples
         ),
+        "ppl_score_sec": min(s["extras"]["ppl_score_sec"] for s in samples),
+        "bpe_count_sec": min(s["extras"]["bpe_count_sec"] for s in samples),
         "deid_n_docs": samples[0]["extras"]["deid_n_docs"],
         "extract_n_docs": samples[0]["extras"]["extract_n_docs"],
         "n_workers": N_WORKERS,

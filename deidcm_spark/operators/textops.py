@@ -389,6 +389,7 @@ def pack_shards(
     capacity_tokens: int = 4096,
     block_size: int | None = None,
     max_blocks: int = 100_000,
+    token_col: str | None = None,
 ) -> DataFrame:
     """Token-aware contiguous shard packing (training-data sharding):
     documents in doc_id order fill shards of ~``capacity_tokens``;
@@ -415,12 +416,21 @@ def pack_shards(
     Semantics are EXACTLY the global-window form (the DuckDB oracle runs
     that form), at corpus-scale parallelism — shard assignment is a pure
     function of the id order, independent of block_size.
+
+    ``token_col`` packs by a PRECOMPUTED count column instead of
+    tokenizing a text column — e.g. real BPE subword counts from
+    ``bpe.bpe_token_count`` (the whitespace tokenizer stays the default:
+    it is the contract query's oracle-pinned spec).
     """
     if block_size is None:
         block_size = pack_shards_block_size(df, max_blocks)
+    count_expr = (
+        F.col(token_col).cast("long") if token_col
+        else F.expr(f"cast(size({TOKENS}) as bigint)")
+    )
     toks = df.select(
         "doc_id",
-        F.expr(f"cast(size({TOKENS}) as bigint)").alias("n_tokens"),
+        count_expr.alias("n_tokens"),
         (F.col("doc_id") / block_size).cast("long").alias("_blk"),
     )
     totals = sorted(

@@ -151,3 +151,26 @@ def test_min_freq_early_stop(spark):
     assert 1 <= len(merges) <= 3
     for a, b in merges:
         assert "c" not in a + b and "d" not in a + b
+
+
+def test_bpe_counts_compose_with_pack_shards(spark, docs, merges):
+    """The training-data path end to end: tokenizer counts feed the
+    token-aware shard packer — shard capacity holds under the REAL
+    subword counts, not the chars/4 estimate."""
+    from deidcm_spark.operators.textops import pack_shards
+
+    counts = bpe_token_count(docs, merges).withColumnRenamed(
+        "n_bpe_tokens", "n_tokens"
+    )
+    packed = pack_shards(counts.select("doc_id", "n_tokens"),
+                         capacity_tokens=2048, token_col="n_tokens")
+    rows = packed.collect()
+    assert len(rows) == counts.count()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], 0)
+        by_shard[r["shard_id"]] += r["n_tokens"]
+    # every shard except possibly the last is filled to capacity +1 doc
+    full = [s for s in sorted(by_shard) if s != max(by_shard)]
+    assert all(by_shard[s] >= 2048 - 512 for s in full)
+    assert len(by_shard) >= 3

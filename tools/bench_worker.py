@@ -242,6 +242,25 @@ def run(sf_dir: str, cpus: int) -> None:
     ).collect(), runs=3)
     extras["dsir_sample_sec"] = timings.pop("dsir_sample")
 
+    # LM-perplexity scoring and BPE subword counting (encoding with a
+    # PRETRAINED merge list — training is a one-time index build, like
+    # the semdedup codebook)
+    from deidcm_spark.operators.bpe import bpe_token_count, train_bpe
+    from deidcm_spark.operators.sampling import perplexity_score
+
+    perplexity_score(raw.limit(64), tgt.limit(64), n_buckets=512).collect()
+    timed("ppl_score", lambda: perplexity_score(
+        docs_all.select("doc_id", "text"), tgt, n_buckets=65536
+    ).agg(F.avg("ppl")).collect(), runs=3)
+    extras["ppl_score_sec"] = timings.pop("ppl_score")
+
+    merges = train_bpe(tgt, n_merges=60)
+    bpe_token_count(docs_all.limit(64), merges).collect()
+    timed("bpe_count", lambda: bpe_token_count(
+        docs_all.select("doc_id", "text"), merges
+    ).agg(F.sum("n_bpe_tokens")).collect(), runs=3)
+    extras["bpe_count_sec"] = timings.pop("bpe_count")
+
     # --- contract queries
     qs = entry_mod.queries()
     # best-of-3 for the (mostly sub-second) contract queries: 50 ms of host
