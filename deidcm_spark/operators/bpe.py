@@ -32,6 +32,7 @@ pieces) and each word carries the classic ``</w>`` end-of-word marker.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -40,6 +41,17 @@ from pyspark.sql import DataFrame, functions as F
 from deidcm_spark.operators.textops import TOKENS
 
 END = "</w>"
+
+# the Python-side tokenizer MUST match the Spark-side training spec
+# (textops.TOKENS = split on Java-regex \s+, which is ASCII-only:
+# [ \t\n\x0B\f\r]).  Python's default \s is Unicode-aware — a
+# \xa0-bearing word would train as ONE symbol sequence but encode as
+# TWO words without the ASCII flag.
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _words(text: str | None) -> list[str]:
+    return [w for w in _WS.split((text or "").lower()) if w]
 
 # word → initial symbol array: per-character split + end-of-word marker
 _SYMBOLS = (
@@ -157,7 +169,7 @@ def bpe_token_count(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [w for w in (text or "").lower().split() if w]
+                words = _words(text)
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -194,7 +206,7 @@ def bpe_encode_words(
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [w for w in (text or "").lower().split() if w]
+                words = _words(text)
                 subs: list[str] = []
                 for w in words:
                     subs.extend(enc(w))

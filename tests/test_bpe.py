@@ -174,3 +174,17 @@ def test_bpe_counts_compose_with_pack_shards(spark, docs, merges):
     full = [s for s in sorted(by_shard) if s != max(by_shard)]
     assert all(by_shard[s] >= 2048 - 512 for s in full)
     assert len(by_shard) >= 3
+
+
+def test_nbsp_word_tokenizes_like_training(spark):
+    """A \\xa0-bearing word is ONE token under the Spark training spec
+    (Java \\s+ is ASCII-only) — the Python-side encoder must agree, or
+    trained merges and encode-time words diverge."""
+    doc = spark.createDataFrame(
+        [(1, "foo\xa0bar foo\xa0bar baz")], "doc_id long, text string"
+    )
+    wf = {r["word"]: r["freq"] for r in word_freqs(doc).collect()}
+    assert wf == {"foo\xa0bar": 2, "baz": 1}
+    merges = train_bpe(doc, n_merges=3, min_freq=2)
+    got = bpe_token_count(doc, merges).first()
+    assert got["n_words"] == 3  # NOT 5 — the UDF uses the ASCII \s spec
