@@ -41,12 +41,22 @@ OUT_SCHEMA = (
 )
 
 
-def _prune_cluster(C: np.ndarray, threshold: float):
+def _prune_cluster(C: np.ndarray, threshold: float, max_cluster_size: int):
     """Per-cluster greedy prune: one (c, d) normalize + one (c, c) matmul,
     then a keep scan over rows in (centroid_sim asc, vec_id) order."""
 
     def prune(key, pdf):
         cluster = int(key[0])
+        if len(pdf) > max_cluster_size:
+            # the (c, c) similarity matrix is the cost model — a
+            # degenerate codebook (or k too small for n) must fail loudly
+            # here, not OOM an executor at scale
+            raise ValueError(
+                f"cluster {cluster} holds {len(pdf)} vectors "
+                f"(> max_cluster_size={max_cluster_size}); raise "
+                f"n_centroids (paper recipe: k proportional to n) or "
+                f"max_cluster_size"
+            )
         M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         c = C[cluster]
@@ -79,11 +89,16 @@ def semdedup(
     n_centroids: int = 16,
     lloyd_iters: int = 1,
     centroids: list[list[float]] | None = None,
+    max_cluster_size: int = 30_000,
 ) -> DataFrame:
     """(vec_id, cluster, centroid_sim, action KEEP/DROP) — SemDeDup over
     an ``(vec_id, embedding)`` table.  ``centroids`` short-circuits the
     codebook build (pass a precomputed/persisted codebook in production
-    so re-runs and incremental batches prune against the SAME space)."""
+    so re-runs and incremental batches prune against the SAME space).
+    ``max_cluster_size`` is the loud-failure bound on the per-task (c, c)
+    similarity matrix — a cluster past it raises with guidance instead of
+    OOMing an executor (the 30k default is a 7.2 GB float64 matrix; at
+    200k it would be 320 GB)."""
     Cl = centroids if centroids is not None else ivf_centroids(
         emb, n_centroids, lloyd_iters
     )
@@ -93,5 +108,5 @@ def semdedup(
         "vec_id", "embedding", _assign_udf(Cl)(F.col("embedding")).alias("cluster")
     )
     return assigned.groupBy("cluster").applyInPandas(
-        _prune_cluster(C, threshold), schema=OUT_SCHEMA
+        _prune_cluster(C, threshold, max_cluster_size), schema=OUT_SCHEMA
     )

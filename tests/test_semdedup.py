@@ -110,3 +110,11 @@ def test_plan_single_cluster_shuffle_no_bnlj(spark, emb):
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_giant_cluster_fails_loudly(spark, emb):
+    """A degenerate codebook (every vector in one cluster) must raise with
+    guidance, not silently build an O(c^2) matrix."""
+    with pytest.raises(Exception, match="max_cluster_size"):
+        semdedup(emb, threshold=0.9, n_centroids=1,
+                 max_cluster_size=100).collect()
