@@ -20,6 +20,8 @@ supports it:
            (CCNet-style quality filtering)
   bpe      train a BPE tokenizer (or reuse --merges) → persisted merge
            list + per-doc subword counts
+  compact  small-file compaction: rewrite a fragmented parquet dir into
+           ~--target-mb files (Iceberg rewrite_data_files analogue)
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -178,6 +180,18 @@ def cmd_dsir(args) -> dict:
         raw, tgt, args.k, n_buckets=args.buckets
     ).write.mode("overwrite").parquet(args.output)
     return {"selected": spark.read.parquet(args.output).count(), "k": args.k}
+
+
+def cmd_compact(args) -> dict:
+    """Table-maintenance lane: rewrite a fragmented parquet directory into
+    ~--target-mb files (the Iceberg rewrite_data_files analogue)."""
+    spark = _spark("deidcm_compact", args.shuffle_partitions)
+    from deidcm_spark.maintenance import compact_parquet
+
+    return compact_parquet(
+        spark, args.input, args.output,
+        target_bytes=args.target_mb * 1024 * 1024,
+    )
 
 
 def cmd_bpe(args) -> dict:
@@ -376,6 +390,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "tokenizer; skips training)")
     bp.add_argument("--n-merges", type=int, default=200)
     bp.set_defaults(fn=cmd_bpe)
+
+    cp = sub.add_parser("compact")
+    common(cp)
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.set_defaults(fn=cmd_compact)
 
     i = sub.add_parser("ingest")
     common(i)

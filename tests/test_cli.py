@@ -189,3 +189,14 @@ def test_cli_bpe_train_and_reuse(tmp_path, capsys, spark):
     a = sorted(spark.read.parquet(out1 + "/counts").collect())
     b = sorted(spark.read.parquet(out2 + "/counts").collect())
     assert a == b
+
+
+def test_cli_compact(tmp_path, capsys, spark):
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "out")
+    spark.read.parquet(f"{SF}/documents.parquet").repartition(32).write.parquet(frag)
+    r = _run(capsys, [
+        "compact", "--input", frag, "--output", out, "--target-mb", "512",
+        "--shuffle-partitions", "8",
+    ])
+    assert r["files_in"] == 32 and r["files_out"] == 1
+    assert spark.read.parquet(out).count() == 500
