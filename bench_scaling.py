@@ -94,6 +94,7 @@ def main() -> None:
             key=lambda r: r.get("extract_shuffled_docs_per_sec", 0),
         )
         bd = max(samples[cores], key=lambda r: r.get("dedup_docs_per_sec", 0))
+        bi = max(samples[cores], key=lambda r: r.get("dsir_docs_per_sec", 0))
         b = dict(b)
         for k in ("extract_n_docs", "extract_n_spans", "extract_elapsed_sec",
                   "extract_docs_per_sec"):
@@ -109,6 +110,10 @@ def main() -> None:
                   "dedup_docs_per_sec"):
             if k in bd:
                 b[k] = bd[k]
+        for k in ("dsir_n_docs", "dsir_n_selected", "dsir_elapsed_sec",
+                  "dsir_docs_per_sec"):
+            if k in bi:
+                b[k] = bi[k]
         best[cores] = b
 
     def eff(lo: int, hi: int, key: str) -> float:
@@ -127,6 +132,8 @@ def main() -> None:
         "extract_shuffled_efficiency_8_to_32": eff(8, 32, "extract_shuffled_docs_per_sec"),
         "dedup_efficiency_2_to_8": eff(2, 8, "dedup_docs_per_sec"),
         "dedup_efficiency_8_to_32": eff(8, 32, "dedup_docs_per_sec"),
+        "dsir_efficiency_2_to_8": eff(2, 8, "dsir_docs_per_sec"),
+        "dsir_efficiency_8_to_32": eff(8, 32, "dsir_docs_per_sec"),
         "criterion": "efficiency >= 0.8 (north_rule, N vs 4N)",
     }
     result["pass"] = (
@@ -147,6 +154,7 @@ def main() -> None:
         "deid_noshuffle_2_8": result["deid_noshuffle_efficiency_2_to_8"],
         "extract_2_8": result["extract_efficiency_2_to_8"],
         "dedup_2_8": result["dedup_efficiency_2_to_8"],
+        "dsir_2_8": result["dsir_efficiency_2_to_8"],
         "noshuffle_docs_per_sec_32": best[32].get("noshuffle_docs_per_sec"),
         "pass": result["pass"],
     }
@@ -166,6 +174,7 @@ def main() -> None:
                 f"{_c('deid_noshuffle_2_8')} | "
                 f"{_c('extract_2_8')} | "
                 f"{_c('dedup_2_8')} | "
+                f"{_c('dsir_2_8')} | "
                 f"{_c('noshuffle_docs_per_sec_32')} | "
                 f"{'PASS' if h.get('pass') else 'see note'} |"
             )
@@ -174,9 +183,9 @@ def main() -> None:
         "Rendered from the append-only `BENCH/SCALING_HISTORY.jsonl` — a\n"
         "regeneration of this file cannot erase prior evidence.\n\n"
         "| invocation | deid (shuffled) 2→8 | deid zero-exchange 2→8 | "
-        "extract zero-exchange 2→8 | dedup (LSH) 2→8 | "
+        "extract zero-exchange 2→8 | dedup (LSH) 2→8 | DSIR 2→8 | "
         "zero-exchange docs/s @32c | criterion |\n"
-        "|---|---|---|---|---|---|---|\n" + "\n".join(hist_rows) + "\n\n"
+        "|---|---|---|---|---|---|---|---|\n" + "\n".join(hist_rows) + "\n\n"
         "The r3 best-of-2 invocation's shuffled-deid outlier (0.582, while\n"
         "the zero-exchange and extraction lanes in the SAME invocation\n"
         "matched r2) is the known failure mode: the shuffled local[2]\n"
@@ -211,7 +220,8 @@ def main() -> None:
         f"{best[c]['extract_elapsed_sec']} | "
         f"{best[c]['extract_docs_per_sec']} | "
         f"{best[c].get('extract_shuffled_docs_per_sec', '-')} | "
-        f"{best[c].get('dedup_docs_per_sec', '-')} |"
+        f"{best[c].get('dedup_docs_per_sec', '-')} | "
+        f"{best[c].get('dsir_docs_per_sec', '-')} |"
         for c in sorted(best)
     )
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
@@ -227,16 +237,16 @@ under-reports capability).  Deid corpus: {N_DOCS} span-form documents
 (seed 55, skew 0.02, ~16 spans-out avg/doc x5).  Extraction corpus:
 {best[8]['extract_n_docs']} synthesized HTML documents.
 
-| parallelism | deid elapsed (s) | deid docs/sec | deid no-shuffle docs/sec | extract elapsed (s) | extract docs/sec (zero-exchange) | extract docs/sec (shuffled) | dedup LSH docs/sec |
-|---|---|---|---|---|---|---|---|
+| parallelism | deid elapsed (s) | deid docs/sec | deid no-shuffle docs/sec | extract elapsed (s) | extract docs/sec (zero-exchange) | extract docs/sec (shuffled) | dedup LSH docs/sec | DSIR docs/sec |
+|---|---|---|---|---|---|---|---|---|
 {rows}
 
 ### N → 4N efficiency
 
-| pair | deid (salted shuffle) | deid (bucketed ingest, zero-exchange) | extraction (zero-exchange) | extraction (salted shuffle) | dedup (minhash→LSH→pair join) |
-|---|---|---|---|---|---|
-| 2 → 8 cores  | **{result['deid_efficiency_2_to_8']}** | **{result['deid_noshuffle_efficiency_2_to_8']}** | **{result['extract_efficiency_2_to_8']}** | {result['extract_shuffled_efficiency_2_to_8']} | **{result['dedup_efficiency_2_to_8']}** |
-| 8 → 32 cores | {result['deid_efficiency_8_to_32']} | {result['deid_noshuffle_efficiency_8_to_32']} | {result['extract_efficiency_8_to_32']} | {result['extract_shuffled_efficiency_8_to_32']} | {result['dedup_efficiency_8_to_32']} |
+| pair | deid (salted shuffle) | deid (bucketed ingest, zero-exchange) | extraction (zero-exchange) | extraction (salted shuffle) | dedup (minhash→LSH→pair join) | DSIR (importance sampling) |
+|---|---|---|---|---|---|---|
+| 2 → 8 cores  | **{result['deid_efficiency_2_to_8']}** | **{result['deid_noshuffle_efficiency_2_to_8']}** | **{result['extract_efficiency_2_to_8']}** | {result['extract_shuffled_efficiency_2_to_8']} | **{result['dedup_efficiency_2_to_8']}** | **{result['dsir_efficiency_2_to_8']}** |
+| 8 → 32 cores | {result['deid_efficiency_8_to_32']} | {result['deid_noshuffle_efficiency_8_to_32']} | {result['extract_efficiency_8_to_32']} | {result['extract_shuffled_efficiency_8_to_32']} | {result['dedup_efficiency_8_to_32']} | {result['dsir_efficiency_8_to_32']} |
 
 The zero-exchange columns are the `lineage.prepare_bucketed_corpus` /
 `prepare_bucketed_raw_corpus` paths: the corpus is stored clustered on the
@@ -259,6 +269,12 @@ broadcast threshold and the driver-serial hash-relation build dominates —
 measured as the non-scaling term before the lane was pinned to SMJ).  It
 is the shuffle-heaviest lane in the suite, which is why its N→4N
 behavior gets its own evidence column.
+
+The DSIR lane is the round-3 importance-sampling operator over the same
+corpus: two hashed-2-gram distribution builds (65536-row hash
+aggregates), the broadcast-LLR scoring stream, and the Gumbel top-k —
+the heaviest whole-corpus gram-explode lane, with one corpus-sized
+shuffle (the per-doc partial-combined sum).
 
 * criterion ≥ 0.8 on the N→4N pair (2→8): **{'PASS' if result['pass'] else 'FAIL'}**
 

@@ -141,6 +141,36 @@ def main() -> None:
             "dedup_docs_per_sec": round(ded_docs / ded_elapsed, 1),
         })
 
+        # DSIR lane: target-steered importance sampling over the full
+        # corpus — two hashed-2-gram distribution builds (hash aggregates
+        # collapsing to 65536-row tables), the broadcast-LLR scoring
+        # stream (explode → broadcast join → per-doc partial-combined
+        # sum), and the Gumbel top-k (TakeOrderedAndProject).  The gram
+        # explode makes this the heaviest WHOLE-CORPUS-scan lane;
+        # hash_impl="fast" is the at-scale hashing a 100 TB pipeline
+        # would choose (same rationale as the dedup lane).
+        from deidcm_spark.operators.sampling import importance_sample
+
+        raw_d = raw.select("doc_id", "text")
+        tgt_d = raw_d.filter("doc_id % 64 = 0")  # deterministic 1/64 slice
+        importance_sample(
+            raw_d.limit(512), tgt_d.limit(256), 8, n_buckets=512,
+            hash_impl="fast",
+        ).collect()
+        t0 = time.perf_counter()
+        n_sel = len(
+            importance_sample(
+                raw_d, tgt_d, 1000, n_buckets=65536, hash_impl="fast"
+            ).collect()
+        )
+        dsir_elapsed = time.perf_counter() - t0
+        result.update({
+            "dsir_n_docs": ded_docs,
+            "dsir_n_selected": n_sel,
+            "dsir_elapsed_sec": round(dsir_elapsed, 3),
+            "dsir_docs_per_sec": round(ded_docs / dsir_elapsed, 1),
+        })
+
     print(json.dumps(result))
     spark.stop()
 
