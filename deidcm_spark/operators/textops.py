@@ -422,6 +422,24 @@ def pack_shards(
     ``bpe.bpe_token_count`` (the whitespace tokenizer stays the default:
     it is the contract query's oracle-pinned spec).
     """
+    pre = _prefix_tokens(df, token_col, block_size, max_blocks)
+    return pre.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("_before") / capacity_tokens).cast("int").alias("shard_id"),
+    )
+
+
+def _prefix_tokens(
+    df: DataFrame,
+    token_col: str | None,
+    block_size: int | None,
+    max_blocks: int,
+) -> DataFrame:
+    """(doc_id, n_tokens, _before): the exact exclusive prefix sum of token
+    counts over the doc_id order — the distributed two-pass machinery
+    shared by :func:`pack_shards` and :func:`pack_sequences` (see
+    pack_shards' docstring for the design)."""
     if block_size is None:
         block_size = pack_shards_block_size(df, max_blocks)
     count_expr = (
@@ -453,12 +471,77 @@ def pack_shards(
     )
     return (
         toks.join(F.broadcast(off_df), "_blk")
-        .withColumn("_before", F.col("_off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn(
+            "_before",
+            F.col("_off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+        )
+        .select("doc_id", "n_tokens", "_before")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    block_size: int | None = None,
+    max_blocks: int = 100_000,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Fixed-length training-sequence packing (concat-and-chunk with
+    document boundaries) — the final layout step of an LLM pretraining
+    pipeline: documents in doc_id order are concatenated into one global
+    token stream and chunked into sequences of exactly ``seq_len`` tokens;
+    a document straddling a chunk boundary contributes one PIECE per
+    sequence it touches.  Returns one row per (document, sequence) piece:
+
+    ``doc_id, n_tokens (whole doc), seq_id, seq_start (piece's offset
+    inside the sequence), doc_start (piece's offset inside the document),
+    piece_tokens``
+
+    so a loader can materialize any sequence by fetching its pieces
+    (``groupBy(seq_id)``) and slicing each document's tokens — and the
+    piece boundaries double as the attention-mask reset points
+    (sample-packing semantics).
+
+    Every sequence except the final one is exactly full:
+    ``sum(piece_tokens) over seq_id == seq_len``.  Empty documents emit no
+    pieces.  Shape: the shared distributed prefix sum (see
+    :func:`pack_shards`) + pure arithmetic + an explode of
+    ``1 + ceil(n/seq_len)``-bounded piece ranges — no extra shuffle beyond
+    the prefix-sum window.
+
+    ``token_col`` packs by a precomputed count column (e.g. real BPE
+    counts from ``bpe.bpe_token_count``) instead of the whitespace
+    tokenizer — at that point downstream slicing must use the same
+    tokenizer that produced the counts.
+    """
+    pre = _prefix_tokens(df, token_col, block_size, max_blocks)
+    pieces = (
+        # sequence(a, b) DESCENDS when b < a, so empty docs are filtered
+        pre.filter(F.col("n_tokens") > 0)
         .select(
             "doc_id",
             "n_tokens",
-            F.floor(F.col("_before") / capacity_tokens).cast("int").alias("shard_id"),
+            "_before",
+            F.explode(
+                F.expr(
+                    f"sequence(_before div {seq_len}, "
+                    f"(_before + n_tokens - 1) div {seq_len})"
+                )
+            ).alias("seq_id"),
         )
+        .withColumn("_piece_gstart", F.expr(f"greatest(_before, seq_id * {seq_len})"))
+        .withColumn(
+            "_piece_gend",
+            F.expr(f"least(_before + n_tokens, seq_id * {seq_len} + {seq_len})"),
+        )
+    )
+    return pieces.select(
+        "doc_id",
+        "n_tokens",
+        "seq_id",
+        F.expr(f"cast(_piece_gstart - seq_id * {seq_len} as int)").alias("seq_start"),
+        F.expr("cast(_piece_gstart - _before as bigint)").alias("doc_start"),
+        F.expr("cast(_piece_gend - _piece_gstart as int)").alias("piece_tokens"),
     )
 
 

@@ -183,3 +183,93 @@ def test_deterministic_split_and_sample(spark):
     # monotone: a smaller threshold is a subset of a bigger one
     c = {r["doc_id"] for r in textops.hash_sample(d, 500).collect()}
     assert c <= a
+
+
+# ---------- pack_sequences (fixed-length training-sequence packing) ----------
+
+def _oracle_pack_sequences(docs: dict[int, str], seq_len: int):
+    """Pure-Python concat-and-chunk: docs in doc_id order, whitespace
+    tokens, pieces per (doc, sequence)."""
+    import re as _re
+
+    pieces = []
+    before = 0
+    for d in sorted(docs):
+        toks = [x for x in _re.split(r"\s+", (docs[d] or "").lower()) if x != ""]
+        n = len(toks)
+        if n == 0:
+            continue
+        g = before
+        while g < before + n:
+            seq_id = g // seq_len
+            end = min(before + n, (seq_id + 1) * seq_len)
+            pieces.append((d, n, seq_id, g - seq_id * seq_len, g - before, end - g))
+            g = end
+        before += n
+    return sorted(pieces)
+
+
+def test_pack_sequences_matches_oracle(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs = {r.doc_id: r.text for r in d.collect()}
+    for seq_len in (64, 1000):
+        got = sorted(map(tuple, textops.pack_sequences(d, seq_len=seq_len).collect()))
+        assert got == _oracle_pack_sequences(docs, seq_len), f"seq_len={seq_len}"
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = textops.pack_sequences(d, seq_len=256).cache()
+    try:
+        # every sequence except the last is exactly full
+        fills = {
+            r.seq_id: r.fill
+            for r in out.groupBy("seq_id").agg(F.sum("piece_tokens").alias("fill")).collect()
+        }
+        last = max(fills)
+        assert all(v == 256 for s, v in fills.items() if s != last)
+        assert set(fills) == set(range(last + 1))  # sequence ids are dense
+        # pieces partition each document's tokens exactly
+        per_doc = out.groupBy("doc_id", "n_tokens").agg(
+            F.sum("piece_tokens").alias("s"),
+            F.min("doc_start").alias("mn"),
+            F.max(F.col("doc_start") + F.col("piece_tokens")).alias("mx"),
+        )
+        bad = per_doc.filter("s != n_tokens or mn != 0 or mx != n_tokens")
+        assert bad.count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_pack_sequences_block_size_invariant(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = sorted(
+        map(tuple, textops.pack_sequences(d, seq_len=512, block_size=10**9).collect())
+    )
+    for bs in (7, 100, None):
+        got = sorted(
+            map(tuple, textops.pack_sequences(d, seq_len=512, block_size=bs).collect())
+        )
+        assert got == base, f"block_size={bs}"
+
+
+def test_pack_sequences_empty_docs_emit_nothing(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "   "), (4, "d e")],
+        "doc_id int, text string",
+    )
+    out = sorted(map(tuple, textops.pack_sequences(d, seq_len=4).collect()))
+    # doc 1: tokens 0-2 (seq 0); doc 4: global 3 (seq 0) + global 4 (seq 1)
+    assert out == [
+        (1, 3, 0, 0, 0, 3),
+        (4, 2, 0, 3, 0, 1),
+        (4, 2, 1, 0, 1, 1),
+    ]
