@@ -22,6 +22,13 @@ supports it:
            list + per-doc subword counts
   compact  small-file compaction: rewrite a fragmented parquet dir into
            ~--target-mb files (Iceberg rewrite_data_files analogue)
+  linededup raw documents → documents rebuilt without corpus-duplicated
+           lines (C4-style boilerplate-line removal)
+  substrdedup raw documents → documents with duplicated token windows
+           removed (exact-substring dedup, keep-first)
+  bloom    build/extend a Bloom filter over document fingerprints;
+           with --filter, also write the definitely-new shard docs
+  packseq  raw documents → fixed-length training-sequence piece table
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -247,6 +254,102 @@ def cmd_ppl(args) -> dict:
     }
 
 
+def cmd_linededup(args) -> dict:
+    """Corpus-wide line dedup lane (C4-style boilerplate-line removal):
+    rebuild every document without lines whose exact content already
+    occurred earlier in the corpus."""
+    spark = _spark("deidcm_linededup", args.shuffle_partitions)
+    from deidcm_spark.operators.spandedup import line_dedup
+
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    line_dedup(
+        docs, min_line_chars=args.min_line_chars, hash_impl=args.hash
+    ).write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    from pyspark.sql import functions as SF
+
+    tot = out.agg(SF.sum("n_lines"), SF.sum("n_dropped")).first()
+    return {
+        "docs": out.count(),
+        "lines": int(tot[0] or 0),
+        "dropped_lines": int(tot[1] or 0),
+    }
+
+
+def cmd_substrdedup(args) -> dict:
+    """Exact-substring dedup lane (arXiv:2107.06499): remove every
+    duplicated --window-token span except its first occurrence."""
+    spark = _spark("deidcm_substrdedup", args.shuffle_partitions)
+    from deidcm_spark.operators.spandedup import substring_dedup
+
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    substring_dedup(
+        docs, window=args.window, hash_impl=args.hash
+    ).write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    from pyspark.sql import functions as SF
+
+    tot = out.agg(SF.sum("n_tokens"), SF.sum("n_removed_tokens")).first()
+    return {
+        "docs": out.count(),
+        "tokens": int(tot[0] or 0),
+        "removed_tokens": int(tot[1] or 0),
+    }
+
+
+def cmd_bloom(args) -> dict:
+    """Incremental-dedup lane: build/extend a Bloom filter over document
+    fingerprints and (with --filter) keep only the definitely-new shard
+    documents.  Writes <output>/filter always; <output>/fresh when
+    probing.  The updated filter always absorbs the whole input shard
+    (duplicate fingerprints set already-set bits — idempotent)."""
+    spark = _spark("deidcm_bloom", args.shuffle_partitions)
+    from deidcm_spark.operators.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_new_documents,
+    )
+
+    docs = spark.read.parquet(args.input)
+    summary: dict = {"bits": args.bits, "hashes": args.hashes}
+    shard_filter = bloom_build(docs, args.bits, args.hashes, args.hash)
+    if args.filter:
+        prior = spark.read.parquet(args.filter)
+        fresh = bloom_new_documents(
+            docs, prior, args.bits, args.hashes, args.hash
+        )
+        fresh.write.mode("overwrite").parquet(args.output + "/fresh")
+        summary["fresh"] = spark.read.parquet(args.output + "/fresh").count()
+        summary["input"] = docs.count()
+        shard_filter = bloom_merge(prior, shard_filter)
+    shard_filter.write.mode("overwrite").parquet(args.output + "/filter")
+    summary["filter_words"] = spark.read.parquet(args.output + "/filter").count()
+    return summary
+
+
+def cmd_packseq(args) -> dict:
+    """Sequence-packing lane: chunk the doc_id-ordered token stream into
+    fixed --seq-len training sequences (one row per document piece)."""
+    spark = _spark("deidcm_packseq", args.shuffle_partitions)
+    from deidcm_spark.operators.textops import pack_sequences
+
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    pack_sequences(docs, seq_len=args.seq_len).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    out = spark.read.parquet(args.output)
+    from pyspark.sql import functions as SF
+
+    agg = out.agg(
+        SF.countDistinct("seq_id"), SF.sum("piece_tokens")
+    ).first()
+    return {
+        "pieces": out.count(),
+        "sequences": int(agg[0] or 0),
+        "tokens": int(agg[1] or 0),
+    }
+
+
 def cmd_textstats(args) -> dict:
     """Text-analysis lane: token counts, quality score + flags, language
     id, fingerprints — ONE projection over one scan (textops.text_stats),
@@ -354,6 +457,33 @@ def build_parser() -> argparse.ArgumentParser:
     ts = sub.add_parser("textstats")
     common(ts)
     ts.set_defaults(fn=cmd_textstats)
+
+    ld = sub.add_parser("linededup")
+    common(ld)
+    ld.add_argument("--min-line-chars", type=int, default=1)
+    ld.add_argument("--hash", default="fast", choices=["portable", "fast"])
+    ld.set_defaults(fn=cmd_linededup)
+
+    sb = sub.add_parser("substrdedup")
+    common(sb)
+    sb.add_argument("--window", type=int, default=32)
+    sb.add_argument("--hash", default="fast", choices=["portable", "fast"])
+    sb.set_defaults(fn=cmd_substrdedup)
+
+    bl = sub.add_parser("bloom")
+    common(bl)
+    bl.add_argument("--filter", default="",
+                    help="existing filter parquet: probe the input shard "
+                         "against it and write <output>/fresh")
+    bl.add_argument("--bits", type=int, default=1 << 23)
+    bl.add_argument("--hashes", type=int, default=4)
+    bl.add_argument("--hash", default="fast", choices=["portable", "fast"])
+    bl.set_defaults(fn=cmd_bloom)
+
+    pq = sub.add_parser("packseq")
+    common(pq)
+    pq.add_argument("--seq-len", type=int, default=2048)
+    pq.set_defaults(fn=cmd_packseq)
 
     sd = sub.add_parser("semdedup")
     common(sd)

@@ -200,3 +200,71 @@ def test_cli_compact(tmp_path, capsys, spark):
     ])
     assert r["files_in"] == 32 and r["files_out"] == 1
     assert spark.read.parquet(out).count() == 500
+
+
+def test_cli_linededup_and_substrdedup(tmp_path, capsys, spark):
+    ld = str(tmp_path / "linededup")
+    sd = str(tmp_path / "substrdedup")
+    r = _run(capsys, [
+        "linededup", "--input", f"{SF}/documents.parquet", "--output", ld,
+        "--min-line-chars", "5", "--shuffle-partitions", "8",
+    ])
+    assert r["docs"] == 500 and r["lines"] >= r["dropped_lines"] >= 0
+    r = _run(capsys, [
+        "substrdedup", "--input", f"{SF}/documents.parquet", "--output", sd,
+        "--window", "8", "--shuffle-partitions", "8",
+    ])
+    assert r["docs"] == 500 and 0 <= r["removed_tokens"] <= r["tokens"]
+    back = spark.read.parquet(sd)
+    assert set(back.columns) == {
+        "doc_id", "text", "n_tokens", "n_removed_tokens", "n_dup_windows"
+    }
+
+
+def test_cli_bloom_build_then_probe(tmp_path, capsys, spark):
+    """Build a filter on the corpus, then probe the SAME corpus as a
+    'shard': every doc is a re-crawl, so fresh must be 0; then probe a
+    disjoint synthetic shard and get them all back."""
+    b1 = str(tmp_path / "bloom1")
+    r = _run(capsys, [
+        "bloom", "--input", f"{SF}/documents.parquet", "--output", b1,
+        "--bits", str(1 << 18), "--shuffle-partitions", "8",
+    ])
+    assert r["filter_words"] > 0 and "fresh" not in r
+    b2 = str(tmp_path / "bloom2")
+    r = _run(capsys, [
+        "bloom", "--input", f"{SF}/documents.parquet", "--output", b2,
+        "--filter", f"{b1}/filter", "--bits", str(1 << 18),
+        "--shuffle-partitions", "8",
+    ])
+    assert r["input"] == 500 and r["fresh"] == 0
+    new = str(tmp_path / "newshard")
+    spark.createDataFrame(
+        [(10_000 + i, f"genuinely new shard document {i}") for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(new)
+    b3 = str(tmp_path / "bloom3")
+    r = _run(capsys, [
+        "bloom", "--input", new, "--output", b3,
+        "--filter", f"{b2}/filter", "--bits", str(1 << 18),
+        "--shuffle-partitions", "8",
+    ])
+    assert r["fresh"] == 40  # 2^18 bits vs ~540 fps: FP odds negligible
+    # the updated filter absorbed the new shard: re-probe finds nothing new
+    b4 = str(tmp_path / "bloom4")
+    r = _run(capsys, [
+        "bloom", "--input", new, "--output", b4,
+        "--filter", f"{b3}/filter", "--bits", str(1 << 18),
+        "--shuffle-partitions", "8",
+    ])
+    assert r["fresh"] == 0
+
+
+def test_cli_packseq(tmp_path, capsys, spark):
+    out = str(tmp_path / "packseq")
+    r = _run(capsys, [
+        "packseq", "--input", f"{SF}/documents.parquet", "--output", out,
+        "--seq-len", "256", "--shuffle-partitions", "8",
+    ])
+    assert r["pieces"] >= r["sequences"] > 0
+    assert r["tokens"] > 0
