@@ -29,6 +29,8 @@ supports it:
   bloom    build/extend a Bloom filter over document fingerprints;
            with --filter, also write the definitely-new shard docs
   packseq  raw documents → fixed-length training-sequence piece table
+  warc     .warc/.warc.gz shard tree → response-record table + the
+           extraction-ready raw-document table
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -350,6 +352,31 @@ def cmd_packseq(args) -> dict:
     }
 
 
+def cmd_warc(args) -> dict:
+    """Web-archive ingest lane: .warc/.warc.gz shard tree → the raw-
+    document table the extraction/scrub/dedup lanes take.  Writes
+    <output>/records (every response record: url, status, content type,
+    decoded body) and <output>/documents (OK-HTML gate applied, source =
+    registrable host)."""
+    spark = _spark("deidcm_warc", args.shuffle_partitions)
+    from deidcm_spark.warc import read_warc_documents, warc_to_documents
+
+    recs = read_warc_documents(spark, args.input)
+    # two writes on one parse: persist so each shard decodes once
+    recs.persist()
+    try:
+        recs.write.mode("overwrite").parquet(args.output + "/records")
+        warc_to_documents(recs).write.mode("overwrite").parquet(
+            args.output + "/documents"
+        )
+    finally:
+        recs.unpersist()
+    return {
+        "records": spark.read.parquet(args.output + "/records").count(),
+        "documents": spark.read.parquet(args.output + "/documents").count(),
+    }
+
+
 def cmd_textstats(args) -> dict:
     """Text-analysis lane: token counts, quality score + flags, language
     id, fingerprints — ONE projection over one scan (textops.text_stats),
@@ -484,6 +511,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(pq)
     pq.add_argument("--seq-len", type=int, default=2048)
     pq.set_defaults(fn=cmd_packseq)
+
+    wc = sub.add_parser("warc")
+    common(wc)
+    wc.set_defaults(fn=cmd_warc)
 
     sd = sub.add_parser("semdedup")
     common(sd)
