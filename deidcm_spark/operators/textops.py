@@ -435,22 +435,48 @@ def _prefix_tokens(
     token_col: str | None,
     block_size: int | None,
     max_blocks: int,
+    order: str = "id",
+    seed: int = 0,
 ) -> DataFrame:
     """(doc_id, n_tokens, _before): the exact exclusive prefix sum of token
-    counts over the doc_id order — the distributed two-pass machinery
-    shared by :func:`pack_shards` and :func:`pack_sequences` (see
-    pack_shards' docstring for the design)."""
-    if block_size is None:
-        block_size = pack_shards_block_size(df, max_blocks)
+    counts over the chosen document order — the distributed two-pass
+    machinery shared by :func:`pack_shards` and :func:`pack_sequences`
+    (see pack_shards' docstring for the design).
+
+    ``order="id"`` sums over ascending doc_id (blocks = id ranges);
+    ``order="shuffle"`` sums over a DETERMINISTIC hash permutation —
+    ``key = md5-int(doc_id:seed)`` (ties broken by doc_id) — with blocks =
+    equal slices of the 2^60 key space, so the same two-pass shape covers
+    the shuffled order without any global sort.  ``block_size`` applies to
+    the id order only (the shuffle key space is sized from ``max_blocks``
+    directly; keys are uniform, so block loads balance by construction).
+    """
     count_expr = (
         F.col(token_col).cast("long") if token_col
         else F.expr(f"cast(size({TOKENS}) as bigint)")
     )
-    toks = df.select(
-        "doc_id",
-        count_expr.alias("n_tokens"),
-        (F.col("doc_id") / block_size).cast("long").alias("_blk"),
-    )
+    if order == "id":
+        if block_size is None:
+            block_size = pack_shards_block_size(df, max_blocks)
+        key_cols = [F.col("doc_id")]
+        toks = df.select(
+            "doc_id",
+            count_expr.alias("n_tokens"),
+            (F.col("doc_id") / block_size).cast("long").alias("_blk"),
+        )
+    elif order == "shuffle":
+        key_space = 1 << 60  # md5 15-hex-char ints are uniform in [0, 2^60)
+        blk_width = max(1, key_space // max_blocks)
+        key = F.expr(
+            f"cast(conv(substring(md5(concat(cast(doc_id as string), "
+            f"':{seed}')), 1, 15), 16, 10) as bigint)"
+        )
+        key_cols = [F.col("_key"), F.col("doc_id")]
+        toks = df.select(
+            "doc_id", count_expr.alias("n_tokens"), key.alias("_key")
+        ).withColumn("_blk", F.expr(f"_key div {blk_width}"))
+    else:
+        raise ValueError(f"order must be 'id' or 'shuffle', got {order!r}")
     totals = sorted(
         (r["_blk"], r["t"])
         for r in toks.groupBy("_blk").agg(F.sum("n_tokens").alias("t")).collect()
@@ -466,7 +492,7 @@ def _prefix_tokens(
 
     w = (
         Window.partitionBy("_blk")
-        .orderBy("doc_id")
+        .orderBy(*key_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
@@ -485,6 +511,8 @@ def pack_sequences(
     block_size: int | None = None,
     max_blocks: int = 100_000,
     token_col: str | None = None,
+    order: str = "id",
+    seed: int = 0,
 ) -> DataFrame:
     """Fixed-length training-sequence packing (concat-and-chunk with
     document boundaries) — the final layout step of an LLM pretraining
@@ -513,8 +541,16 @@ def pack_sequences(
     counts from ``bpe.bpe_token_count``) instead of the whitespace
     tokenizer — at that point downstream slicing must use the same
     tokenizer that produced the counts.
+
+    ``order="shuffle"`` packs a DETERMINISTIC hash permutation of the
+    corpus instead of ingest order (``seed`` selects the permutation) —
+    pretraining wants neighboring documents decorrelated, and a
+    hash-keyed order gets that without a global sort: the prefix-sum
+    blocks become equal slices of the key space (see
+    :func:`_prefix_tokens`).  Same machinery, same invariants; retries
+    and re-runs reproduce the identical layout (no RNG).
     """
-    pre = _prefix_tokens(df, token_col, block_size, max_blocks)
+    pre = _prefix_tokens(df, token_col, block_size, max_blocks, order, seed)
     pieces = (
         # sequence(a, b) DESCENDS when b < a, so empty docs are filtered
         pre.filter(F.col("n_tokens") > 0)

@@ -273,3 +273,61 @@ def test_pack_sequences_empty_docs_emit_nothing(spark):
         (4, 2, 0, 3, 0, 1),
         (4, 2, 1, 0, 1, 1),
     ]
+
+
+def test_pack_sequences_shuffled_order(spark):
+    """order='shuffle': same pieces as the pure-Python re-derivation over
+    the md5-keyed permutation; different seed -> different layout; same
+    seed -> bit-identical; invariants hold."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs = {r.doc_id: r.text for r in d.collect()}
+
+    def key(doc_id, seed):
+        return int(
+            hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:15], 16
+        )
+
+    def oracle(seed, seq_len):
+        pieces = []
+        before = 0
+        for did in sorted(docs, key=lambda x: (key(x, seed), x)):
+            toks = [x for x in _re.split(r"\s+", (docs[did] or "").lower()) if x]
+            n = len(toks)
+            if n == 0:
+                continue
+            g = before
+            while g < before + n:
+                sid = g // seq_len
+                end = min(before + n, (sid + 1) * seq_len)
+                pieces.append((did, n, sid, g - sid * seq_len, g - before, end - g))
+                g = end
+            before += n
+        return sorted(pieces)
+
+    got = sorted(map(tuple, textops.pack_sequences(
+        d, seq_len=256, order="shuffle", seed=7
+    ).collect()))
+    assert got == oracle(7, 256)
+    again = sorted(map(tuple, textops.pack_sequences(
+        d, seq_len=256, order="shuffle", seed=7
+    ).collect()))
+    assert again == got                       # deterministic
+    other = sorted(map(tuple, textops.pack_sequences(
+        d, seq_len=256, order="shuffle", seed=8
+    ).collect()))
+    assert other != got and other == oracle(8, 256)  # seed selects layout
+    # full-sequence invariant holds in the shuffled order too
+    out = textops.pack_sequences(d, seq_len=256, order="shuffle", seed=7)
+    fills = {
+        r.seq_id: r.fill
+        for r in out.groupBy("seq_id").agg(F.sum("piece_tokens").alias("fill")).collect()
+    }
+    last = max(fills)
+    assert all(v == 256 for s, v in fills.items() if s != last)
