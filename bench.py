@@ -116,6 +116,16 @@ def main() -> None:
         ),
         "ppl_score_sec": min(s["extras"]["ppl_score_sec"] for s in samples),
         "bpe_count_sec": min(s["extras"]["bpe_count_sec"] for s in samples),
+        "line_dedup_sec": min(s["extras"]["line_dedup_sec"] for s in samples),
+        "substring_dedup_sec": min(
+            s["extras"]["substring_dedup_sec"] for s in samples
+        ),
+        "bloom_probe_sec": min(
+            s["extras"]["bloom_probe_sec"] for s in samples
+        ),
+        "pack_sequences_sec": min(
+            s["extras"]["pack_sequences_sec"] for s in samples
+        ),
         "deid_n_docs": samples[0]["extras"]["deid_n_docs"],
         "extract_n_docs": samples[0]["extras"]["extract_n_docs"],
         "n_workers": N_WORKERS,

@@ -261,6 +261,48 @@ def run(sf_dir: str, cpus: int) -> None:
     ).agg(F.sum("n_bpe_tokens")).collect(), runs=3)
     extras["bpe_count_sec"] = timings.pop("bpe_count")
 
+    # sub-document dedup (line + exact-substring), Bloom shard probe, and
+    # sequence packing — extras-only evidence like the other r3 lanes
+    # (headline set unchanged for vs_prev comparability); hash_impl="fast"
+    # throughout = the at-scale choice
+    from deidcm_spark.operators.bloom import bloom_build, bloom_probe
+    from deidcm_spark.operators.spandedup import line_dedup, substring_dedup
+    from deidcm_spark.operators.textops import pack_sequences
+
+    txt = docs_all.select("doc_id", "text")
+    line_dedup(txt.limit(64), hash_impl="fast").agg(F.count("*")).collect()
+    timed("line_dedup", lambda: line_dedup(txt, hash_impl="fast").agg(
+        F.count("*"), F.sum("n_dropped")
+    ).collect(), runs=3)
+    extras["line_dedup_sec"] = timings.pop("line_dedup")
+
+    substring_dedup(txt.limit(64), window=32, hash_impl="fast").agg(
+        F.count("*")
+    ).collect()
+    timed("substring_dedup", lambda: substring_dedup(
+        txt, window=32, hash_impl="fast"
+    ).agg(F.count("*"), F.sum("n_removed_tokens")).collect(), runs=3)
+    extras["substring_dedup_sec"] = timings.pop("substring_dedup")
+
+    # the recurring per-shard op is the PROBE; the historical filter is a
+    # one-time index build like the semdedup codebook / BPE merge list
+    bl = bloom_build(txt, 1 << 22, 4, hash_impl="fast").persist()
+    bl.count()
+    bloom_probe(txt.limit(64), bl, 1 << 22, 4, hash_impl="fast").agg(
+        F.count("*")
+    ).collect()
+    timed("bloom_probe", lambda: bloom_probe(
+        txt, bl, 1 << 22, 4, hash_impl="fast"
+    ).agg(F.count_if("maybe_seen")).collect(), runs=3)
+    extras["bloom_probe_sec"] = timings.pop("bloom_probe")
+    bl.unpersist()
+
+    pack_sequences(txt.limit(64), seq_len=2048).agg(F.count("*")).collect()
+    timed("pack_sequences", lambda: pack_sequences(
+        txt, seq_len=2048
+    ).agg(F.count("*"), F.max("seq_id")).collect(), runs=3)
+    extras["pack_sequences_sec"] = timings.pop("pack_sequences")
+
     # --- contract queries
     qs = entry_mod.queries()
     # best-of-3 for the (mostly sub-second) contract queries: 50 ms of host
