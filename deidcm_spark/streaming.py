@@ -364,3 +364,132 @@ def read_rollup(
     gs, base = resolve_granularities(granularities)
     partials = spark.read.parquet(out_dir).drop("batch_id")
     return derive_levels(partials, gs, base, keys, combine_base=True)
+
+
+def _bloom_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    filter_dir: str,
+    n_bits: int,
+    n_hashes: int,
+    hash_impl: str,
+) -> None:
+    """One micro-batch of the Bloom-gated ingest (module-level so tests can
+    exercise the replay contract directly).
+
+    Order of operations is the correctness surface:
+
+    1. compact the filter partial log EXCLUDING this batch_id — a replayed
+       batch must probe the exact filter state its first attempt saw; if
+       its own partial (written by a crashed attempt) were visible, the
+       replay would flag every document as seen and emit an empty fresh
+       partition where the first attempt's output was lost;
+    2. within-batch exact dedup (the filter only knows PRIOR batches —
+       a fingerprint occurring twice inside one batch must still collapse);
+    3. idempotent fresh-document write (partition batch_id=N);
+    4. idempotent filter-partial write: the partial absorbs the WHOLE
+       batch (fresh or not — re-setting a set bit is a no-op, so this is
+       idempotent by algebra as well as by partitioning).
+    """
+    from pyspark.sql import Window, functions as F
+
+    from deidcm_spark.operators.bloom import bloom_build, bloom_new_documents
+    from deidcm_spark.operators.textops import NORM_FP
+
+    spark = batch_df.sparkSession
+    try:
+        prior = spark.read.parquet(filter_dir).filter(
+            F.col("batch_id") != int(batch_id)
+        ).groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    except Exception:  # first batch ever: no log yet
+        prior = spark.createDataFrame([], "word_idx bigint, bits bigint")
+
+    batch_df = batch_df.persist()
+    try:
+        first = (
+            batch_df.withColumn("_fp", F.expr(NORM_FP))
+            .withColumn(
+                "_rk",
+                F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id")),
+            )
+            .filter("_rk = 1")
+            .drop("_fp", "_rk")
+        )
+        fresh = bloom_new_documents(
+            first, prior, n_bits, n_hashes, hash_impl, broadcast_filter=False
+        )
+        _idempotent_write(fresh, batch_id, out_dir)
+        _idempotent_write(
+            bloom_build(batch_df, n_bits, n_hashes, hash_impl),
+            batch_id, filter_dir,
+        )
+    finally:
+        batch_df.unpersist()
+
+
+def stream_bloom_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    filter_dir: str,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 4,
+    hash_impl: str = "fast",
+    schema: str = "doc_id long, text string, lang string, source string",
+    available_now: bool = True,
+):
+    """Continuous-crawl ingest with incremental dedup: documents landing in
+    ``in_dir`` are probed against a Bloom filter of everything already
+    ingested (operators/bloom.py); only definitely-new documents reach
+    ``out_dir``, and the filter grows by an append-only PARTIAL LOG in
+    ``filter_dir`` (one ``(word_idx, bits)`` table per micro-batch, same
+    decomposable-partial pattern as :func:`stream_rollup` — ``bit_or`` of
+    partials of partials is exact).  Compact the log with
+    :func:`read_bloom_log` (or periodically rewrite it through
+    ``maintenance.compact_parquet``).  Bootstrap from an existing batch
+    filter with :func:`bootstrap_bloom_log`.
+
+    Exactly-once: fresh documents and the filter partial both go through
+    the batch_id-partitioned idempotent sink, and the probe reads the log
+    EXCLUDING the current batch_id (see :func:`_bloom_ingest_batch`)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _bloom_ingest_batch(
+            batch_df, batch_id, out_dir, filter_dir,
+            n_bits, n_hashes, hash_impl,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bloom_log(spark: SparkSession, filter_dir: str) -> DataFrame:
+    """Compact the streaming filter partial log into one ``(word_idx,
+    bits)`` table — interchangeable with a batch-built filter (probe new
+    shards against it with ``bloom.bloom_probe``)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(filter_dir)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bootstrap_bloom_log(bloom: DataFrame, filter_dir: str) -> None:
+    """Seed a streaming filter log from a batch-built filter (historical
+    corpus summarized once with ``bloom.bloom_build``): lands as partition
+    ``batch_id=-1``, which no streaming epoch ever overwrites."""
+    _idempotent_write(bloom, -1, filter_dir)

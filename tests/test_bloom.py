@@ -139,3 +139,83 @@ def test_build_plan_single_aggregation(spark, history):
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     # one shuffle: the bit_or aggregation (partials combine map-side)
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 2
+
+
+# ---------- streaming Bloom-gated ingest ----------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(d, t, "", "") for d, t in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_stream_bloom_ingest_two_drops(spark, tmp_path):
+    from deidcm_spark.streaming import read_bloom_log, stream_bloom_ingest
+    from deidcm_spark.operators.bloom import bloom_probe
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    flt = str(tmp_path / "filter")
+    # drop 1: two docs + a within-batch duplicate (same text, higher id)
+    _docs(spark, [(1, "alpha body"), (2, "beta body"), (9, "alpha body")]) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_bloom_ingest(spark, in_dir, out, ckpt, flt, n_bits=N_BITS)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}  # dup collapsed to the min doc_id
+    # drop 2: a re-crawl of doc 2 plus one genuinely new doc
+    _docs(spark, [(20, "beta body"), (3, "gamma body")]) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_bloom_ingest(spark, in_dir, out, ckpt, flt, n_bits=N_BITS)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 3}
+    # the compacted log is interchangeable with a batch filter
+    log = read_bloom_log(spark, flt)
+    probe = {
+        r.doc_id: r.maybe_seen
+        for r in bloom_probe(
+            _docs(spark, [(50, "beta body"), (51, "never seen")]),
+            log, N_BITS, hash_impl="fast",
+        ).collect()
+    }
+    assert probe == {50: True, 51: False}
+
+
+def test_bloom_ingest_replay_emits_same_fresh_docs(spark, tmp_path):
+    """The replay contract: run the SAME batch_id twice (second run = a
+    replay after the first already wrote its filter partial).  The probe
+    excludes the batch's own partial, so the replay must emit the same
+    fresh rows — not an empty partition."""
+    from deidcm_spark.streaming import _bloom_ingest_batch
+
+    out = str(tmp_path / "out")
+    flt = str(tmp_path / "filter")
+    batch = _docs(spark, [(1, "one"), (2, "two")])
+    for attempt in range(2):
+        _bloom_ingest_batch(batch, 0, out, flt, N_BITS, 4, "fast")
+        got = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got == {1, 2}, f"attempt {attempt}"
+    # and a LATER batch does see batch 0's fingerprints
+    _bloom_ingest_batch(_docs(spark, [(7, "two"), (8, "three")]), 1, out, flt,
+                        N_BITS, 4, "fast")
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 8}
+
+
+def test_bootstrap_bloom_log(spark, tmp_path, history):
+    from deidcm_spark.operators.bloom import bloom_build
+    from deidcm_spark.streaming import _bloom_ingest_batch, bootstrap_bloom_log
+
+    out = str(tmp_path / "out")
+    flt = str(tmp_path / "filter")
+    bootstrap_bloom_log(bloom_build(history, N_BITS, 4, "fast"), flt)
+    shard = _docs(
+        spark,
+        [(5000, "historical document number 3 body text"), (5001, "brand new")],
+    )
+    _bloom_ingest_batch(shard, 0, out, flt, N_BITS, 4, "fast")
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {5001}
