@@ -31,6 +31,8 @@ supports it:
   packseq  raw documents → fixed-length training-sequence piece table
   warc     .warc/.warc.gz shard tree → response-record table + the
            extraction-ready raw-document table
+  qualitygate raw documents → signals + keep/reasons (Gopher/C4 rule
+           cascade), drop-mass per rule in the summary
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -352,6 +354,30 @@ def cmd_packseq(args) -> dict:
     }
 
 
+def cmd_qualitygate(args) -> dict:
+    """Rule-cascade quality filter (Gopher/C4): one scan emits every
+    signal plus keep/reasons; reports the drop-mass per rule so curation
+    can see WHY documents were rejected."""
+    spark = _spark("deidcm_qualitygate", args.shuffle_partitions)
+    from deidcm_spark.operators.textops import quality_gate
+
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    quality_gate(docs).write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    from pyspark.sql import functions as SF
+
+    by_rule = {
+        r["reason"]: r["n"]
+        for r in out.select(SF.explode("reasons").alias("reason"))
+        .groupBy("reason").count().withColumnRenamed("count", "n").collect()
+    }
+    return {
+        "docs": out.count(),
+        "kept": out.filter("keep").count(),
+        "dropped_by_rule": dict(sorted(by_rule.items())),
+    }
+
+
 def cmd_warc(args) -> dict:
     """Web-archive ingest lane: .warc/.warc.gz shard tree → the raw-
     document table the extraction/scrub/dedup lanes take.  Writes
@@ -515,6 +541,10 @@ def build_parser() -> argparse.ArgumentParser:
     wc = sub.add_parser("warc")
     common(wc)
     wc.set_defaults(fn=cmd_warc)
+
+    qg = sub.add_parser("qualitygate")
+    common(qg)
+    qg.set_defaults(fn=cmd_qualitygate)
 
     sd = sub.add_parser("semdedup")
     common(sd)

@@ -201,11 +201,20 @@ def gopher_repetition(df: DataFrame) -> DataFrame:
     computed ONCE — CollapseProject leaves multi-referenced non-cheap
     aliases alone — and results are identical."""
     toks = df.select("doc_id", F.expr(TOKENS).alias("_tok"))
-    grams = toks.select(
-        "doc_id",
-        F.expr(f"array_sort({twograms_all_expr('_tok')})").alias("_g2"),
-        F.expr(f"array_sort({shingles_all_expr('_tok')})").alias("_g3"),
-    )
+    grams = toks.select("doc_id", *_gram_cols("_tok"))
+    return grams.select("doc_id", *_gopher_cols())
+
+
+def _gram_cols(tok: str) -> list[Column]:
+    """Sorted 2-/3-gram array columns the gopher signals scan."""
+    return [
+        F.expr(f"array_sort({twograms_all_expr(tok)})").alias("_g2"),
+        F.expr(f"array_sort({shingles_all_expr(tok)})").alias("_g3"),
+    ]
+
+
+def _gopher_cols() -> list[Column]:
+    """top2_frac / dup3_frac over the ``_g2``/``_g3`` columns."""
     # run-length scan over the SORTED gram array: equal grams are adjacent,
     # so one aggregate() pass tracks (prev gram, current run, answer)
     top2 = (
@@ -232,10 +241,83 @@ def gopher_repetition(df: DataFrame) -> DataFrame:
     )
     # coalesce: a NULL text tokenizes to a NULL array (size() = NULL, not
     # 0) — such docs score 0.0, matching the previous left-join + fill form
-    return grams.select(
-        "doc_id",
+    return [
         F.expr(f"coalesce({top2}, 0.0)").alias("top2_frac"),
         F.expr(f"coalesce({dup3}, 0.0)").alias("dup3_frac"),
+    ]
+
+
+# Gopher-flavored rule cascade defaults (Rae et al. 2021 §A1.1 + C4-style
+# hygiene), expressed over THIS engine's signal definitions.  Every
+# threshold is data-dependent in practice — override per corpus.
+DEFAULT_GATES: dict[str, float] = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_avg_token_len": 3.0,
+    "max_avg_token_len": 10.0,
+    "max_repetition_ratio": 0.6,   # 1 - distinct/total tokens
+    "max_digit_ratio": 0.2,
+    "max_upper_ratio": 0.2,
+    "min_stopword_ratio": 0.005,
+    "max_top2_frac": 0.20,
+    "max_dup3_frac": 0.20,
+    "max_urls": 5,
+}
+
+
+def quality_gate(df: DataFrame, overrides: dict | None = None) -> DataFrame:
+    """Model-free quality filter: the Gopher/C4 rule cascade as ONE
+    row-local projection — every signal (token counts, word-length band,
+    repetition/digit/upper ratios, stopword floor, top-2-gram and
+    duplicate-3-gram fractions, URL count) evaluated in a single scan
+    over the layered token/gram base, then compared against the
+    thresholds.  Returns the signal columns plus:
+
+    ``reasons`` — array of violated rule names (empty = clean), so
+    curation can report WHY mass was dropped per source/shard;
+    ``keep``    — ``size(reasons) == 0``.
+
+    Thresholds come from :data:`DEFAULT_GATES`, overridable per call
+    (unknown keys raise — a typo'd threshold silently gating nothing is
+    the failure mode to fear).  Plan shape: scan → project, zero
+    exchanges — the filter costs one pass at any corpus size.
+    """
+    gates = dict(DEFAULT_GATES)
+    if overrides:
+        unknown = set(overrides) - set(gates)
+        if unknown:
+            raise ValueError(f"unknown gate(s): {sorted(unknown)}")
+        gates.update(overrides)
+    sig = _tokenized(df).select(
+        "doc_id",
+        "text",
+        "_tok",
+        *_gram_cols("_tok"),
+    ).select(
+        "doc_id",
+        *_token_cols(tok="_tok"),
+        *_quality_cols(with_tokens=False, tok="_tok"),
+        *_flag_cols(tok="_tok"),
+        *_gopher_cols(),
+    )
+    rules = [
+        ("too_few_tokens", F.col("n_tokens") < gates["min_tokens"]),
+        ("too_many_tokens", F.col("n_tokens") > gates["max_tokens"]),
+        ("avg_token_too_short", F.col("avg_token_len") < gates["min_avg_token_len"]),
+        ("avg_token_too_long", F.col("avg_token_len") > gates["max_avg_token_len"]),
+        ("repetitive_tokens", F.col("repetition_ratio") > gates["max_repetition_ratio"]),
+        ("digit_heavy", F.col("digit_ratio") > gates["max_digit_ratio"]),
+        ("upper_heavy", F.col("upper_ratio") > gates["max_upper_ratio"]),
+        ("stopword_poor", F.col("stopword_ratio") < gates["min_stopword_ratio"]),
+        ("top2gram_dominated", F.col("top2_frac") > gates["max_top2_frac"]),
+        ("dup3gram_heavy", F.col("dup3_frac") > gates["max_dup3_frac"]),
+        ("url_heavy", F.col("n_urls") > gates["max_urls"]),
+    ]
+    reasons = F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in rules])
+    )
+    return sig.withColumn("reasons", reasons).withColumn(
+        "keep", F.size("reasons") == 0
     )
 
 

@@ -268,3 +268,13 @@ def test_cli_packseq(tmp_path, capsys, spark):
     ])
     assert r["pieces"] >= r["sequences"] > 0
     assert r["tokens"] > 0
+
+
+def test_cli_qualitygate(tmp_path, capsys, spark):
+    out = str(tmp_path / "qg")
+    r = _run(capsys, [
+        "qualitygate", "--input", f"{SF}/documents.parquet", "--output", out,
+        "--shuffle-partitions", "8",
+    ])
+    assert r["docs"] == 500 and 0 <= r["kept"] <= 500
+    assert sum(r["dropped_by_rule"].values()) >= r["docs"] - r["kept"]

@@ -331,3 +331,99 @@ def test_pack_sequences_shuffled_order(spark):
     }
     last = max(fills)
     assert all(v == 256 for s, v in fills.items() if s != last)
+
+
+# ---------- quality_gate (Gopher/C4 rule cascade) ----------
+
+def test_quality_gate_equals_component_operators(spark):
+    """The cascade's signals must equal the standalone operators' outputs
+    (text_stats + gopher_repetition joined) and its decisions must equal
+    re-applying the thresholds to those outputs in Python."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    stats = {r.doc_id: r.asDict() for r in textops.text_stats(d).collect()}
+    gopher = {r.doc_id: r.asDict() for r in textops.gopher_repetition(d).collect()}
+    got = {r.doc_id: r.asDict() for r in textops.quality_gate(d).collect()}
+    g = textops.DEFAULT_GATES
+    assert set(got) == set(stats)
+    for did, row in got.items():
+        s, gp = stats[did], gopher[did]
+        for k in ("n_tokens", "avg_token_len", "repetition_ratio",
+                  "digit_ratio", "upper_ratio", "stopword_ratio", "n_urls"):
+            assert row[k] == s[k], (did, k)
+        for k in ("top2_frac", "dup3_frac"):
+            assert row[k] == gp[k], (did, k)
+        expected = [name for name, bad in [
+            ("too_few_tokens", s["n_tokens"] < g["min_tokens"]),
+            ("too_many_tokens", s["n_tokens"] > g["max_tokens"]),
+            ("avg_token_too_short", s["avg_token_len"] < g["min_avg_token_len"]),
+            ("avg_token_too_long", s["avg_token_len"] > g["max_avg_token_len"]),
+            ("repetitive_tokens", s["repetition_ratio"] > g["max_repetition_ratio"]),
+            ("digit_heavy", s["digit_ratio"] > g["max_digit_ratio"]),
+            ("upper_heavy", s["upper_ratio"] > g["max_upper_ratio"]),
+            ("stopword_poor", s["stopword_ratio"] < g["min_stopword_ratio"]),
+            ("top2gram_dominated", gp["top2_frac"] > g["max_top2_frac"]),
+            ("dup3gram_heavy", gp["dup3_frac"] > g["max_dup3_frac"]),
+            ("url_heavy", s["n_urls"] > g["max_urls"]),
+        ] if bad]
+        assert row["reasons"] == expected, did
+        assert row["keep"] == (not expected), did
+
+
+def test_quality_gate_per_rule_reasons(spark):
+    # genuinely varied prose: stopwords interleaved with UNIQUE content
+    # words (letter-suffixed, no digits) — every 2-/3-gram distinct
+    clean = " ".join(
+        w
+        for i in range(40)
+        for w in (
+            "the",
+            f"hous{chr(97 + i % 26)}{chr(97 + i // 26)}",
+            "is",
+            f"colr{chr(97 + i % 26)}{chr(97 + i // 26)}",
+        )
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "short doc"),                          # too_few_tokens
+            (3, ("aa " * 200).strip()),                # repetitive + short-words + stopword_poor
+            (4, clean + " 123456789 " * 60),           # digit_heavy
+            (5, clean.upper()),                        # upper_heavy (+stopword_poor: stopwords are lowercase... they are lowercased by tokenizer)
+            (6, clean + (" spam ham " * 120)),         # top2gram_dominated / dup3gram_heavy
+            (7, clean + (" see http://x.example/a " * 3) + " http://y.example https://z.example http://w.example"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in textops.quality_gate(corpus).collect()}
+    assert out[1].keep and out[1].reasons == []
+    assert "too_few_tokens" in out[2].reasons
+    assert {"repetitive_tokens", "avg_token_too_short"} <= set(out[3].reasons)
+    assert "digit_heavy" in out[4].reasons
+    # tokenizer lowercases, so uppercase prose still finds its stopwords —
+    # the ratio rule must fire alone
+    assert "upper_heavy" in out[5].reasons
+    assert {"top2gram_dominated", "dup3gram_heavy"} & set(out[6].reasons)
+    assert "url_heavy" in out[7].reasons
+
+
+def test_quality_gate_overrides_and_unknown_key(spark):
+    import pytest as _pytest
+
+    d = spark.createDataFrame([(1, "tiny")], "doc_id int, text string")
+    strict = textops.quality_gate(d, {"min_tokens": 1, "min_avg_token_len": 0.0,
+                                      "min_stopword_ratio": 0.0})
+    assert strict.first().keep
+    with _pytest.raises(ValueError, match="unknown gate"):
+        textops.quality_gate(d, {"min_tokenz": 1})
+
+
+def test_quality_gate_zero_exchange_plan(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q = textops.quality_gate(d)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan -> project, fully partition-local
