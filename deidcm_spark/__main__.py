@@ -314,6 +314,17 @@ def cmd_bloom(args) -> dict:
         bloom_new_documents,
     )
 
+    import os
+
+    if args.filter and (
+        os.path.abspath(args.filter)
+        == os.path.abspath(args.output + "/filter")
+    ):
+        raise SystemExit(
+            "bloom: --filter must not be <output>/filter — the merged "
+            "filter write would overwrite the table it is reading "
+            "(point --output at a new directory, like compact)"
+        )
     docs = spark.read.parquet(args.input)
     summary: dict = {"bits": args.bits, "hashes": args.hashes}
     shard_filter = bloom_build(docs, args.bits, args.hashes, args.hash)

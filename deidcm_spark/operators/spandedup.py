@@ -30,6 +30,13 @@ Design notes for 100 TB:
   (``spark.sql.adaptive.skewJoin`` splits the hot partition at runtime);
 * documents that lose every line/token still come back (empty text) — the
   rebuild aggregates a keep FLAG, it never inner-joins survivors;
+* the exploded line/window subtree feeds BOTH the winner aggregation and
+  the join back, so it is computed twice — DELIBERATELY recomputed, not
+  cached: the subtree is scan → explode → project (no shuffle, streams
+  from parquet), while caching it would materialize MORE rows than the
+  corpus itself (one per line/token window).  This differs from
+  ``dedup_decisions``, which persists its candidate PAIRS — a tiny,
+  hot-band-capped table downstream of real shuffles;
 * hashing follows the module-wide two-impl convention (``dedup.py``):
   ``portable`` = md5-derived (bit-identical in the pure-Python test
   oracle), ``fast`` = ``xxhash64`` (the at-scale choice, JVM integer mix).

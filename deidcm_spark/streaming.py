@@ -397,12 +397,17 @@ def _bloom_ingest_batch(
     from deidcm_spark.operators.bloom import bloom_build, bloom_new_documents
     from deidcm_spark.operators.textops import NORM_FP
 
+    from pyspark.errors import AnalysisException
+
     spark = batch_df.sparkSession
     try:
         prior = spark.read.parquet(filter_dir).filter(
             F.col("batch_id") != int(batch_id)
         ).groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
-    except Exception:  # first batch ever: no log yet
+    except AnalysisException:  # first batch ever: no log yet.  ONLY the
+        # path-not-found case may fall back to an empty filter — a corrupt
+        # or unreadable log must FAIL the batch (silently probing an empty
+        # filter would re-admit every historical duplicate)
         prior = spark.createDataFrame([], "word_idx bigint, bits bigint")
 
     batch_df = batch_df.persist()

@@ -237,3 +237,23 @@ def test_spandedup_plans_no_nested_loop(spark, sub_corpus, line_corpus):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoop" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_new_ops_on_empty_corpus(spark):
+    """Every session-4 operator degrades to an empty (or passthrough)
+    result on an empty corpus — no div-by-zero, no collect surprises."""
+    from deidcm_spark.operators.bloom import bloom_build, bloom_probe
+    from deidcm_spark.operators.textops import pack_sequences, quality_gate
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert line_dedup(empty).count() == 0
+    assert substring_dedup(empty).count() == 0
+    assert pack_sequences(empty, seq_len=16).count() == 0
+    assert quality_gate(empty).count() == 0
+    flt = bloom_build(empty, 1 << 12)
+    assert flt.count() == 0
+    probe = bloom_probe(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+        flt, 1 << 12,
+    )
+    assert [r.maybe_seen for r in probe.collect()] == [False]
