@@ -241,3 +241,44 @@ def test_sample_frame_indices_properties(n, k):
     if n > k:  # uniform coverage: one index per length-(n/k) stride
         for j, i in enumerate(idx):
             assert j * n // k <= i <= ((j + 1) * n) // k
+
+
+# ---------------------------------------------------------------------------
+# WARC codec: random records round-trip byte-exactly (plain + gzip-member)
+# ---------------------------------------------------------------------------
+
+# header values must be CANONICAL to round-trip byte-exactly: the parser
+# (correctly) strips insignificant whitespace around values, so generated
+# values carry none — and are non-empty (an empty value is elided on
+# encode and parses back as the "" default, which IS equal, but a
+# whitespace-only value would collapse to it)
+_header_text = st.text(
+    alphabet=st.characters(blacklist_characters="\r\n", blacklist_categories=("Cs",)),
+    min_size=1,
+    max_size=60,
+).map(lambda s: s.strip()).filter(lambda s: s != "")
+
+_warc_record = st.fixed_dictionaries(
+    {
+        "type": st.sampled_from(["response", "request", "metadata", "warcinfo"]),
+        "record_id": _header_text,
+        "date": _header_text,
+        "uri": _header_text,
+        "content_type": _header_text,
+        # payloads are arbitrary bytes — including CRLFs and things that
+        # look like header blocks; Content-Length framing must not care
+        "payload": st.binary(min_size=0, max_size=400),
+    }
+)
+
+
+@given(st.lists(_warc_record, min_size=0, max_size=8), st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_warc_random_records_roundtrip(records, gz):
+    import gzip as _gzip
+
+    from deidcm_spark.warc import encode_warc, parse_warc
+
+    data = encode_warc(records, gzip_members=gz)
+    back = parse_warc(_gzip.decompress(data) if gz else data)
+    assert back == records
