@@ -33,6 +33,7 @@ supports it:
            extraction-ready raw-document table
   qualitygate raw documents → signals + keep/reasons (Gopher/C4 rule
            cascade), drop-mass per rule in the summary
+  hostrank WARC records table → host link edges + PageRank table
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -365,6 +366,29 @@ def cmd_packseq(args) -> dict:
     }
 
 
+def cmd_hostrank(args) -> dict:
+    """Link-graph lane: a WARC records table (the `warc` subcommand's
+    <output>/records) → host edges + PageRank.  Writes <output>/edges and
+    <output>/ranks."""
+    spark = _spark("deidcm_hostrank", args.shuffle_partitions)
+    from deidcm_spark.operators.linkgraph import extract_links, host_rank
+
+    recs = spark.read.parquet(args.input).select("url", "html")
+    extract_links(recs).write.mode("overwrite").parquet(args.output + "/edges")
+    edges = spark.read.parquet(args.output + "/edges")
+    host_rank(
+        edges, iterations=args.iterations,
+        checkpoint_dir=args.output + "/_pr_rounds",
+    ).write.mode("overwrite").parquet(args.output + "/ranks")
+    ranks = spark.read.parquet(args.output + "/ranks")
+    top = ranks.orderBy("rank", ascending=False).first()
+    return {
+        "edges": edges.count(),
+        "hosts": ranks.count(),
+        "top_host": top["host"] if top else None,
+    }
+
+
 def cmd_qualitygate(args) -> dict:
     """Rule-cascade quality filter (Gopher/C4): one scan emits every
     signal plus keep/reasons; reports the drop-mass per rule so curation
@@ -556,6 +580,11 @@ def build_parser() -> argparse.ArgumentParser:
     qg = sub.add_parser("qualitygate")
     common(qg)
     qg.set_defaults(fn=cmd_qualitygate)
+
+    hr = sub.add_parser("hostrank")
+    common(hr)
+    hr.add_argument("--iterations", type=int, default=10)
+    hr.set_defaults(fn=cmd_hostrank)
 
     sd = sub.add_parser("semdedup")
     common(sd)
