@@ -259,3 +259,39 @@ def perplexity_score(
         F.round("_lp", 6).alias("logprob_avg"),
         F.round(F.exp(-F.col("_lp")), 6).alias("ppl"),
     )
+
+
+def gumbel_key_expr(salt: str = "wsample") -> str:
+    """Deterministic Gumbel noise from the doc_id hash (see ``_GUMBEL``),
+    salted so independent sampling stages decorrelate."""
+    u = _H32.format(v=f"concat(cast(doc_id as string), ':{salt}')")
+    return f"-ln(-ln(({u} + 0.5) / 4294967296.0))"
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "weight",
+    salt: str = "wsample",
+) -> DataFrame:
+    """General exact weighted sampling WITHOUT replacement: the ``k`` rows
+    selected with probability proportional to ``weight_col`` (> 0; zero or
+    negative or NULL weights never selected) — the Gumbel-top-k /
+    Efraimidis–Spirakis machinery of :func:`importance_sample` factored
+    out for arbitrary weights (host-rank-weighted corpus draws, quality-
+    score-weighted mixes, temperature-scaled source mixing via
+    ``pow(weight, 1/T)`` upstream).
+
+    Deterministic — the Gumbel noise is a pure function of (doc_id, salt),
+    so retries and engines agree; a different ``salt`` draws an
+    independent sample.  Plan: project + TakeOrderedAndProject (per-
+    partition top-k; only ``k`` rows reach the driver)."""
+    key = F.round(
+        F.expr(gumbel_key_expr(salt)) + F.ln(F.col(weight_col)), 6
+    ).alias("gumbel_key")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select("*", key)
+        .orderBy(F.desc("gumbel_key"), "doc_id")
+        .limit(k)
+    )

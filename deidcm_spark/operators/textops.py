@@ -720,3 +720,31 @@ def cap_per_source(
         .filter(F.col("_rn") <= max_docs)
         .drop("_rn")
     )
+
+
+def corpus_report(df: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Dataset-card aggregates per corpus slice (default: per ``source`` ×
+    ``lang``): document/token volumes, mean quality signals, and the
+    :func:`quality_gate` keep rate — the summary table a curation run
+    publishes alongside the data.
+
+    ``n_docs, kept_docs, keep_rate, total_tokens, avg_tokens,
+    avg_quality, avg_stopword_ratio`` per group.  Cost: the gate's single
+    scan + one doc_id equi-join to attach the slice keys + one hash
+    aggregation — report cardinality is |slices|, never corpus-scale."""
+    by = list(by) if by is not None else ["source", "lang"]
+    gate = quality_gate(df.select("doc_id", "text"))
+    dims = df.select("doc_id", *by)
+    return (
+        gate.join(dims, "doc_id")
+        .groupBy(*by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("kept_docs"),
+            F.round(F.avg(F.col("keep").cast("double")), 4).alias("keep_rate"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        )
+    )

@@ -304,3 +304,58 @@ def test_perplexity_no_bigram_docs_are_null(spark, corpora):
     for d in (2, 3):
         assert got[d]["n_bigrams"] == 0
         assert got[d]["logprob_avg"] is None and got[d]["ppl"] is None
+
+
+# ---------- general weighted sampling (Gumbel top-k, factored) ----------
+
+def test_weighted_sample_matches_oracle(spark):
+    import hashlib
+    import math
+
+    from deidcm_spark.operators.sampling import weighted_sample
+
+    rows = [(d, 0.5 + (d * 7 % 13)) for d in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+
+    def key(d, w, salt="wsample"):
+        h = int(hashlib.md5(f"{d}:{salt}".encode()).hexdigest()[:8], 16)
+        g = -math.log(-math.log((h + 0.5) / 4294967296.0))
+        return g + math.log(w)
+
+    want = sorted(rows, key=lambda r: (-key(*r), r[0]))[:10]
+    got = weighted_sample(df, 10, "weight").collect()
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r in got:
+        w = dict(rows)[r.doc_id]
+        assert r.gumbel_key == pytest.approx(key(r.doc_id, w), abs=2e-6)
+
+
+def test_weighted_sample_contracts(spark):
+    from deidcm_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 3.0)],
+        "doc_id long, weight double",
+    )
+    got = {r.doc_id for r in weighted_sample(df, 10).collect()}
+    assert got == {1, 5}  # zero/negative/NULL weights never selected
+    # deterministic; a different salt draws an independent sample
+    big = spark.createDataFrame(
+        [(d, 1.0) for d in range(200)], "doc_id long, weight double"
+    )
+    a = [r.doc_id for r in weighted_sample(big, 20).collect()]
+    b = [r.doc_id for r in weighted_sample(big, 20).collect()]
+    c = [r.doc_id for r in weighted_sample(big, 20, salt="other").collect()]
+    assert a == b and set(a) != set(c)
+
+
+def test_weighted_sample_plan_is_topk(spark):
+    from deidcm_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(d, 1.0 + d) for d in range(100)], "doc_id long, weight double"
+    )
+    q = weighted_sample(df, 5)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no full sort

@@ -427,3 +427,33 @@ def test_quality_gate_zero_exchange_plan(spark):
     q.collect()
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # scan -> project, fully partition-local
+
+
+def test_corpus_report_matches_recomputation(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = {
+        (r.source, r.lang): r.asDict() for r in textops.corpus_report(d).collect()
+    }
+    gate = {
+        r.doc_id: r
+        for r in textops.quality_gate(d.select("doc_id", "text")).collect()
+    }
+    dims = {(r.source, r.lang): [] for r in d.select("source", "lang").distinct().collect()}
+    for r in d.select("doc_id", "source", "lang").collect():
+        dims[(r.source, r.lang)].append(r.doc_id)
+    assert set(rep) == set(dims)
+    for key, ids in dims.items():
+        row = rep[key]
+        assert row["n_docs"] == len(ids)
+        assert row["kept_docs"] == sum(1 for i in ids if gate[i].keep)
+        assert row["total_tokens"] == sum(gate[i].n_tokens for i in ids)
+        assert row["keep_rate"] == pytest.approx(
+            sum(1 for i in ids if gate[i].keep) / len(ids), abs=1e-4
+        )
+        assert row["avg_quality"] == pytest.approx(
+            sum(gate[i].quality for i in ids) / len(ids), abs=1e-4
+        )
