@@ -498,3 +498,66 @@ def bootstrap_bloom_log(bloom: DataFrame, filter_dir: str) -> None:
     corpus summarized once with ``bloom.bloom_build``): lands as partition
     ``batch_id=-1``, which no streaming epoch ever overwrites."""
     _idempotent_write(bloom, -1, filter_dir)
+
+
+# binaryFile's fixed schema — the streaming source demands it explicitly
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_warc_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    filter_dir: str | None = None,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 4,
+    hash_impl: str = "fast",
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+):
+    """END of the continuous-crawl story: ``.warc`` / ``.warc.gz`` shards
+    landing in ``in_dir`` stream straight into the raw-document table —
+    each micro-batch of newly-arrived shard files decodes through the
+    SAME ``warc.warc_records`` stage as the batch source, applies the
+    OK-HTML gate (``warc_to_documents``), and lands exactly-once:
+
+    * ``filter_dir=None`` — plain idempotent append (batch_id partition);
+    * ``filter_dir`` set — the full Bloom-gated path
+      (:func:`_bloom_ingest_batch`): only documents whose content
+      fingerprint is new to the ENTIRE history reach ``out_dir``, and the
+      filter partial log grows per batch.  Seed history with
+      :func:`bootstrap_bloom_log`.
+
+    The streaming source is ``binaryFile`` (schema must be given
+    explicitly — Spark refuses to infer one for a streaming source);
+    one shard file = one source row, so ``max_files_per_trigger`` is the
+    batch-size knob in SHARDS (~1 GB each in the wild)."""
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from deidcm_spark.warc import warc_records, warc_to_documents
+
+        docs = warc_to_documents(warc_records(batch_df.select("path", "content")))
+        if filter_dir is not None:
+            _bloom_ingest_batch(
+                docs, batch_id, out_dir, filter_dir,
+                n_bits, n_hashes, hash_impl,
+            )
+        else:
+            _idempotent_write(docs, batch_id, out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

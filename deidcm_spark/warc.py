@@ -202,11 +202,14 @@ def warc_doc_id(uri: str, date: str, record_id: str) -> str:
     return hashlib.md5(f"{uri}\n{date}\n{record_id}".encode("utf-8")).hexdigest()
 
 
-def read_warc_documents(
-    spark: SparkSession, path: str, record_types: tuple[str, ...] = ("response",)
+def warc_records(
+    binary_df: DataFrame, record_types: tuple[str, ...] = ("response",)
 ) -> DataFrame:
-    """Directory/glob of ``.warc`` / ``.warc.gz`` shards → one row per
-    matching record with the HTTP body decoded (WARC_DOC_SCHEMA).
+    """(path, content) binary rows → one row per matching WARC record with
+    the HTTP body decoded (WARC_DOC_SCHEMA).  The shared decode stage of
+    the batch source (:func:`read_warc_documents`) and the streaming lane
+    (``streaming.stream_warc_ingest`` — foreachBatch hands it each
+    micro-batch of newly-landed shard files).
 
     Non-matching record types (warcinfo, request, metadata, ...) are
     skipped; files whose name ends in ``.gz`` are gunzipped first
@@ -245,8 +248,17 @@ def read_warc_documents(
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_DOC_SCHEMA])
 
+    return binary_df.select("path", "content").mapInPandas(run, WARC_DOC_SCHEMA)
+
+
+def read_warc_documents(
+    spark: SparkSession, path: str, record_types: tuple[str, ...] = ("response",)
+) -> DataFrame:
+    """Directory/glob of ``.warc`` / ``.warc.gz`` shards → decoded records
+    (see :func:`warc_records`); ``binaryFile`` enumerates distributedly,
+    one shard = one task."""
     raw = spark.read.format("binaryFile").load(path)
-    return raw.select("path", "content").mapInPandas(run, WARC_DOC_SCHEMA)
+    return warc_records(raw, record_types)
 
 
 def warc_to_documents(warc_df: DataFrame) -> DataFrame:

@@ -198,3 +198,57 @@ def test_cli_warc_ingest(tmp_path, capsys, spark, warc_dir):
     assert r == {"records": 6, "documents": 4}
     docs = spark.read.parquet(out + "/documents")
     assert set(docs.columns) == {"doc_id", "text", "lang", "source"}
+
+
+def test_stream_warc_ingest_bloom_gated(spark, tmp_path):
+    """Two shard drops through the streaming source: the second shard's
+    re-crawled page (same content, new URL) is bloom-dropped; its new
+    page lands.  Plain (ungated) mode appends everything."""
+    from deidcm_spark.streaming import stream_warc_ingest
+
+    def http(body):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body.encode())
+
+    def rec(i, uri, body):
+        return {
+            "type": "response", "record_id": f"<urn:uuid:{i}>",
+            "date": "2024-01-01T00:00:00Z", "uri": uri,
+            "content_type": "application/http; msgtype=response",
+            "payload": http(body),
+        }
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    out = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    flt = str(tmp_path / "filter")
+    (in_dir / "s0.warc.gz").write_bytes(encode_warc([
+        rec(0, "https://a.example/x", "<p>first page body</p>"),
+        rec(1, "https://a.example/y", "<p>second page body</p>"),
+    ], gzip_members=True))
+    q = stream_warc_ingest(spark, str(in_dir), out, ckpt, filter_dir=flt,
+                           n_bits=1 << 16)
+    q.awaitTermination(120)
+    got = {r.text for r in spark.read.parquet(out).collect()}
+    assert got == {"<p>first page body</p>", "<p>second page body</p>"}
+    # drop 2: a re-crawl of the first page at a NEW url + one new page
+    (in_dir / "s1.warc").write_bytes(encode_warc([
+        rec(2, "https://mirror.example/x", "<p>first page body</p>"),
+        rec(3, "https://a.example/z", "<p>third page body</p>"),
+    ]))
+    q = stream_warc_ingest(spark, str(in_dir), out, ckpt, filter_dir=flt,
+                           n_bits=1 << 16)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert {r.text for r in rows} == {
+        "<p>first page body</p>", "<p>second page body</p>",
+        "<p>third page body</p>",
+    }
+    # the re-crawl (same content, mirror.example) was bloom-dropped
+    assert "mirror.example" not in {r.source for r in rows}
+    # ungated mode: everything (including the re-crawl) appends
+    out2 = str(tmp_path / "docs_plain")
+    q = stream_warc_ingest(spark, str(in_dir), out2, str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 4
