@@ -125,3 +125,79 @@ def hypertable_rollup(
     gs, base = resolve_granularities(granularities)
     finest = base_partials(events, ts_col, key_cols, value_col, base)
     return derive_levels(finest, gs, base, key_cols)
+
+
+def gap_fill(
+    rollup: DataFrame,
+    granularity: str,
+    key_cols: list[str],
+    fill_cols: list[str],
+    method: str = "locf",
+) -> DataFrame:
+    """Time-series gap filling over one resolution of a rollup — the
+    TimescaleDB ``time_bucket_gapfill`` analogue Spark lacks: every key
+    gets a DENSE bucket series between its first and last observed
+    bucket, and missing buckets fill by
+
+    * ``locf``  — last observation carried forward (each ``fill_cols``
+      value from the most recent real bucket);
+    * ``zero``  — 0 for the fill columns;
+    * ``null``  — rows emitted, fill columns left NULL.
+
+    Emitted rows carry ``filled = true``.  ``rollup`` is one
+    granularity's slice of :func:`hypertable_rollup` output (or any
+    ``(bucket, *key_cols, ...)`` frame); ``granularity`` must match the
+    bucket spacing.
+
+    Scale shape: per-key span aggregation (|keys| rows) → dense bucket
+    explode via ``sequence(first, last, interval 1 <g>)`` (output-sized,
+    no shuffle beyond its own aggregation) → one equi-join back on
+    ``(key, bucket)`` → for ``locf`` one window per key ordered by bucket
+    (``last(col, ignorenulls)`` over the preceding frame).  The join and
+    the window hash-partition on the SAME key columns, so the exchange is
+    reused; state per key is bounded by its bucket span.
+    """
+    if method not in ("locf", "zero", "null"):
+        raise ValueError(f"method must be locf/zero/null, got {method!r}")
+    if granularity not in GRANULARITIES:
+        raise ValueError(
+            f"unknown granularity {granularity!r}; pick from {GRANULARITIES}"
+        )
+    from pyspark.sql import Window
+
+    step = {"hour": "interval 1 hour", "day": "interval 1 day",
+            "week": "interval 7 days", "month": "interval 1 month",
+            "year": "interval 1 year"}[granularity]
+    spans = rollup.groupBy(*key_cols).agg(
+        F.min("bucket").alias("_first"), F.max("bucket").alias("_last")
+    )
+    dense = spans.select(
+        *key_cols,
+        F.explode(
+            F.expr(f"sequence(_first, _last, {step})")
+        ).alias("bucket"),
+    )
+    joined = dense.join(rollup, [*key_cols, "bucket"], "left").withColumn(
+        "filled", F.col(fill_cols[0]).isNull()
+    )
+    if method == "zero":
+        filled = joined.select(
+            *key_cols, "bucket", "filled",
+            *[F.coalesce(c, F.lit(0)).alias(c) for c in fill_cols],
+        )
+    elif method == "null":
+        filled = joined.select(*key_cols, "bucket", "filled", *fill_cols)
+    else:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = joined.select(
+            *key_cols, "bucket", "filled",
+            *[
+                F.last(c, ignorenulls=True).over(w).alias(c)
+                for c in fill_cols
+            ],
+        )
+    return filled

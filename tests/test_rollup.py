@@ -109,3 +109,94 @@ def test_rollup_week_finest_does_not_misbucket_months(spark):
     assert rows["month"].startswith("2024-02-01")
     grans = {r["granularity"] for r in out.collect()}
     assert grans == {"week", "month"}  # internal day base is not emitted
+
+
+# ---------- gap_fill (time_bucket_gapfill analogue) ----------
+
+def test_gap_fill_matches_python_oracle(spark):
+    """Sparse hourly series with multi-hour holes: the dense series and
+    every fill method re-derived in pure Python."""
+    import datetime as dt
+
+    from deidcm_spark.operators.rollup import gap_fill
+
+    def t(h):
+        return dt.datetime(2024, 3, 1, h)
+
+    rows = [
+        ("a", t(1), 3, 30.0), ("a", t(2), 1, 10.0), ("a", t(6), 2, 20.0),
+        ("b", t(4), 5, 50.0), ("b", t(5), 1, 5.0),
+        ("c", t(9), 7, 70.0),                     # single bucket: no gaps
+    ]
+    roll = spark.createDataFrame(
+        rows, "event_type string, bucket timestamp, n_events long, sum_value double"
+    )
+
+    def oracle(method):
+        got = {}
+        for key in {r[0] for r in rows}:
+            series = sorted((r[1], r[2], r[3]) for r in rows if r[0] == key)
+            first, last = series[0][0], series[-1][0]
+            real = {b: (n, v) for b, n, v in series}
+            prev = (None, None)
+            cur = first
+            while cur <= last:
+                if cur in real:
+                    prev = real[cur]
+                    got[(key, cur)] = (False, *real[cur])
+                else:
+                    fills = {
+                        "locf": prev,
+                        "zero": (0, 0.0),
+                        "null": (None, None),
+                    }[method]
+                    got[(key, cur)] = (True, *fills)
+                cur += dt.timedelta(hours=1)
+        return got
+
+    for method in ("locf", "zero", "null"):
+        out = gap_fill(
+            roll, "hour", ["event_type"], ["n_events", "sum_value"], method
+        )
+        got = {
+            (r.event_type, r.bucket): (r.filled, r.n_events, r.sum_value)
+            for r in out.collect()
+        }
+        assert got == oracle(method), method
+
+
+def test_gap_fill_on_rollup_output(spark, events):
+    """Composes with hypertable_rollup: the day level densifies with no
+    holes left, real buckets keep their aggregates bit-for-bit."""
+    from deidcm_spark.operators.rollup import gap_fill
+
+    day = hypertable_rollup(
+        events, "ts", ["event_type"], "value", ["day"]
+    ).drop("granularity")
+    dense = gap_fill(day, "day", ["event_type"], ["n_events", "sum_value"])
+    real = {(r.event_type, r.bucket): (r.n_events, r.sum_value) for r in day.collect()}
+    out = {(r.event_type, r.bucket): r for r in dense.collect()}
+    for k, (n, v) in real.items():
+        assert not out[k].filled and (out[k].n_events, out[k].sum_value) == (n, v)
+    # dense: per key, count == span in days
+    import collections
+    per_key = collections.defaultdict(list)
+    for (k, b) in out:
+        per_key[k].append(b)
+    for k, buckets in per_key.items():
+        buckets.sort()
+        span = (buckets[-1] - buckets[0]).days + 1
+        assert len(buckets) == span, k
+
+
+def test_gap_fill_validations(spark):
+    from deidcm_spark.operators.rollup import gap_fill
+
+    df = spark.createDataFrame(
+        [], "event_type string, bucket timestamp, n_events long"
+    )
+    with pytest.raises(ValueError, match="method"):
+        gap_fill(df, "hour", ["event_type"], ["n_events"], method="bogus")
+    with pytest.raises(ValueError, match="granularity"):
+        gap_fill(df, "minute", ["event_type"], ["n_events"])
+    assert gap_fill(df, "hour", ["event_type"], ["n_events"]).count() == 0
