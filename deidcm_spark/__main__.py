@@ -34,6 +34,7 @@ supports it:
   qualitygate raw documents → signals + keep/reasons (Gopher/C4 rule
            cascade), drop-mass per rule in the summary
   hostrank WARC records table → host link edges + PageRank table
+  report   raw documents → per-(source, lang) dataset-card aggregates
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -366,6 +367,25 @@ def cmd_packseq(args) -> dict:
     }
 
 
+def cmd_report(args) -> dict:
+    """Dataset-card lane: per-(source, lang) volumes, mean quality
+    signals, and the quality-gate keep rate."""
+    spark = _spark("deidcm_report", args.shuffle_partitions)
+    from deidcm_spark.operators.textops import corpus_report
+
+    docs = spark.read.parquet(args.input)
+    corpus_report(docs).write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    from pyspark.sql import functions as SF
+
+    tot = out.agg(SF.sum("n_docs"), SF.sum("kept_docs")).first()
+    return {
+        "slices": out.count(),
+        "docs": int(tot[0] or 0),
+        "kept": int(tot[1] or 0),
+    }
+
+
 def cmd_hostrank(args) -> dict:
     """Link-graph lane: a WARC records table (the `warc` subcommand's
     <output>/records) → host edges + PageRank.  Writes <output>/edges and
@@ -585,6 +605,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(hr)
     hr.add_argument("--iterations", type=int, default=10)
     hr.set_defaults(fn=cmd_hostrank)
+
+    rp = sub.add_parser("report")
+    common(rp)
+    rp.set_defaults(fn=cmd_report)
 
     sd = sub.add_parser("semdedup")
     common(sd)

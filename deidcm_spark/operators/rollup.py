@@ -177,9 +177,14 @@ def gap_fill(
             F.expr(f"sequence(_first, _last, {step})")
         ).alias("bucket"),
     )
-    joined = dense.join(rollup, [*key_cols, "bucket"], "left").withColumn(
-        "filled", F.col(fill_cols[0]).isNull()
-    )
+    # the marker rides the rollup side of the left join: a synthesized row
+    # is one with no join partner — NOT one whose first fill column is
+    # NULL (a real bucket may legitimately carry NULL aggregates)
+    joined = dense.join(
+        rollup.withColumn("_present", F.lit(True)),
+        [*key_cols, "bucket"],
+        "left",
+    ).withColumn("filled", F.col("_present").isNull())
     if method == "zero":
         filled = joined.select(
             *key_cols, "bucket", "filled",

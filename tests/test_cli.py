@@ -278,3 +278,12 @@ def test_cli_qualitygate(tmp_path, capsys, spark):
     ])
     assert r["docs"] == 500 and 0 <= r["kept"] <= 500
     assert sum(r["dropped_by_rule"].values()) >= r["docs"] - r["kept"]
+
+
+def test_cli_report(tmp_path, capsys, spark):
+    out = str(tmp_path / "report")
+    r = _run(capsys, [
+        "report", "--input", f"{SF}/documents.parquet", "--output", out,
+        "--shuffle-partitions", "8",
+    ])
+    assert r["docs"] == 500 and r["slices"] > 0 and 0 <= r["kept"] <= 500
