@@ -126,6 +126,11 @@ def main() -> None:
         "pack_sequences_sec": min(
             s["extras"]["pack_sequences_sec"] for s in samples
         ),
+        "warc_parse_sec": min(s["extras"]["warc_parse_sec"] for s in samples),
+        "warc_parse_docs_per_sec": max(
+            s["extras"]["warc_parse_docs_per_sec"] for s in samples
+        ),
+        "host_rank_sec": min(s["extras"]["host_rank_sec"] for s in samples),
         "deid_n_docs": samples[0]["extras"]["deid_n_docs"],
         "extract_n_docs": samples[0]["extras"]["extract_n_docs"],
         "n_workers": N_WORKERS,

@@ -152,3 +152,44 @@ def host_rank(
         _release(ranks)
         ranks = new_ranks
     return ranks.select("host", "rank")
+
+
+# simple (non-nested) anchor elements; group 0 = the whole tag+text+close
+ANCHOR_TAG_RE = "<a[^>]*>[^<]*</a>"
+
+
+def anchor_texts(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, html) rows → one row per anchor: ``(src_host, dst_host,
+    target, anchor)`` — the classic weakly-supervised (query, document)
+    training pairs (anchor text describes the page it links to).
+    Absolute http(s) targets with non-empty visible text only; pure
+    codegen (regexp over the simple non-nested ``<a>`` form; nested
+    markup inside anchors is out of contract, like multi-line script
+    bodies in the strip-tags tier)."""
+    tags = F.expr(
+        f"regexp_extract_all({html_col}, '{ANCHOR_TAG_RE}', 0)"
+    )
+    pairs = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, HREF_RE, 1).alias("target"),
+            F.trim(F.regexp_extract(t, ">([^<]*)</a>", 1)).alias("anchor"),
+        ),
+    )
+    return (
+        df.select(
+            F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1)).alias(
+                "src_host"
+            ),
+            F.explode(pairs).alias("p"),
+        )
+        .select(
+            "src_host",
+            F.lower(F.regexp_extract("p.target", HOST_RE, 1)).alias("dst_host"),
+            F.col("p.target").alias("target"),
+            F.col("p.anchor").alias("anchor"),
+        )
+        .filter("src_host != '' and dst_host != '' and anchor != ''")
+    )

@@ -172,3 +172,28 @@ def test_cli_hostrank(tmp_path, capsys, spark):
            "--iterations", "5", "--shuffle-partitions", "4"])
     r = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r == {"edges": 4, "hosts": 5, "top_host": "hub.example"}
+
+
+def test_anchor_texts(spark):
+    from deidcm_spark.operators.linkgraph import anchor_texts
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://news.example/a",
+                '<a href="https://other.example/x">Great Article</a> '
+                '<a href="https://other.example/y"></a> '          # empty text
+                '<a href="/rel">relative</a> '                     # relative
+                "<a class='b' href='https://third.example/z'>  padded  </a>",
+            ),
+        ],
+        "url string, html string",
+    )
+    got = {
+        (r.src_host, r.dst_host, r.target, r.anchor)
+        for r in anchor_texts(pages).collect()
+    }
+    assert got == {
+        ("news.example", "other.example", "https://other.example/x", "Great Article"),
+        ("news.example", "third.example", "https://third.example/z", "padded"),
+    }

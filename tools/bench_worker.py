@@ -35,6 +35,7 @@ DEID_CORPUS = "/tmp/bench_deid_corpus.parquet"
 HTML_CORPUS = "/tmp/bench_html_corpus.parquet"
 MEDIA_PAYLOADS = "/tmp/bench_media_payloads.parquet"
 MEDIA_BOXES = "/tmp/bench_media_boxes.parquet"
+WARC_SHARDS = "/tmp/bench_warc_shards"
 MARKER = "/tmp/bench_corpora_marker.json"
 WARM_SF = "/root/testdata/sf0.001"
 
@@ -85,7 +86,9 @@ def prepare(sf_dir: str, cpus: int) -> None:
     marker = {"sf_dir": sf_dir, "cpus": cpus}
     if os.path.exists(MARKER):
         try:
-            if json.load(open(MARKER)) == marker and all(
+            if json.load(open(MARKER)) == marker and os.path.isdir(
+                WARC_SHARDS
+            ) and all(
                 os.path.exists(os.path.join(p, "_SUCCESS"))
                 for p in (DEID_CORPUS, HTML_CORPUS, MEDIA_PAYLOADS, MEDIA_BOXES)
             ):
@@ -112,6 +115,40 @@ def prepare(sf_dir: str, cpus: int) -> None:
     payloads, boxes = synth_media(spark, 200, seed=17, media_rate=0.5)
     payloads.write.mode("overwrite").parquet(MEDIA_PAYLOADS)
     boxes.write.mode("overwrite").parquet(MEDIA_BOXES)
+
+    # deterministic .warc.gz shard tree from the documents table (each
+    # page body carries two cross-host links so the hostrank lane has a
+    # real graph); written once, outside every timed window
+    import shutil
+
+    from deidcm_spark.warc import encode_warc
+
+    shutil.rmtree(WARC_SHARDS, ignore_errors=True)
+    os.makedirs(WARC_SHARDS)
+    rows = base.select("doc_id", "text").orderBy("doc_id").collect()
+    per_shard = max(1, len(rows) // 16)
+    for s in range(0, len(rows), per_shard):
+        recs = []
+        for r in rows[s : s + per_shard]:
+            body = (
+                f'<html><a href="https://hub{r.doc_id % 97}.example/t">t</a>'
+                f'<a href="https://peer{r.doc_id % 7}.example/u">u</a>'
+                f"<p>{r.text}</p></html>"
+            ).encode("utf-8", "replace")
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+                b"\r\n\r\n" + body
+            )
+            recs.append({
+                "type": "response",
+                "record_id": f"<urn:uuid:{r.doc_id}>",
+                "date": "2024-01-01T00:00:00Z",
+                "uri": f"https://site{r.doc_id % 211}.example/p{r.doc_id}",
+                "content_type": "application/http; msgtype=response",
+                "payload": http,
+            })
+        with open(f"{WARC_SHARDS}/shard{s // per_shard:04d}.warc.gz", "wb") as f:
+            f.write(encode_warc(recs, gzip_members=True))
     json.dump(marker, open(MARKER, "w"))
     spark.stop()
 
@@ -302,6 +339,32 @@ def run(sf_dir: str, cpus: int) -> None:
         txt, seq_len=2048
     ).agg(F.count("*"), F.max("seq_id")).collect(), runs=3)
     extras["pack_sequences_sec"] = timings.pop("pack_sequences")
+
+    # WARC ingest + host-rank lanes: parse throughput over the prebuilt
+    # .warc.gz shard tree, and the link-graph power iteration over the
+    # parsed records (records persisted so the rank lane times the graph
+    # work, not a re-parse)
+    from deidcm_spark.operators.linkgraph import extract_links, host_rank
+    from deidcm_spark.warc import read_warc_documents
+
+    read_warc_documents(spark, WARC_SHARDS).count()  # warm (codec import etc.)
+    timed("warc_parse", lambda: read_warc_documents(spark, WARC_SHARDS).agg(
+        F.count("*"), F.sum("n_bytes")
+    ).collect(), runs=3)
+    extras["warc_parse_sec"] = timings.pop("warc_parse")
+
+    recs = read_warc_documents(spark, WARC_SHARDS).persist()
+    n_recs = recs.count()
+    extras["warc_n_records"] = n_recs
+    extras["warc_parse_docs_per_sec"] = round(
+        n_recs / extras["warc_parse_sec"], 1
+    )
+    host_rank(extract_links(recs.limit(64)), iterations=2).count()  # warm
+    timed("host_rank", lambda: host_rank(
+        extract_links(recs), iterations=3
+    ).count(), runs=2)
+    extras["host_rank_sec"] = timings.pop("host_rank")
+    recs.unpersist()
 
     # --- contract queries
     qs = entry_mod.queries()
