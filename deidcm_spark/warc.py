@@ -164,6 +164,52 @@ def split_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
     return status, headers, payload[sep + 4 :]
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing (hex-size lines).  Raises
+    on malformed framing — the caller falls back to the raw bytes (crawl
+    archives carry whatever the server sent)."""
+    out = []
+    i = 0
+    while True:
+        eol = body.index(_CRLF, i)
+        size = int(body[i:eol].split(b";")[0], 16)  # chunk extensions ignored
+        i = eol + 2
+        if size == 0:
+            break
+        out.append(body[i : i + size])
+        i += size + 2  # chunk data + CRLF
+    return b"".join(out)
+
+
+def decode_http_body(body: bytes, headers: dict[str, str]) -> bytes:
+    """Undo the transfer/content codings a crawled response was stored
+    with (WARC keeps the wire bytes; the consumer decodes): chunked
+    framing, then gzip/deflate content encoding.  Every step is
+    best-effort — malformed coding falls back to the bytes as stored."""
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        try:
+            body = _dechunk(body)
+        except (ValueError, IndexError):
+            pass
+    enc = headers.get("content-encoding", "").lower()
+    if "gzip" in enc:
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            pass
+    elif "deflate" in enc:
+        import zlib
+
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)  # raw deflate
+            except zlib.error:
+                pass
+    return body
+
+
 def _charset_of(content_type: str) -> str:
     for piece in content_type.split(";"):
         piece = piece.strip()
@@ -231,6 +277,7 @@ def warc_records(
                     status, http_headers, body = split_http_response(
                         rec["payload"]
                     )
+                    body = decode_http_body(body, http_headers)
                     ctype = http_headers.get("content-type", rec["content_type"])
                     rows.append(
                         {

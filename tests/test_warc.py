@@ -252,3 +252,56 @@ def test_stream_warc_ingest_bloom_gated(spark, tmp_path):
     q = stream_warc_ingest(spark, str(in_dir), out2, str(tmp_path / "ckpt2"))
     q.awaitTermination(120)
     assert spark.read.parquet(out2).count() == 4
+
+
+def test_decode_http_body_codings():
+    """Chunked framing + gzip/deflate content codings undone; malformed
+    codings fall back to the stored bytes."""
+    import zlib
+
+    from deidcm_spark.warc import decode_http_body
+
+    # chunked: "Wiki" + "pedia" + terminator
+    chunked = b"4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n"
+    assert decode_http_body(chunked, {"transfer-encoding": "chunked"}) == b"Wikipedia"
+    # chunk extensions ignored
+    ext = b"4;name=v\r\nWiki\r\n0\r\n\r\n"
+    assert decode_http_body(ext, {"transfer-encoding": "chunked"}) == b"Wiki"
+    # gzip + deflate (zlib-wrapped AND raw)
+    body = b"<html>compressed page</html>"
+    assert decode_http_body(gzip.compress(body), {"content-encoding": "gzip"}) == body
+    assert decode_http_body(zlib.compress(body), {"content-encoding": "deflate"}) == body
+    raw_deflate = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    rd = raw_deflate.compress(body) + raw_deflate.flush()
+    assert decode_http_body(rd, {"content-encoding": "deflate"}) == body
+    # chunked THEN gzip (transfer coding wraps content coding)
+    gz = gzip.compress(body)
+    framed = hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    assert decode_http_body(
+        framed, {"transfer-encoding": "chunked", "content-encoding": "gzip"}
+    ) == body
+    # malformed fall-backs
+    assert decode_http_body(b"nonsense", {"transfer-encoding": "chunked"}) == b"nonsense"
+    assert decode_http_body(b"notgzip", {"content-encoding": "gzip"}) == b"notgzip"
+    assert decode_http_body(body, {}) == body
+
+
+def test_read_warc_gzip_encoded_response(spark, tmp_path):
+    """A response stored with Content-Encoding: gzip decodes to readable
+    html through the distributed source."""
+    body = b"<html><p>compressed crawl page</p></html>"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(body)
+    )
+    rec = {
+        "type": "response", "record_id": "<urn:uuid:gz>",
+        "date": "2024-01-01T00:00:00Z", "uri": "https://gz.example/p",
+        "content_type": "application/http; msgtype=response",
+        "payload": payload,
+    }
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "s.warc").write_bytes(encode_warc([rec]))
+    (row,) = read_warc_documents(spark, str(d)).collect()
+    assert row.html == body.decode() and row.n_bytes == len(body)

@@ -171,6 +171,29 @@ def main() -> None:
             "dsir_docs_per_sec": round(ded_docs / dsir_elapsed, 1),
         })
 
+        # exact-substring dedup lane (round-3 session-4 operator): the
+        # heaviest new lane — O(n_tokens × window) hashing on the explode
+        # side, a salted winner aggregation over EVERY window occurrence,
+        # the loser join back, and per-doc interval-merge folds.  The
+        # replicated corpus makes every window a 64-way duplicate, so the
+        # winner/loser machinery carries real volume at every level.
+        from deidcm_spark.operators.spandedup import substring_dedup
+
+        substring_dedup(raw_d.limit(512), window=32, hash_impl="fast").agg(
+            F.count("*")
+        ).collect()
+        t0 = time.perf_counter()
+        sub = substring_dedup(raw_d, window=32, hash_impl="fast").agg(
+            F.count("*"), F.sum("n_removed_tokens")
+        ).collect()[0]
+        sub_elapsed = time.perf_counter() - t0
+        result.update({
+            "substr_n_docs": int(sub[0]),
+            "substr_removed_tokens": int(sub[1]),
+            "substr_elapsed_sec": round(sub_elapsed, 3),
+            "substr_docs_per_sec": round(int(sub[0]) / sub_elapsed, 1),
+        })
+
     print(json.dumps(result))
     spark.stop()
 
