@@ -748,3 +748,69 @@ def corpus_report(df: DataFrame, by: list[str] | None = None) -> DataFrame:
             F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
         )
     )
+
+
+# pre-tokenization text hygiene (ftfy-lite): pure-codegen steps first,
+# NFC as the one genuinely non-SQL step (unicodedata via a pandas UDF)
+_CLEAN_STEPS: list[tuple[str, str]] = [
+    # C0/C1 control chars except \t \n (kept: they are layout)
+    ("[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]", " "),
+    # unicode spaces (NBSP, en/em/thin/ideographic, BOM-as-ZWNBSP) -> ASCII
+    ("[\\u00a0\\u2000-\\u200a\\u202f\\u205f\\u3000\\ufeff]", " "),
+    # zero-width chars vanish
+    ("[\\u200b-\\u200d\\u2060]", ""),
+    # curly quotes/dashes -> ASCII (tokenizer + dedup fingerprints agree
+    # across typographic variants of the same text)
+    ("[\\u2018\\u2019\\u201a\\u201b]", "'"),
+    ("[\\u201c\\u201d\\u201e\\u201f]", "\""),
+    ("[\\u2012\\u2013\\u2014\\u2015]", "-"),
+    ("\\u2026", "..."),
+    # collapse space runs (not \n: line structure feeds line_dedup)
+    ("[ \\t]+", " "),
+]
+
+
+def normalize_text_col(col: Column) -> Column:
+    """The codegen cleanup chain as a column expression."""
+    out = col
+    for pat, rep in _CLEAN_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    # trim ALL whitespace at the ends (F.trim strips spaces only — a
+    # trailing newline would survive it)
+    return F.regexp_replace(out, "^\\s+|\\s+$", "")
+
+
+def normalize_text(df: DataFrame, nfc: bool = False) -> DataFrame:
+    """Pre-tokenization text hygiene over ``(doc_id, text)`` →
+    ``(doc_id, text)`` with: control characters and exotic unicode spaces
+    normalized, zero-width characters removed, typographic quotes/dashes/
+    ellipsis mapped to ASCII, space runs collapsed (newlines preserved —
+    line structure feeds :func:`~deidcm_spark.operators.spandedup.line_dedup`),
+    ends trimmed.  All whole-stage-codegen ``regexp_replace`` — zero
+    Python — so the cleanup costs one projection at any corpus size.
+
+    ``nfc=True`` additionally applies Unicode NFC composition — the one
+    step SQL cannot express — as an Arrow-batched ``mapInPandas`` stage
+    AFTER the codegen chain (zero shuffle; the Python hop is the slow
+    path and is opt-in).
+
+    Normalizing BEFORE dedup/fingerprinting makes typographic variants of
+    the same sentence collapse to one fingerprint (NORM_FP already folds
+    case and whitespace; this folds the punctuation variants too).
+    """
+    cleaned = df.withColumn("text", normalize_text_col(F.col("text")))
+    if not nfc:
+        return cleaned
+
+    def _nfc_batches(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf["text"] = pdf["text"].map(
+                lambda t: unicodedata.normalize("NFC", t)
+                if t is not None
+                else None
+            )
+            yield pdf
+
+    return cleaned.mapInPandas(_nfc_batches, cleaned.schema)

@@ -457,3 +457,39 @@ def test_corpus_report_matches_recomputation(spark):
         assert row["avg_quality"] == pytest.approx(
             sum(gate[i].quality for i in ids) / len(ids), abs=1e-4
         )
+
+
+def test_normalize_text(spark):
+    import unicodedata
+
+    rows = [
+        (1, "plain ascii stays"),
+        (2, "curly ‘quotes’ and “doubles” — dash…"),
+        (3, "nbsp and thin　ideographic"),
+        (4, "zero​width‍gone"),
+        (5, "ctrl\x00chars\x1fhere\x7f"),
+        (6, "  spaced   out\t\ttabs  \n second line   kept \n"),
+        (7, "étude composed"),  # e + combining accent
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.text for r in textops.normalize_text(d).collect()}
+    assert got[1] == "plain ascii stays"
+    assert got[2] == "curly 'quotes' and \"doubles\" - dash..."
+    assert got[3] == "nbsp and thin ideographic"
+    assert got[4] == "zerowidthgone"
+    assert got[5] == "ctrl chars here"
+    # space runs collapse, newlines preserved, ends trimmed
+    assert got[6] == "spaced out tabs \n second line kept"
+    # without nfc the combining sequence is untouched
+    assert got[7].startswith("é")
+    got_nfc = {r.doc_id: r.text for r in textops.normalize_text(d, nfc=True).collect()}
+    assert got_nfc[7] == unicodedata.normalize("NFC", rows[6][1])
+    assert got_nfc[2] == got[2]
+
+
+def test_normalize_text_plan_is_codegen(spark):
+    d = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    q = textops.normalize_text(d)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
