@@ -409,6 +409,73 @@ def cmd_hostrank(args) -> dict:
     }
 
 
+def cmd_urldedup(args) -> dict:
+    """URL-level dedup over a records table (doc_id, url, ...): writes
+    <output>/decisions (every row + canonical_url/keep/n_occ) and
+    <output>/kept (first occurrence per canonical URL only)."""
+    spark = _spark("deidcm_urldedup", args.shuffle_partitions)
+    from deidcm_spark.operators.linkgraph import url_dedup
+
+    df = spark.read.parquet(args.input)
+    url_dedup(df).write.mode("overwrite").parquet(args.output + "/decisions")
+    dec = spark.read.parquet(args.output + "/decisions")
+    dec.filter("keep").drop("keep").write.mode("overwrite").parquet(
+        args.output + "/kept"
+    )
+    kept = spark.read.parquet(args.output + "/kept").count()
+    return {"rows": dec.count(), "kept": kept}
+
+
+def cmd_domainfilter(args) -> dict:
+    """UT1-style domain blocklist filter: drops (or flags, --mode flag)
+    documents whose URL host falls under a blocked domain.  --blocklist is
+    a text file of one domain per line, or a parquet with a `domain`
+    column."""
+    spark = _spark("deidcm_domainfilter", args.shuffle_partitions)
+    from pyspark.sql import functions as F
+
+    from deidcm_spark.operators.linkgraph import domain_filter
+
+    df = spark.read.parquet(args.input)
+    if args.blocklist.endswith(".parquet") or args.blocklist.rstrip("/").endswith(
+        ".parquet"
+    ):
+        bl = spark.read.parquet(args.blocklist)
+    else:
+        bl = spark.read.text(args.blocklist).select(
+            F.trim("value").alias("domain")
+        ).filter("domain != ''")
+    out = domain_filter(df, bl, mode=args.mode)
+    out.write.mode("overwrite").parquet(args.output)
+    result = spark.read.parquet(args.output)
+    summary = {"rows_in": df.count(), "rows_out": result.count()}
+    if args.mode == "flag":
+        summary["blocked"] = result.filter("blocked").count()
+    return summary
+
+
+def cmd_mix(args) -> dict:
+    """Deterministic corpus mixing: each --source name=path@weight corpus
+    is sampled/upsampled by its weight (epochs + hash-uniform fraction)
+    and the union written with source/epoch columns."""
+    spark = _spark("deidcm_mix", args.shuffle_partitions)
+    from deidcm_spark.operators.sampling import mix_corpora
+
+    sources = []
+    for spec in args.source:
+        name, rest = spec.split("=", 1)
+        path, weight = rest.rsplit("@", 1)
+        sources.append((name, spark.read.parquet(path), float(weight)))
+    mix_corpora(sources, salt=args.salt).write.mode("overwrite").parquet(
+        args.output
+    )
+    mixed = spark.read.parquet(args.output)
+    per_source = {
+        r.source: r["count"] for r in mixed.groupBy("source").count().collect()
+    }
+    return {"rows": mixed.count(), "per_source": per_source}
+
+
 def cmd_qualitygate(args) -> dict:
     """Rule-cascade quality filter (Gopher/C4): one scan emits every
     signal plus keep/reasons; reports the drop-mass per rule so curation
@@ -600,6 +667,27 @@ def build_parser() -> argparse.ArgumentParser:
     qg = sub.add_parser("qualitygate")
     common(qg)
     qg.set_defaults(fn=cmd_qualitygate)
+
+    ud = sub.add_parser("urldedup")
+    common(ud)
+    ud.set_defaults(fn=cmd_urldedup)
+
+    dfp = sub.add_parser("domainfilter")
+    common(dfp)
+    dfp.add_argument("--blocklist", required=True,
+                     help="text file (one domain per line) or parquet "
+                          "with a `domain` column")
+    dfp.add_argument("--mode", default="remove", choices=["remove", "flag"])
+    dfp.set_defaults(fn=cmd_domainfilter)
+
+    mx = sub.add_parser("mix")
+    mx.add_argument("--source", action="append", required=True,
+                    metavar="NAME=PATH@WEIGHT",
+                    help="repeatable; e.g. --source web=/data/web@0.5")
+    mx.add_argument("--output", required=True)
+    mx.add_argument("--shuffle-partitions", type=int, default=32)
+    mx.add_argument("--salt", default="mix")
+    mx.set_defaults(fn=cmd_mix)
 
     hr = sub.add_parser("hostrank")
     common(hr)

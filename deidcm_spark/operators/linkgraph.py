@@ -193,3 +193,189 @@ def anchor_texts(
         )
         .filter("src_host != '' and dst_host != '' and anchor != ''")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization / URL-level dedup / domain blocklist filtering
+# ---------------------------------------------------------------------------
+# Web-pipeline front door: crawls store the same page under cosmetically
+# different URLs (tracking params, fragments, default ports, www-prefixes,
+# param order), and curation drops whole hosts via blocklists (the UT1 /
+# RefinedWeb pattern).  All three operators are pure codegen; the blocklist
+# match is an equi-join on an exploded host-suffix chain, never a regex
+# OR-chain over the list.
+
+# ^(https?)://(authority)(path)[?query][#fragment] — identical semantics in
+# java.util.regex and Python re (shared with the pure-Python test oracle)
+URL_PARTS_RE = "^(https?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+
+# query parameters that never change page identity (case-sensitive, like
+# real tracking params); a param matches on its NAME (before '=', or the
+# whole piece when valueless)
+TRACKING_PARAM_RE = (
+    "^(utm_[a-zA-Z0-9_]+|gclid|dclid|fbclid|msclkid|mc_eid|mc_cid|igshid"
+    "|yclid|ref|ref_src|spm|_ga|_gl)(=.*)?$"
+)
+
+
+def canonicalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``canonical_url`` + ``host`` columns (original columns kept).
+
+    Canonicalization spec (shared with the pure-Python oracle in
+    tests/test_urlops.py):
+
+    * non-http(s) / unparseable values pass through trimmed, ``host = ''``;
+    * scheme and authority lowercased; ONE leading ``www.`` stripped from
+      the host; default ports (``:80`` for http, ``:443`` for https)
+      stripped;
+    * path: trailing slash runs stripped, empty path becomes ``/``;
+    * query: params split on ``&``, empty pieces and tracking params
+      (:data:`TRACKING_PARAM_RE`) dropped, survivors SORTED (param order
+      never changes page identity) and re-joined; an emptied query loses
+      its ``?``;
+    * fragment always dropped.
+
+    Pure codegen (layered projections — each derived column computed
+    once); zero exchanges, zero Python (asserted in tests/test_urlops.py).
+    """
+    url = F.trim(F.col(url_col))
+    clean_q = (
+        "array_join(array_sort(filter(split(coalesce(_q, ''), '&'), "
+        f"p -> p != '' and not p rlike '{TRACKING_PARAM_RE}')), '&')"
+    )
+    return (
+        df.withColumn("_u", url)
+        .withColumns(
+            {
+                "_scheme": F.lower(F.regexp_extract("_u", URL_PARTS_RE, 1)),
+                "_auth": F.lower(F.regexp_extract("_u", URL_PARTS_RE, 2)),
+                "_path": F.regexp_extract("_u", URL_PARTS_RE, 3),
+                "_q": F.regexp_extract("_u", URL_PARTS_RE, 4),
+            }
+        )
+        .withColumn(
+            "host",
+            F.regexp_replace(
+                F.regexp_replace("_auth", r"^www\.", ""),
+                # strip the scheme's default port only
+                F.when(F.col("_scheme") == "http", F.lit(":80$")).otherwise(
+                    F.lit(":443$")
+                ),
+                F.lit(""),
+            ),
+        )
+        .withColumns(
+            {
+                "_cpath": F.regexp_replace("_path", "/+$", ""),
+                "_cq": F.expr(clean_q),
+            }
+        )
+        .withColumn(
+            "canonical_url",
+            F.when(F.col("_scheme") == "", F.col("_u")).otherwise(
+                F.concat(
+                    "_scheme",
+                    F.lit("://"),
+                    "host",
+                    F.when(F.col("_cpath") == "", F.lit("/")).otherwise(
+                        F.col("_cpath")
+                    ),
+                    F.when(F.col("_cq") == "", F.lit("")).otherwise(
+                        F.concat(F.lit("?"), F.col("_cq"))
+                    ),
+                )
+            ),
+        )
+        .withColumn("host", F.when(F.col("_scheme") == "", "").otherwise(F.col("host")))
+        .drop("_u", "_scheme", "_auth", "_path", "_q", "_cpath", "_cq")
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", n_salts: int = 16
+) -> DataFrame:
+    """URL-level dedup decisions: one row per input row with
+    ``canonical_url``, ``keep`` (first occurrence by doc_id wins) and
+    ``n_occ`` (occurrences of that canonical URL corpus-wide).
+
+    The winner aggregation reuses the salted two-phase min-struct from the
+    span-dedup lane (a hot canonical URL — a crawler trap emitting the
+    same page a million times — spreads over ``n_salts`` reducers);
+    NULL urls never group together (always kept, ``n_occ = 1``).
+    """
+    from deidcm_spark.operators.spandedup import _salted_winners
+
+    canon = canonicalize_url(df, url_col)
+    rows = canon.filter(F.col("canonical_url").isNotNull()).select(
+        F.col("canonical_url").alias("fp"), "doc_id", F.lit(0).alias("pos")
+    )
+    winners = (
+        _salted_winners(rows, n_salts)
+        .select(
+            F.col("fp").alias("canonical_url"),
+            F.col("w_doc_id").alias("_w_doc"),
+            "n_occ",
+        )
+    )
+    return (
+        canon.join(winners, "canonical_url", "left")
+        .withColumn(
+            "keep",
+            F.col("_w_doc").isNull() | (F.col("_w_doc") == F.col("doc_id")),
+        )
+        .withColumn("n_occ", F.coalesce("n_occ", F.lit(1)))
+        .drop("_w_doc")
+    )
+
+
+def _host_suffixes(host_col: str) -> F.Column:
+    """'a.b.co.uk' -> ['a.b.co.uk', 'b.co.uk', 'co.uk', 'uk'] — every
+    dot-suffix, so a blocklist entry at any registrable depth matches by
+    equality."""
+    return F.expr(
+        f"transform(sequence(1, size(split({host_col}, '[.]'))), "
+        f"i -> array_join(slice(split({host_col}, '[.]'), i, "
+        f"size(split({host_col}, '[.]'))), '.'))"
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    blocked,
+    url_col: str = "url",
+    mode: str = "remove",
+) -> DataFrame:
+    """Drop (or flag) documents whose URL host falls under a blocked
+    domain — ``host == domain`` or ``host`` ends with ``'.' + domain``
+    (the UT1-blocklist subdomain semantics).
+
+    ``blocked`` is a one-column DataFrame (``domain``) or a Python list of
+    domain strings (lowercased either way).  Scale shape: the host's
+    dot-suffix chain is exploded (<= label-count rows per doc, host-only —
+    never the text) and equi-joined with the blocklist; a million-entry
+    blocklist is a plain shuffled semi-join, a small one broadcasts —
+    Catalyst picks.  No regex OR-chain, no driver-side list scan.
+
+    ``mode='remove'`` anti-joins the matches away; ``mode='flag'`` adds a
+    ``blocked`` boolean instead (audit / lineage runs).
+    """
+    if mode not in ("remove", "flag"):
+        raise ValueError(f"mode must be 'remove' or 'flag', got {mode!r}")
+    if not isinstance(blocked, DataFrame):
+        blocked = df.sparkSession.createDataFrame(
+            [(d,) for d in blocked], "domain string"
+        )
+    bl = blocked.select(F.lower(F.trim("domain")).alias("_dom")).distinct()
+    hosts = canonicalize_url(df, url_col).select("doc_id", "host")
+    matches = (
+        hosts.filter(F.col("host") != "")
+        .select("doc_id", F.explode(_host_suffixes("host")).alias("_dom"))
+        .join(bl, "_dom", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    if mode == "remove":
+        return df.join(matches, "doc_id", "left_anti")
+    return df.join(
+        matches.withColumn("blocked", F.lit(True)), "doc_id", "left"
+    ).withColumn("blocked", F.coalesce("blocked", F.lit(False)))
