@@ -162,20 +162,29 @@ def line_dedup(
 def _window_hashes(df: DataFrame, window: int, hash_impl: str) -> DataFrame:
     """One row per token window: (doc_id, pos, fp); pos is 1-based.
 
-    Cost note: each position re-joins ``window`` tokens before hashing —
-    O(n_tokens × window) bytes hashed per document.  That is the honest
-    expression of the spec with whole-stage-codegen primitives; a rolling
-    (polynomial) hash would need a scan/prefix primitive Spark's array HOFs
-    lack (an ``aggregate`` fold that appends per element copies its
-    accumulator — quadratic).
+    Cost note: each position hashes ``window`` tokens — O(n_tokens ×
+    window) bytes hashed per document.  That is the honest expression of
+    the spec with whole-stage-codegen primitives; a rolling (polynomial)
+    hash would need a scan/prefix primitive Spark's array HOFs lack (an
+    ``aggregate`` fold that appends per element copies its accumulator —
+    quadratic).  The ``fast`` impl hashes the token-array SLICE directly
+    (``xxhash64`` walks complex types element-wise) — no per-window
+    joined-string allocation; equivalent as a fingerprint because tokens
+    are whitespace-free, so the space-joined string and the token array
+    are in bijection.  ``portable`` keeps the md5-of-joined-string form
+    the pure-Python oracle re-derives byte-for-byte.
     """
     tok = df.select("doc_id", F.expr(RAW_TOKENS).alias("toks"))
-    win_sql = f"concat_ws(' ', slice(toks, i, {window}))"
+    if hash_impl == "fast":
+        fp_sql = f"xxhash64(slice(toks, i, {window}))"
+    else:
+        # _fp_expr also rejects unknown impls
+        fp_sql = _fp_expr(f"concat_ws(' ', slice(toks, i, {window}))", hash_impl)
     wins = (
         # sequence(1, n) DESCENDS when n < 1, so guard short docs explicitly
         f"case when size(toks) >= {window} then "
         f"transform(sequence(1, size(toks) - {window} + 1), "
-        f"i -> {_fp_expr(win_sql, hash_impl)}) "
+        f"i -> {fp_sql}) "
         f"else array() end"
     )
     return tok.select(
