@@ -476,6 +476,23 @@ def cmd_mix(args) -> dict:
     return {"rows": mixed.count(), "per_source": per_source}
 
 
+def cmd_budget(args) -> dict:
+    """Token-budget selection: keep the highest-scoring documents until
+    --budget tokens (greedy by score; bounded-driver bucket prefix, only
+    the boundary bucket resolves per-document)."""
+    spark = _spark("deidcm_budget", args.shuffle_partitions)
+    from deidcm_spark.operators.sampling import select_token_budget
+
+    df = spark.read.parquet(args.input)
+    select_token_budget(
+        df, args.budget, score_col=args.score_col,
+        token_col=args.token_col or None,
+    ).write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    row = out.agg({"n_tokens": "sum"}).first()
+    return {"docs": out.count(), "tokens": int(row[0] or 0)}
+
+
 def cmd_qualitygate(args) -> dict:
     """Rule-cascade quality filter (Gopher/C4): one scan emits every
     signal plus keep/reasons; reports the drop-mass per rule so curation
@@ -688,6 +705,16 @@ def build_parser() -> argparse.ArgumentParser:
     mx.add_argument("--shuffle-partitions", type=int, default=32)
     mx.add_argument("--salt", default="mix")
     mx.set_defaults(fn=cmd_mix)
+
+    bg = sub.add_parser("budget")
+    common(bg)
+    bg.add_argument("--budget", type=int, required=True,
+                    help="token budget (greedy by score)")
+    bg.add_argument("--score-col", default="score")
+    bg.add_argument("--token-col", default="",
+                    help="precomputed token-count column (default: "
+                         "whitespace tokens of `text`)")
+    bg.set_defaults(fn=cmd_budget)
 
     hr = sub.add_parser("hostrank")
     common(hr)

@@ -354,3 +354,103 @@ def mix_corpora(
         )
         out = picked if out is None else out.unionByName(picked)
     return out
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str = "score",
+    token_col: str | None = None,
+    n_buckets: int = 65536,
+    seed: int = 0,
+) -> DataFrame:
+    """Greedy data selection under a global TOKEN budget: keep the
+    highest-scoring documents until ``budget_tokens`` is reached — the
+    "take the best N billion tokens" stage downstream of any quality /
+    perplexity / DSIR scorer.
+
+    A global sort + running sum would serialize the corpus through one
+    partition, so selection runs on the bounded-driver two-pass shape
+    shared with ``textops.pack_shards``:
+
+    1. scores quantize into ``n_buckets`` equal-width buckets over the
+       observed [min, max] (one aggregate); per-bucket token totals
+       (<= n_buckets rows, driver-side BOUNDED at any corpus size) give
+       the exclusive prefix from the top — every bucket strictly above
+       the BOUNDARY bucket is wholly selected, every bucket below is
+       wholly dropped;
+    2. only the boundary bucket — the one the budget lands inside —
+       resolves document-by-document, via the deterministic hash-
+       permutation prefix sum (``textops._prefix_tokens(order="shuffle")``,
+       itself two-pass and balanced), filling the remaining budget.
+
+    Selection rule within the boundary bucket matches pack_shards'
+    membership rule: a document is kept iff its exclusive prefix is
+    strictly below the remaining budget (the straddling document is
+    INCLUDED — total may exceed the budget by less than one document).
+    Ties at bucket resolution resolve by the hash draw, not doc_id order,
+    which is what keeps the all-scores-equal degenerate case fully
+    distributed instead of one-partition.  NULL scores are never
+    selected.  Deterministic: buckets are a pure function of the score
+    distribution, the draw of ``(doc_id, seed)``.
+
+    Returns the selected rows with ``n_tokens`` added (whitespace tokens,
+    or ``token_col`` if given — e.g. real BPE counts from
+    ``bpe.bpe_token_count``).
+    """
+    from deidcm_spark.operators.textops import TOKENS, _prefix_tokens
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    scored = df.filter(F.col(score_col).isNotNull())
+    lo, hi = scored.agg(
+        F.min(score_col).cast("double"), F.max(score_col).cast("double")
+    ).first()
+    if lo is None:
+        return df.withColumn("n_tokens", F.lit(0).cast("bigint")).limit(0)
+    span = hi - lo
+    if span > 0:
+        bucket = F.least(
+            F.floor((F.col(score_col).cast("double") - F.lit(lo)) / span * n_buckets),
+            F.lit(n_buckets - 1),
+        ).cast("long")
+    else:
+        bucket = F.lit(0).cast("long")
+    count_expr = (
+        F.col(token_col).cast("long") if token_col
+        else F.expr(f"cast(size({TOKENS}) as bigint)")
+    )
+    with_b = scored.withColumn("_bkt", bucket).withColumn("n_tokens", count_expr)
+    totals = sorted(
+        (
+            (r["_bkt"], r["t"])
+            for r in with_b.groupBy("_bkt").agg(F.sum("n_tokens").alias("t")).collect()
+        ),
+        reverse=True,
+    )
+    acc = 0
+    boundary, remaining = None, 0
+    full_above = None  # lowest wholly-selected bucket
+    for bkt, t in totals:
+        if acc + t <= budget_tokens:
+            acc += t
+            full_above = bkt
+        else:
+            boundary, remaining = bkt, budget_tokens - acc
+            break
+    parts = []
+    if full_above is not None:
+        parts.append(with_b.filter(F.col("_bkt") >= full_above))
+    if boundary is not None and remaining > 0:
+        bdf = with_b.filter(F.col("_bkt") == boundary)
+        pre = _prefix_tokens(
+            bdf.drop("n_tokens"), token_col, None, n_buckets,
+            order="shuffle", seed=seed,
+        ).filter(F.col("_before") < remaining).select("doc_id")
+        parts.append(bdf.join(F.broadcast(pre), "doc_id", "left_semi"))
+    if not parts:
+        return with_b.drop("_bkt").limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop("_bkt")
