@@ -225,9 +225,9 @@ def canonicalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     tests/test_urlops.py):
 
     * non-http(s) / unparseable values pass through trimmed, ``host = ''``;
-    * scheme and authority lowercased; ONE leading ``www.`` stripped from
-      the host; default ports (``:80`` for http, ``:443`` for https)
-      stripped;
+    * scheme and authority lowercased; userinfo (``user@``) dropped; ONE
+      leading ``www.`` stripped from the host; default ports (``:80`` for
+      http, ``:443`` for https) stripped;
     * path: trailing slash runs stripped, empty path becomes ``/``;
     * query: params split on ``&``, empty pieces and tracking params
       (:data:`TRACKING_PARAM_RE`) dropped, survivors SORTED (param order
@@ -256,7 +256,11 @@ def canonicalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
         .withColumn(
             "host",
             F.regexp_replace(
-                F.regexp_replace("_auth", r"^www\.", ""),
+                # userinfo ("user@host") is not part of the host, and ONE
+                # leading www. is cosmetic
+                F.regexp_replace(
+                    F.regexp_replace("_auth", "^[^@]*@", ""), r"^www\.", ""
+                ),
                 # strip the scheme's default port only
                 F.when(F.col("_scheme") == "http", F.lit(":80$")).otherwise(
                     F.lit(":443$")

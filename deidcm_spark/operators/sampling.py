@@ -327,7 +327,12 @@ def mix_corpora(
     # (the stratified_sample quote-injection lesson, r2 VERDICT item 6)
     import re as _re
 
-    for name, _, _ in sources:
+    names = [name for name, _, _ in sources]
+    if len(set(names)) != len(names):
+        # duplicate names would correlate the fractional draws and make
+        # the output's source column ambiguous
+        raise ValueError(f"source names must be unique, got {names}")
+    for name in names:
         if not _re.fullmatch(r"[A-Za-z0-9_.-]+", name):
             raise ValueError(f"source name must match [A-Za-z0-9_.-]+, got {name!r}")
     if not _re.fullmatch(r"[A-Za-z0-9_.-]+", salt):
@@ -420,11 +425,19 @@ def select_token_budget(
         F.col(token_col).cast("long") if token_col
         else F.expr(f"cast(size({TOKENS}) as bigint)")
     )
-    with_b = scored.withColumn("_bkt", bucket).withColumn("n_tokens", count_expr)
+    # the count lives in an internal column so a token_col literally named
+    # "n_tokens" survives the boundary re-count (and any pre-existing
+    # n_tokens column is replaced, never duplicated, on return)
+    with_b = scored.withColumn("_bkt", bucket).withColumn("_ntok", count_expr)
+
+    def _finish(d):
+        drop = ["_bkt"] + (["n_tokens"] if "n_tokens" in d.columns and "_ntok" in d.columns else [])
+        return d.drop(*drop).withColumnRenamed("_ntok", "n_tokens")
+
     totals = sorted(
         (
             (r["_bkt"], r["t"])
-            for r in with_b.groupBy("_bkt").agg(F.sum("n_tokens").alias("t")).collect()
+            for r in with_b.groupBy("_bkt").agg(F.sum("_ntok").alias("t")).collect()
         ),
         reverse=True,
     )
@@ -444,13 +457,13 @@ def select_token_budget(
     if boundary is not None and remaining > 0:
         bdf = with_b.filter(F.col("_bkt") == boundary)
         pre = _prefix_tokens(
-            bdf.drop("n_tokens"), token_col, None, n_buckets,
+            bdf.drop("_ntok"), token_col, None, n_buckets,
             order="shuffle", seed=seed,
         ).filter(F.col("_before") < remaining).select("doc_id")
         parts.append(bdf.join(F.broadcast(pre), "doc_id", "left_semi"))
     if not parts:
-        return with_b.drop("_bkt").limit(0)
+        return _finish(with_b).limit(0)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.drop("_bkt")
+    return _finish(out)

@@ -142,3 +142,27 @@ def test_budget_deterministic(spark, budget_df):
     a = _select_ids(budget_df, 3000)
     b = _select_ids(budget_df, 3000)
     assert a == b
+
+
+def test_budget_token_col_named_n_tokens(spark):
+    # a precomputed count column literally named n_tokens must survive
+    # the boundary-bucket re-count (internal column collision guard)
+    rows = [(i, (i % 10) / 10.0, 10, "x") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, score double, n_tokens bigint, text string"
+    )
+    out = select_token_budget(
+        df, 505, score_col="score", token_col="n_tokens", n_buckets=B
+    )
+    assert out.columns.count("n_tokens") == 1
+    got = {r.doc_id for r in out.collect()}
+    want = oracle_select([(d, s, t) for d, s, t, _ in rows], 505)
+    assert got == want
+
+
+def test_mix_duplicate_names_rejected(spark):
+    df = spark.range(5).selectExpr("id as doc_id", "'t' as text")
+    from deidcm_spark.operators.sampling import mix_corpora
+
+    with pytest.raises(ValueError, match="unique"):
+        mix_corpora([("web", df, 1.0), ("web", df, 0.5)])

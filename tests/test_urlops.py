@@ -32,7 +32,7 @@ def oracle_canon(url):
     if not m:
         return u, ""
     scheme = m.group(1).lower()
-    host = re.sub(r"^www\.", "", m.group(2).lower())
+    host = re.sub(r"^www\.", "", re.sub("^[^@]*@", "", m.group(2).lower()))
     host = re.sub(":80$" if scheme == "http" else ":443$", "", host)
     path = re.sub("/+$", "", m.group(3))
     q = m.group(4) or ""
@@ -90,6 +90,8 @@ def test_canonicalize_specific_forms(spark, url_df):
     )
     # non-default port survives
     assert got["https://example.com:8443/keep-port"] == "https://example.com:8443/keep-port"
+    # userinfo dropped from the canonical host
+    assert got["http://user@example.com:80/b"] == "http://example.com/b"
     # non-http passthrough (trimmed), host empty
     assert got["ftp://files.example.com/a"] == "ftp://files.example.com/a"
 
