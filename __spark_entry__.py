@@ -166,6 +166,110 @@ FROM events WHERE user_id <= 200
 """
 
 
+def window_analytics(spark, sf_dir):
+    """W-family tagged union (ranking + cumulative windows): the former
+    ``orders_topn_per_customer`` and ``user_running_value`` contract
+    entries merged into one 50-cap slot (CLAUDE.md: merge related queries
+    rather than exceeding 50).  Columns align on
+    ``(kind, key1, key2, val, rn)``; the standalone functions remain the
+    user-facing API."""
+    topn = orders_topn_per_customer(spark, sf_dir).select(
+        F.lit("topn").alias("kind"),
+        F.col("o_custkey").alias("key1"),
+        F.col("o_orderkey").alias("key2"),
+        F.round(F.col("o_totalprice").cast("double"), 3).alias("val"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+    running = user_running_value(spark, sf_dir).select(
+        F.lit("running").alias("kind"),
+        F.col("user_id").alias("key1"),
+        F.col("event_id").alias("key2"),
+        F.col("running_value").alias("val"),
+        F.lit(None).cast("int").alias("rn"),
+    )
+    return topn.unionByName(running)
+
+
+_WINDOW_ANALYTICS_SQL = """
+SELECT 'topn' AS kind, o_custkey AS key1, o_orderkey AS key2,
+       round(cast(o_totalprice AS double), 3) AS val, cast(rn AS int) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+UNION ALL
+SELECT 'running' AS kind, user_id AS key1, event_id AS key2,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 3) AS val,
+       cast(NULL AS int) AS rn
+FROM events WHERE user_id <= 200
+"""
+
+
+# deterministic URL corpus for the url_canonicalize contract entry: the
+# SAME synthesis expression in both dialects (only the cast keyword
+# differs — Spark STRING, DuckDB VARCHAR), exercising tracking params,
+# unsorted params, mixed-case www host, default port, trailing slash,
+# and fragments
+def _url_synth_expr(cast_ty: str) -> str:
+    return (
+        "concat('https://WWW.Host', cast(doc_id % 37 AS {t}), "
+        "'.Example.COM:443/path', cast(doc_id % 11 AS {t}), "
+        "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END, "
+        "'?b=', cast(doc_id % 7 AS {t}), '&utm_source=x&a=1', "
+        "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+    ).format(t=cast_ty)
+
+
+def url_canonicalize(spark, sf_dir):
+    """Crawl-front-door URL canonicalization (operators/linkgraph.py) on a
+    deterministic synthetic URL column over ``documents``: tracking params
+    dropped, params sorted, fragment/default-port/userinfo/www folds,
+    trailing-slash strip.  Oracle = a FULL independent DuckDB SQL
+    re-derivation of the spec (regexp_extract parts + list_filter/
+    list_sort over the query params)."""
+    urls = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_url_synth_expr("STRING")).alias("url")
+    )
+    from deidcm_spark.operators.linkgraph import canonicalize_url
+
+    return canonicalize_url(urls).select("doc_id", "canonical_url", "host")
+
+
+_URL_PARTS_DUCK = r"'^(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$'"
+
+_URL_CANON_SQL = f"""
+WITH u AS (
+  SELECT doc_id, {_url_synth_expr("VARCHAR")} AS url FROM documents
+), p AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, {_URL_PARTS_DUCK}, 1)) AS scheme,
+         lower(regexp_extract(url, {_URL_PARTS_DUCK}, 2)) AS auth,
+         regexp_extract(url, {_URL_PARTS_DUCK}, 3) AS pth,
+         regexp_extract(url, {_URL_PARTS_DUCK}, 4) AS q
+  FROM u
+), h AS (
+  SELECT doc_id, scheme,
+         regexp_replace(regexp_replace(regexp_replace(auth,
+             '^[^@]*@', ''), '^www\\.', ''), ':443$', '') AS host,
+         regexp_replace(pth, '/+$', '') AS cpath,
+         array_to_string(list_sort(list_filter(string_split(q, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+             '^(utm_[a-zA-Z0-9_]+|gclid|dclid|fbclid|msclkid|mc_eid|mc_cid|igshid|yclid|ref|ref_src|spm|_ga|_gl)(=.*)?$'))),
+             '&') AS cq
+  FROM p
+)
+SELECT doc_id,
+       concat(scheme, '://', host,
+              CASE WHEN cpath = '' THEN '/' ELSE cpath END,
+              CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END) AS canonical_url,
+       host
+FROM h
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Batch sessionization via ``session_window`` (30-min gap) — the same
     W-family semantics the streaming facade uses, driver-checked against a
@@ -1343,8 +1447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_priority_counts": orders_priority_counts,
         "events_rollup": events_rollup,
         "events_sessionize": events_sessionize,
-        "orders_topn_per_customer": orders_topn_per_customer,
-        "user_running_value": user_running_value,
+        "window_analytics": window_analytics,
+        "url_canonicalize": url_canonicalize,
         "rule_classification": rule_classification,
         "scalar_kernels": scalar_kernels,
         "levenshtein_part_names": levenshtein_part_names,
@@ -1671,8 +1775,8 @@ SELECT date_trunc('week', ts), 'week', event_type,
 FROM events GROUP BY 1, 3
 """,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
-        "orders_topn_per_customer": _ORDERS_TOPN_SQL,
-        "user_running_value": _USER_RUNNING_SQL,
+        "window_analytics": _WINDOW_ANALYTICS_SQL,
+        "url_canonicalize": _URL_CANON_SQL,
         "rule_classification": _rule_classification_sql(),
         "scalar_kernels": """
 SELECT 'date' AS family, CAST(o_orderkey AS bigint) AS key,
