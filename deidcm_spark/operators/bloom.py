@@ -29,10 +29,11 @@ uniform, so no skew defense needed).
 Shared spec with the test oracle (tests/test_bloom.py, hashlib
 re-derivation):
 
-* document fingerprint = the corpus-wide ``NORM_FP`` (md5 hex of
-  whitespace-normalized lower(text)) — the SAME key batch dedup and
-  streaming dedup use, so "seen before" means exactly "dedup_exact would
-  have matched it";
+* document fingerprint = ``fp_sql``, default the corpus-wide ``NORM_FP``
+  (md5 hex of whitespace-normalized lower(text)) — the SAME key batch
+  dedup and streaming dedup use, so "seen before" means exactly
+  "dedup_exact would have matched it"; the URL-keyed crawl gate passes
+  ``md5(canonical_url)`` instead;
 * hash positions: ``pos_j = int(md5(fp || ':' || j)[:15 hex], 16) mod
   n_bits`` for ``j = 0..k-1`` (portable impl); ``fast`` swaps the md5 for
   ``xxhash64(fp, j)`` (JVM integer mix, not oracle-portable);
@@ -74,6 +75,7 @@ def bloom_build(
     n_bits: int = 1 << 23,
     n_hashes: int = 4,
     hash_impl: str = "portable",
+    fp_sql: str = NORM_FP,
 ) -> DataFrame:
     """Build the filter word table from a corpus ``(doc_id, text, ...)``.
 
@@ -86,7 +88,7 @@ def bloom_build(
     with ``bloom_merge``; or just run bloom_build over the new shard and
     merge — the historical corpus is never re-read.
     """
-    fps = df.select(F.expr(NORM_FP).alias("fp"))
+    fps = df.select(F.expr(fp_sql).alias("fp"))
     return (
         _positions(fps, n_bits, n_hashes, hash_impl)
         .groupBy("word_idx")
@@ -108,6 +110,7 @@ def bloom_probe(
     n_hashes: int = 4,
     hash_impl: str = "portable",
     broadcast_filter: bool = True,
+    fp_sql: str = NORM_FP,
 ) -> DataFrame:
     """Probe new documents against a built filter.
 
@@ -124,7 +127,7 @@ def bloom_probe(
     """
     probe_side = bloom if not broadcast_filter else F.broadcast(bloom)
     hits = (
-        _positions(df.select("doc_id", F.expr(NORM_FP).alias("fp")), n_bits, n_hashes, hash_impl)
+        _positions(df.select("doc_id", F.expr(fp_sql).alias("fp")), n_bits, n_hashes, hash_impl)
         .join(probe_side, "word_idx", "left")
         .select(
             "doc_id",
@@ -144,12 +147,13 @@ def bloom_new_documents(
     n_hashes: int = 4,
     hash_impl: str = "portable",
     broadcast_filter: bool = True,
+    fp_sql: str = NORM_FP,
 ) -> DataFrame:
     """The shard-ingest form: rows of ``df`` whose fingerprint is
     DEFINITELY not in the filter (semi-join on the probe verdict).  False
     positives only ever DROP a new document (never admit a duplicate) —
     the conservative direction for dedup."""
     fresh = bloom_probe(
-        df, bloom, n_bits, n_hashes, hash_impl, broadcast_filter
+        df, bloom, n_bits, n_hashes, hash_impl, broadcast_filter, fp_sql
     ).filter(~F.col("maybe_seen"))
     return df.join(fresh.select("doc_id"), "doc_id")

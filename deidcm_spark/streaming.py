@@ -374,6 +374,7 @@ def _bloom_ingest_batch(
     n_bits: int,
     n_hashes: int,
     hash_impl: str,
+    fp_sql: str | None = None,
 ) -> None:
     """One micro-batch of the Bloom-gated ingest (module-level so tests can
     exercise the replay contract directly).
@@ -399,6 +400,8 @@ def _bloom_ingest_batch(
 
     from pyspark.errors import AnalysisException
 
+    if fp_sql is None:
+        fp_sql = NORM_FP
     spark = batch_df.sparkSession
     try:
         prior = spark.read.parquet(filter_dir).filter(
@@ -413,7 +416,7 @@ def _bloom_ingest_batch(
     batch_df = batch_df.persist()
     try:
         first = (
-            batch_df.withColumn("_fp", F.expr(NORM_FP))
+            batch_df.withColumn("_fp", F.expr(fp_sql))
             .withColumn(
                 "_rk",
                 F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id")),
@@ -422,11 +425,12 @@ def _bloom_ingest_batch(
             .drop("_fp", "_rk")
         )
         fresh = bloom_new_documents(
-            first, prior, n_bits, n_hashes, hash_impl, broadcast_filter=False
+            first, prior, n_bits, n_hashes, hash_impl,
+            broadcast_filter=False, fp_sql=fp_sql,
         )
         _idempotent_write(fresh, batch_id, out_dir)
         _idempotent_write(
-            bloom_build(batch_df, n_bits, n_hashes, hash_impl),
+            bloom_build(batch_df, n_bits, n_hashes, hash_impl, fp_sql=fp_sql),
             batch_id, filter_dir,
         )
     finally:
@@ -517,6 +521,7 @@ def stream_warc_ingest(
     hash_impl: str = "fast",
     max_files_per_trigger: int = 4,
     available_now: bool = True,
+    dedup_by: str = "content",
 ):
     """END of the continuous-crawl story: ``.warc`` / ``.warc.gz`` shards
     landing in ``in_dir`` stream straight into the raw-document table —
@@ -526,10 +531,19 @@ def stream_warc_ingest(
 
     * ``filter_dir=None`` — plain idempotent append (batch_id partition);
     * ``filter_dir`` set — the full Bloom-gated path
-      (:func:`_bloom_ingest_batch`): only documents whose content
-      fingerprint is new to the ENTIRE history reach ``out_dir``, and the
-      filter partial log grows per batch.  Seed history with
-      :func:`bootstrap_bloom_log`.
+      (:func:`_bloom_ingest_batch`): only documents whose fingerprint is
+      new to the ENTIRE history reach ``out_dir``, and the filter partial
+      log grows per batch.  Seed history with :func:`bootstrap_bloom_log`.
+
+    ``dedup_by`` picks the crawl-dedup policy the gate keys on:
+    ``"content"`` (default) fingerprints the normalized text — re-crawls
+    of the same page at new URLs are dropped; ``"url"`` fingerprints the
+    CANONICAL URL (``linkgraph.canonicalize_url`` — tracking params,
+    fragments, www/port folds) — the classic crawler URL-seen test: a
+    page is fetched once per canonical URL even when its content churns,
+    and the output table carries ``url``/``canonical_url``/``host``
+    columns.  ``"url"`` requires ``filter_dir`` (the policy IS the
+    history gate).
 
     The streaming source is ``binaryFile`` (schema must be given
     explicitly — Spark refuses to infer one for a streaming source);
@@ -542,14 +556,27 @@ def stream_warc_ingest(
         .load(in_dir)
     )
 
+    if dedup_by not in ("content", "url"):
+        raise ValueError(f"dedup_by must be 'content' or 'url', got {dedup_by!r}")
+    if dedup_by == "url" and filter_dir is None:
+        raise ValueError("dedup_by='url' requires filter_dir (the URL-seen history)")
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from deidcm_spark.warc import warc_records, warc_to_documents
 
-        docs = warc_to_documents(warc_records(batch_df.select("path", "content")))
+        recs = warc_records(batch_df.select("path", "content"))
+        if dedup_by == "url":
+            from deidcm_spark.operators.linkgraph import canonicalize_url
+
+            docs = canonicalize_url(warc_to_documents(recs, keep_url=True))
+            fp_sql = "md5(canonical_url)"
+        else:
+            docs = warc_to_documents(recs)
+            fp_sql = None
         if filter_dir is not None:
             _bloom_ingest_batch(
                 docs, batch_id, out_dir, filter_dir,
-                n_bits, n_hashes, hash_impl,
+                n_bits, n_hashes, hash_impl, fp_sql=fp_sql,
             )
         else:
             _idempotent_write(docs, batch_id, out_dir)

@@ -308,24 +308,26 @@ def read_warc_documents(
     return warc_records(raw, record_types)
 
 
-def warc_to_documents(warc_df: DataFrame) -> DataFrame:
+def warc_to_documents(warc_df: DataFrame, keep_url: bool = False) -> DataFrame:
     """WARC rows → the raw-document shape the extraction/scrub/dedup lanes
     take: ``(doc_id, text, lang, source)`` with ``source`` = the URL's
     registrable host (what ``cap_per_source`` balances on).  Keeps OK
-    (2xx) HTML responses only — the standard crawl-pipeline gate."""
-    return (
-        warc_df.filter(
-            (F.col("http_status") >= 200)
-            & (F.col("http_status") < 300)
-            & F.lower(F.coalesce("content_type", F.lit(""))).contains("html")
-        )
-        .select(
-            F.col("doc_id"),
-            F.col("html").alias("text"),
-            F.lit("").alias("lang"),
-            F.coalesce(
-                F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1),
-                F.lit(""),
-            ).alias("source"),
-        )
-    )
+    (2xx) HTML responses only — the standard crawl-pipeline gate.
+    ``keep_url=True`` carries the record URL through (the URL-keyed
+    streaming dedup gate needs it)."""
+    cols = [
+        F.col("doc_id"),
+        F.col("html").alias("text"),
+        F.lit("").alias("lang"),
+        F.coalesce(
+            F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1),
+            F.lit(""),
+        ).alias("source"),
+    ]
+    if keep_url:
+        cols.append(F.col("url"))
+    return warc_df.filter(
+        (F.col("http_status") >= 200)
+        & (F.col("http_status") < 300)
+        & F.lower(F.coalesce("content_type", F.lit(""))).contains("html")
+    ).select(*cols)

@@ -305,3 +305,57 @@ def test_read_warc_gzip_encoded_response(spark, tmp_path):
     (d / "s.warc").write_bytes(encode_warc([rec]))
     (row,) = read_warc_documents(spark, str(d)).collect()
     assert row.html == body.decode() and row.n_bytes == len(body)
+
+
+def test_stream_warc_ingest_url_keyed(spark, tmp_path):
+    """dedup_by='url': the gate keys on the CANONICAL URL — a re-fetch of
+    the same canonical URL with CHANGED content is dropped (content gate
+    would admit it), while a new URL carrying identical content is
+    admitted (content gate would drop it)."""
+    from deidcm_spark.streaming import stream_warc_ingest
+
+    def http(body):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body.encode())
+
+    def rec(i, uri, body):
+        return {
+            "type": "response", "record_id": f"<urn:uuid:{i}>",
+            "date": "2024-01-01T00:00:00Z", "uri": uri,
+            "content_type": "application/http; msgtype=response",
+            "payload": http(body),
+        }
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    out = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    flt = str(tmp_path / "filter")
+    (in_dir / "s0.warc.gz").write_bytes(encode_warc([
+        rec(0, "https://a.example/x?utm_source=feed", "<p>version one</p>"),
+    ], gzip_members=True))
+    q = stream_warc_ingest(spark, str(in_dir), out, ckpt, filter_dir=flt,
+                           n_bits=1 << 16, dedup_by="url")
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert {r.text for r in rows} == {"<p>version one</p>"}
+    assert {r.canonical_url for r in rows} == {"https://a.example/x"}
+    # drop 2: same canonical url (cosmetic variants), NEW content -> gate
+    # drops it; plus a NEW url with the batch-1 content -> gate admits it
+    (in_dir / "s1.warc").write_bytes(encode_warc([
+        rec(1, "https://A.example/x#frag", "<p>version two</p>"),
+        rec(2, "https://b.example/y", "<p>version one</p>"),
+    ]))
+    q = stream_warc_ingest(spark, str(in_dir), out, ckpt, filter_dir=flt,
+                           n_bits=1 << 16, dedup_by="url")
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert {(r.canonical_url, r.text) for r in rows} == {
+        ("https://a.example/x", "<p>version one</p>"),
+        ("https://b.example/y", "<p>version one</p>"),
+    }
+    with pytest.raises(ValueError, match="filter_dir"):
+        stream_warc_ingest(spark, str(in_dir), out, ckpt, dedup_by="url")
+    with pytest.raises(ValueError, match="dedup_by"):
+        stream_warc_ingest(spark, str(in_dir), out, ckpt, filter_dir=flt,
+                           dedup_by="bogus")
