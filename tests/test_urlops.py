@@ -172,3 +172,49 @@ def test_domain_filter_dataframe_blocklist(spark, bl_df):
 def test_domain_filter_bad_mode(spark, bl_df):
     with pytest.raises(ValueError, match="mode"):
         domain_filter(bl_df, BLOCKLIST, mode="bogus")
+
+
+def test_canonicalize_component_grid_and_idempotence(spark):
+    """Exhaustive combinatorial grid over URL components: engine == oracle
+    on every combination, and canonicalization is IDEMPOTENT (a canonical
+    URL is a fixed point — re-canonicalizing changes nothing)."""
+    schemes = ["http", "https", "ftp"]
+    userinfos = ["", "bob@", "a:pw@"]
+    wwws = ["", "www.", "WWW."]
+    hosts = ["Example.COM", "x.y.example"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a/b", "/a/b/", "/a//b//"]
+    queries = ["", "?", "?b=2&a=1", "?utm_source=t&z=9", "?ref=r&refx=1&&"]
+    frags = ["", "#sec"]
+    urls = []
+    for s in schemes:
+        for ui in userinfos:
+            for w in wwws:
+                for h in hosts:
+                    for p in ports:
+                        for pa in paths:
+                            for q in queries:
+                                for f in frags:
+                                    urls.append(f"{s}://{ui}{w}{h}{p}{pa}{q}{f}")
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id bigint, url string"
+    )
+    got = {
+        r.doc_id: (r.canonical_url, r.host)
+        for r in canonicalize_url(df).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == oracle_canon(u), (u, got[i], oracle_canon(u))
+    # idempotence: run the canonical urls back through as the url column
+    once = spark.createDataFrame(
+        [(i, got[i][0]) for i in range(len(urls))], "doc_id bigint, url string"
+    )
+    twice = {
+        r.doc_id: (r.canonical_url, r.host)
+        for r in canonicalize_url(once).collect()
+    }
+    for i, u in enumerate(urls):
+        # non-http(s) inputs pass through unchanged, so they are fixed
+        # points too; http(s) canonicals must map to themselves with the
+        # same host
+        assert twice[i] == got[i], (u, got[i], twice[i])
