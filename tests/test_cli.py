@@ -287,3 +287,60 @@ def test_cli_report(tmp_path, capsys, spark):
         "--shuffle-partitions", "8",
     ])
     assert r["docs"] == 500 and r["slices"] > 0 and 0 <= r["kept"] <= 500
+
+
+def test_cli_urldedup_and_domainfilter(tmp_path, capsys, spark):
+    recs = str(tmp_path / "recs")
+    spark.createDataFrame(
+        [
+            (1, "https://a.example/x?utm_source=f"),
+            (2, "https://A.example/x#frag"),
+            (3, "https://ads.example/banner"),
+            (4, "https://ok.example/y"),
+        ],
+        "doc_id bigint, url string",
+    ).write.parquet(recs)
+    out = str(tmp_path / "ud")
+    r = _run(capsys, [
+        "urldedup", "--input", recs, "--output", out,
+        "--shuffle-partitions", "8",
+    ])
+    assert r == {"rows": 4, "kept": 3}  # docs 1+2 collapse
+    bl = tmp_path / "bl.txt"
+    bl.write_text("ads.example\n\n")
+    out2 = str(tmp_path / "df")
+    r = _run(capsys, [
+        "domainfilter", "--input", recs, "--output", out2,
+        "--blocklist", str(bl), "--mode", "flag", "--shuffle-partitions", "8",
+    ])
+    assert r == {"rows_in": 4, "rows_out": 4, "blocked": 1}
+    out3 = str(tmp_path / "dfr")
+    r = _run(capsys, [
+        "domainfilter", "--input", recs, "--output", out3,
+        "--blocklist", str(bl), "--shuffle-partitions", "8",
+    ])
+    assert r == {"rows_in": 4, "rows_out": 3}
+
+
+def test_cli_mix_and_budget(tmp_path, capsys, spark):
+    out = str(tmp_path / "mix")
+    r = _run(capsys, [
+        "mix", "--source", f"web={SF}/documents.parquet@0.5",
+        "--source", f"books={SF}/documents.parquet@2.25",
+        "--output", out, "--shuffle-partitions", "8",
+    ])
+    assert r["per_source"]["books"] > 1000  # two epochs + a quarter
+    assert 150 < r["per_source"]["web"] < 350
+    assert r["rows"] == sum(r["per_source"].values())
+    scored = str(tmp_path / "scored")
+    spark.createDataFrame(
+        [(i, (i % 10) / 10.0, ("tok " * 10).strip()) for i in range(200)],
+        "doc_id bigint, score double, text string",
+    ).write.parquet(scored)
+    out2 = str(tmp_path / "budget")
+    r = _run(capsys, [
+        "budget", "--input", scored, "--output", out2, "--budget", "505",
+        "--shuffle-partitions", "8",
+    ])
+    # 10 whitespace tokens per doc; straddler rule caps at budget + <1 doc
+    assert r["docs"] == 51 and r["tokens"] == 510
