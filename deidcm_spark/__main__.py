@@ -493,6 +493,49 @@ def cmd_budget(args) -> dict:
     return {"docs": out.count(), "tokens": int(row[0] or 0)}
 
 
+def cmd_bm25index(args) -> dict:
+    """Build the BM25 inverted index: postings (term, doc_id, tf, dl)
+    written SORTED BY TERM (query-time IN-lists prune the scan) plus the
+    one-row stats table."""
+    spark = _spark("deidcm_bm25index", args.shuffle_partitions)
+    from deidcm_spark.operators.retrieval import build_bm25_index
+
+    docs = spark.read.parquet(args.input)
+    postings, stats = build_bm25_index(docs)
+    postings.sort("term").write.mode("overwrite").parquet(
+        args.output + "/postings"
+    )
+    stats.write.mode("overwrite").parquet(args.output + "/stats")
+    p = spark.read.parquet(args.output + "/postings")
+    s = spark.read.parquet(args.output + "/stats").first()
+    return {
+        "postings": p.count(),
+        "terms": p.select("term").distinct().count(),
+        "n_docs": int(s["n_docs"]),
+    }
+
+
+def cmd_bm25search(args) -> dict:
+    """Query a built index: top-k (doc_id, score, n_terms_hit) written to
+    --output and echoed in the summary."""
+    spark = _spark("deidcm_bm25search", args.shuffle_partitions)
+    from pyspark.sql import functions as F
+
+    from deidcm_spark.operators.retrieval import bm25_search
+
+    postings = spark.read.parquet(args.index + "/postings")
+    stats = spark.read.parquet(args.index + "/stats")
+    out = bm25_search(postings, stats, args.query, k=args.k)
+    out.write.mode("overwrite").parquet(args.output)
+    rows = spark.read.parquet(args.output).orderBy(
+        F.desc("score"), "doc_id"
+    ).collect()
+    return {
+        "hits": len(rows),
+        "top": [{"doc_id": r.doc_id, "score": r.score} for r in rows[:3]],
+    }
+
+
 def cmd_qualitygate(args) -> dict:
     """Rule-cascade quality filter (Gopher/C4): one scan emits every
     signal plus keep/reasons; reports the drop-mass per rule so curation
@@ -715,6 +758,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="precomputed token-count column (default: "
                          "whitespace tokens of `text`)")
     bg.set_defaults(fn=cmd_budget)
+
+    bi = sub.add_parser("bm25index")
+    common(bi)
+    bi.set_defaults(fn=cmd_bm25index)
+
+    bs = sub.add_parser("bm25search")
+    bs.add_argument("--index", required=True,
+                    help="directory written by bm25index")
+    bs.add_argument("--query", required=True)
+    bs.add_argument("--k", type=int, default=10)
+    bs.add_argument("--output", required=True)
+    bs.add_argument("--shuffle-partitions", type=int, default=32)
+    bs.set_defaults(fn=cmd_bm25search)
 
     hr = sub.add_parser("hostrank")
     common(hr)

@@ -344,3 +344,19 @@ def test_cli_mix_and_budget(tmp_path, capsys, spark):
     ])
     # 10 whitespace tokens per doc; straddler rule caps at budget + <1 doc
     assert r["docs"] == 51 and r["tokens"] == 510
+
+
+def test_cli_bm25_index_then_search(tmp_path, capsys, spark):
+    idx = str(tmp_path / "idx")
+    r = _run(capsys, [
+        "bm25index", "--input", f"{SF}/documents.parquet", "--output", idx,
+        "--shuffle-partitions", "8",
+    ])
+    assert r["n_docs"] == 500 and r["postings"] > r["terms"] > 0
+    out = str(tmp_path / "hits")
+    r = _run(capsys, [
+        "bm25search", "--index", idx, "--query", "the data", "--k", "5",
+        "--output", out, "--shuffle-partitions", "8",
+    ])
+    assert 0 < r["hits"] <= 5 and len(r["top"]) >= 1
+    assert r["top"][0]["score"] >= r["top"][-1]["score"]
