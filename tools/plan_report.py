@@ -63,6 +63,13 @@ def summarize(plan: str) -> dict:
     }
 
 
+def _bm25_lane(docs):
+    from deidcm_spark.operators.retrieval import bm25_search, build_bm25_index
+
+    postings, stats = build_bm25_index(docs)
+    return bm25_search(postings, stats, "the data", k=10)
+
+
 def _extra_ops(spark, sf_dir: str) -> dict:
     """Non-contract operators whose plans are part of the evidence (the
     contract is capped at 50 entries; these are the session-4 lanes)."""
@@ -103,6 +110,7 @@ def _extra_ops(spark, sf_dir: str) -> dict:
             docs.withColumn("score", F.expr("(doc_id * 37 % 100) / 100")),
             5000,
         ),
+        "bm25_search*": _bm25_lane(docs),
         "line_dedup*": line_dedup(docs),
         "substring_dedup*": substring_dedup(docs, window=16),
         "bloom_build*": flt,
