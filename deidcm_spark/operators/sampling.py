@@ -460,7 +460,12 @@ def select_token_budget(
             bdf.drop("_ntok"), token_col, None, n_buckets,
             order="shuffle", seed=seed,
         ).filter(F.col("_before") < remaining).select("doc_id")
-        parts.append(bdf.join(F.broadcast(pre), "doc_id", "left_semi"))
+        # no broadcast hint: the boundary slice is normally tiny and AQE
+        # will broadcast it from runtime stats, but in the degenerate
+        # all-scores-tied case `pre` IS the whole selected set (millions
+        # of doc_ids at a 1B-token budget) — forcing it into a broadcast
+        # regardless of size was a driver-OOM at scale (r3 verdict #1)
+        parts.append(bdf.join(pre, "doc_id", "left_semi"))
     if not parts:
         return _finish(with_b).limit(0)
     out = parts[0]

@@ -111,6 +111,27 @@ def test_budget_all_fit_and_all_tied(spark):
         "doc_id bigint, score double, n_toks bigint, text string",
     )
     assert _select_ids(df, 10_000) == set(range(100))  # budget >= total
+
+
+def test_budget_boundary_join_not_force_broadcast(spark):
+    """r3 verdict #1: in the all-tied degenerate case the boundary prefix
+    IS the whole selected set, so the semi-join must not carry a forced
+    broadcast hint — size-based planning (AQE) only."""
+    rows = [(i, 0.5, 10) for i in range(200)]  # one bucket holds everything
+    df = spark.createDataFrame(
+        [(d, s, t, "x") for d, s, t in rows],
+        "doc_id bigint, score double, n_toks bigint, text string",
+    )
+    out = select_token_budget(df, 500, token_col="n_toks", seed=SEED)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # the bounded block->offset broadcast inside _prefix_tokens
+    # (<= max_blocks rows by construction) is legitimate and stays; the
+    # unbounded doc_id LeftSemi must carry no hint
+    semi_lines = [ln for ln in optimized.splitlines() if "LeftSemi" in ln]
+    assert semi_lines, optimized
+    assert not any("strategy=broadcast" in ln for ln in semi_lines), semi_lines
+    # correctness unchanged: budget lands mid-bucket, 50 docs selected
+    assert out.count() == 50
     got = _select_ids(df, 305)
     assert got == oracle_select(rows, 305)
     assert len(got) == 31  # 30 fill 300, the straddler is included
