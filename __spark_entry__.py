@@ -1572,7 +1572,8 @@ SELECT doc_id, simhash FROM sims
 
 
 def _simhash_neardup_sql() -> str:
-    """Band blocking: 4 bands x 4 bits; pairs sharing a band, exact
+    """Band blocking: 4 bands x 8 bits (32-bit simhash); pairs sharing a
+    band, exact
     hamming via bit_count(xor()) <= 3 — mirrors dedup.simhash_neardup_pairs."""
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band_idx, "

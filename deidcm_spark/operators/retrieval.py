@@ -37,9 +37,15 @@ break on doc_id.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from deidcm_spark.operators.textops import TOKENS
+
+# query-side tokenizer — MUST match the Java `\s+` regex used by
+# textops.TOKENS (ASCII semantics), not Python's Unicode str.split
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 def build_bm25_index(df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -72,13 +78,16 @@ def bm25_search(
     """Top-``k`` documents for ``query`` — ``(doc_id, score, n_terms_hit)``
     ordered by score desc (ties by doc_id).
 
-    The query is tokenized with the SAME analysis tokenizer as the index;
+    The query is tokenized with the SAME analysis tokenizer as the index
+    (ASCII ``\\s+`` split, matching textops.TOKENS — Python's Unicode-aware
+    ``str.split`` would split NBSP etc. differently than the Java
+    tokenizer that built the postings);
     duplicate query terms count once (bag-of-terms query, the standard
     BM25 form).  ``stats`` is the one-row table from
     :func:`build_bm25_index` (its two scalars are collected — metadata,
     not corpus).
     """
-    terms = sorted({t for t in query.lower().split() if t})
+    terms = sorted({t for t in _WS.split(query.lower()) if t})
     if not terms:
         raise ValueError("query has no terms after tokenization")
     row = stats.first()

@@ -407,10 +407,14 @@ def _bloom_ingest_batch(
         prior = spark.read.parquet(filter_dir).filter(
             F.col("batch_id") != int(batch_id)
         ).groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
-    except AnalysisException:  # first batch ever: no log yet.  ONLY the
-        # path-not-found case may fall back to an empty filter — a corrupt
-        # or unreadable log must FAIL the batch (silently probing an empty
-        # filter would re-admit every historical duplicate)
+    except AnalysisException as e:  # first batch ever: no log yet.  ONLY
+        # the path-not-found case may fall back to an empty filter — any
+        # other analysis failure (corrupt/schema-less/unreadable log) must
+        # FAIL the batch: silently probing an empty filter would re-admit
+        # every historical duplicate
+        cond = getattr(e, "getCondition", e.getErrorClass)()
+        if cond != "PATH_NOT_FOUND":
+            raise
         prior = spark.createDataFrame([], "word_idx bigint, bits bigint")
 
     batch_df = batch_df.persist()

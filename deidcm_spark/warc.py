@@ -259,7 +259,12 @@ def warc_records(
 
     Non-matching record types (warcinfo, request, metadata, ...) are
     skipped; files whose name ends in ``.gz`` are gunzipped first
-    (multi-member safe)."""
+    (multi-member safe).
+
+    ``n_bytes`` is the DECODED body size — after chunked transfer
+    decoding and Content-Encoding (gzip/deflate) decompression — i.e. the
+    size of the bytes that produced ``html``, NOT the stored WARC record
+    length or the wire Content-Length."""
     import pandas as pd
 
     types = tuple(record_types)

@@ -219,3 +219,21 @@ def test_bootstrap_bloom_log(spark, tmp_path, history):
     _bloom_ingest_batch(shard, 0, out, flt, N_BITS, 4, "fast")
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {5001}
+
+
+def test_bloom_ingest_corrupt_log_fails_loudly(spark, tmp_path):
+    """Only PATH_NOT_FOUND may fall back to an empty filter: a filter dir
+    that exists but is schema-less (here: empty — UNABLE_TO_INFER_SCHEMA)
+    must fail the batch, not silently probe an empty filter and re-admit
+    every historical duplicate."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from deidcm_spark.streaming import _bloom_ingest_batch
+
+    out = str(tmp_path / "out")
+    flt = tmp_path / "filter"
+    flt.mkdir()  # exists, but holds no parquet — not a valid log
+    with pytest.raises(AnalysisException):
+        _bloom_ingest_batch(_docs(spark, [(1, "one")]), 0, out, str(flt),
+                            N_BITS, 4, "fast")

@@ -110,3 +110,21 @@ def test_bm25_empty_query_rejected(spark, index):
     postings, stats = index
     with pytest.raises(ValueError, match="query"):
         bm25_search(postings, stats, "   ")
+
+
+def test_bm25_query_tokenizer_matches_index_ascii_split(spark):
+    """The query tokenizer must be the ASCII \\s+ split the index uses
+    (Java regex semantics): a token containing NBSP is ONE indexed term,
+    so the same NBSP-joined query string must hit it — Python's
+    Unicode-aware str.split() would split it into two terms and miss."""
+    composite = "quick fox"  # NBSP-joined: one term under ASCII \s+
+    df = spark.createDataFrame(
+        [(1, f"the {composite} jumps"), (2, "plain quick fox here")],
+        "doc_id bigint, text string",
+    )
+    postings, stats = build_bm25_index(df)
+    terms = {r.term for r in postings.collect()}
+    assert composite in terms  # index side: NBSP survives Java \s+ split
+    hits = bm25_search(postings, stats, composite.upper(), k=5).collect()
+    assert [r.doc_id for r in hits] == [1]
+    assert hits[0].n_terms_hit == 1
