@@ -484,39 +484,56 @@ def parse_layout_payload(payload: str) -> list[tuple[str, str, str, int]]:
 
 
 def parse_layout(df: DataFrame, layout_col: str = "layout",
-                 backend: str = "layout1", on_error: str = "fail") -> DataFrame:
-    """(doc_id, layout) -> (doc_id, spans).  ``backend='pdf'`` is the
-    pluggable real-PDF hook — the decode libs are absent in this
-    container, so it is stubbed per the brief.
+                 backend="layout1", on_error: str = "fail") -> DataFrame:
+    """(doc_id, layout) -> (doc_id, spans).
 
-    ``on_error='skip'`` maps a malformed payload to an EMPTY span array
-    instead of failing the task — at 10^12 documents one corrupt payload
-    must not kill the job (the reference escalates a ValueError instead,
+    ``backend`` is the pluggable parser seam:
+
+    * ``"layout1"`` — the built-in deterministic format (default);
+    * a zero-arg CALLABLE — a factory constructing the real parser
+      (pdfminer/PyMuPDF adapter) ONCE per task, amortized over every
+      Arrow batch the task sees; the constructed object must expose
+      ``.parse(payload) -> [(kind, text, media_ref, offset), ...]`` —
+      the same reading-order tuples :func:`parse_layout_payload`
+      returns, so gates/schema/ordering downstream are
+      backend-independent;
+    * ``"pdf"`` — names the real-PDF backend explicitly; the decode
+      libs are absent in this container, so it raises (declared scope)
+      — wire an adapter via the callable form instead.
+
+    ``on_error='skip'`` maps a malformed payload (any ValueError /
+    IndexError from the parser) to an EMPTY span array instead of
+    failing the task — at 10^12 documents one corrupt payload must not
+    kill the job (the reference escalates a ValueError instead,
     df2dicom.py:87-88; empty-span docs are countable downstream via
     ``size(spans) = 0``)."""
+    factory = backend if callable(backend) else None
     if backend == "pdf":
         raise NotImplementedError(
             "real PDF parsing requires a PDF library not present in this "
-            "environment; the LAYOUT1 deterministic format exercises the "
+            "environment; pass a zero-arg parser factory (see docstring) "
+            "or use the LAYOUT1 deterministic format, which exercises the "
             "identical Spark plumbing (schema, batching, ordering)"
         )
-    if backend != "layout1":
+    if factory is None and backend != "layout1":
         raise ValueError(f"unknown layout backend {backend!r}")
     if on_error not in ("fail", "skip"):
         raise ValueError(f"unknown on_error {on_error!r}")
 
-    def parse_one(p: str) -> list:
-        try:
-            return [
-                {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for k, t, m, o in parse_layout_payload(p)
-            ]
-        except (ValueError, IndexError):
-            if on_error == "skip":
-                return []
-            raise
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parse = parse_layout_payload if factory is None else factory().parse
+
+        def parse_one(p: str) -> list:
+            try:
+                return [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for k, t, m, o in parse(p)
+                ]
+            except (ValueError, IndexError):
+                if on_error == "skip":
+                    return []
+                raise
+
         for pdf in batches:
             yield pd.DataFrame(
                 {

@@ -528,6 +528,54 @@ def redaction_plan(
     return planned.filter((F.col("xa") <= F.col("xb")) & (F.col("ya") <= F.col("yb")))
 
 
+def ocr_detect(payloads: DataFrame, backend_factory) -> DataFrame:
+    """media_payloads → ocr_boxes via a pluggable easyOCR-shaped backend.
+
+    ``backend_factory()`` constructs the reader ONCE per task, amortized
+    over every Arrow batch and image the task sees — the reference builds
+    an ``easyocr.Reader`` per image (deid_mammogram.py:169), a per-image
+    model load that dominates at corpus scale and is exactly the
+    anti-pattern this seam removes.  The reader must expose easyOCR's
+    detection surface: ``reader.readtext(arr)`` returning
+    ``[(quad, text, confidence), ...]`` where ``quad`` is the 4-point
+    box; corners 0 and 2 become the stored diagonal, matching the
+    reference's ``res[0][0]`` / ``res[0][2]`` (deid_mammogram.py:228-231).
+
+    Output is the standard ``ocr_boxes`` shape, so the result feeds
+    :func:`redaction_plan` / :func:`redact_media` unchanged — gates,
+    exemption, margin and masking are backend-independent.  Plan: one
+    zero-shuffle ``mapInPandas`` over payload batches.
+    """
+    out_cols = ["media_ref", "box_idx", "x1", "y1", "x2", "y2",
+                "word", "confidence"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        reader = backend_factory()  # once per task, NOT per image
+        for pdf in batches:
+            rows = []
+            cols = (pdf["media_ref"], pdf["pixels"], pdf["width"],
+                    pdf["height"], pdf["channels"], pdf["bits"])
+            for ref, pixels, w, h, ch, bits in zip(*[c.to_numpy() for c in cols]):
+                arr = decode_payload(
+                    {"pixels": pixels, "width": w, "height": h,
+                     "channels": ch, "bits": bits}
+                )
+                for i, (quad, text, conf) in enumerate(reader.readtext(arr)):
+                    x1, y1 = quad[0]
+                    x2, y2 = quad[2]
+                    rows.append(
+                        {"media_ref": ref, "box_idx": i,
+                         "x1": int(x1), "y1": int(y1),
+                         "x2": int(x2), "y2": int(y2),
+                         "word": str(text), "confidence": float(conf)}
+                    )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    from deidcm_spark.schema import OCR_BOXES_SCHEMA
+
+    return payloads.mapInPandas(run, OCR_BOXES_SCHEMA)
+
+
 def redact_media(
     payloads: DataFrame,
     boxes: DataFrame,

@@ -58,9 +58,39 @@ def sample_frame_indices(n_frames: int, k: int) -> list[int]:
     return [int((i + 0.5) * n_frames / k) for i in range(k)]
 
 
-def frame_sample(videos: DataFrame, k: int = 4) -> DataFrame:
+class RawFrameCodec:
+    """The built-in decoder for the raw contiguous-grayscale payload
+    format (see module docstring): frame i is the byte slice
+    ``[i*w*h, (i+1)*w*h)``.  This class IS the codec contract a real
+    backend (pyav/ffmpeg adapter) must satisfy —
+    ``decode_frames(buf, width, height, n_frames, indices)`` returning
+    one ``(height, width)`` uint8 array per requested index."""
+
+    def decode_frames(self, buf: bytes, width: int, height: int,
+                      n_frames: int, indices: list[int]) -> list[np.ndarray]:
+        fsz = width * height
+        if len(buf) != n_frames * fsz:
+            raise ValueError(
+                f"payload is {len(buf)} bytes, expected "
+                f"{n_frames} frames x {fsz}"
+            )
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        return [
+            arr[i * fsz:(i + 1) * fsz].reshape(height, width)
+            for i in indices
+        ]
+
+
+def frame_sample(videos: DataFrame, k: int = 4,
+                 codec_factory=RawFrameCodec) -> DataFrame:
     """(media_ref, frame_idx, n_frames, width, height, pixels) — k
     uniformly-sampled frames per clip, one output row per frame.
+
+    ``codec_factory()`` constructs the decoder ONCE per task (amortized
+    over every Arrow batch/clip the task sees — codec contexts are
+    expensive to open); the default :class:`RawFrameCodec` handles the
+    container-scope raw format, and a real pyav/ffmpeg adapter drops in
+    by satisfying the same ``decode_frames`` contract.
 
     One zero-shuffle ``mapInPandas`` pass: each task slices its own
     clips' frame bytes (a numpy view per frame, no copy until Arrow
@@ -70,19 +100,18 @@ def frame_sample(videos: DataFrame, k: int = 4) -> DataFrame:
     whole clips again."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = codec_factory()  # once per task, NOT per clip
         for pdf in batches:
             out = []
             cols = [pdf[c].to_numpy() for c in VIDEO_COLS]
             for ref, w, h, n, buf in zip(*cols):
                 w, h, n = int(w), int(h), int(n)
-                fsz = w * h
-                if len(buf) != n * fsz:
-                    raise ValueError(
-                        f"{ref}: payload is {len(buf)} bytes, expected "
-                        f"{n} frames x {fsz}"
-                    )
-                arr = np.frombuffer(buf, dtype=np.uint8)
-                for idx in sample_frame_indices(n, k):
+                idxs = sample_frame_indices(n, k)
+                try:
+                    frames = codec.decode_frames(buf, w, h, n, idxs)
+                except ValueError as exc:
+                    raise ValueError(f"{ref}: {exc}") from exc
+                for idx, frame in zip(idxs, frames):
                     out.append(
                         {
                             "media_ref": ref,
@@ -90,7 +119,8 @@ def frame_sample(videos: DataFrame, k: int = 4) -> DataFrame:
                             "n_frames": n,
                             "width": w,
                             "height": h,
-                            "pixels": arr[idx * fsz:(idx + 1) * fsz].tobytes(),
+                            "pixels": np.ascontiguousarray(
+                                frame, dtype=np.uint8).tobytes(),
                         }
                     )
             yield pd.DataFrame(

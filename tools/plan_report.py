@@ -38,13 +38,67 @@ INTERESTING = [
 ]
 
 
+def final_plan_ids(plan: str) -> set[int]:
+    """Node ids referenced by the FINAL-plan tree sections only.
+
+    An AQE-finalized explain("formatted") renders, per AdaptiveSparkPlan
+    (top-level AND nested inside each InMemoryRelation), a
+    ``== Final Plan ==`` tree followed by an ``== Initial Plan ==`` tree;
+    unchanged nodes share ids between the two, but nodes AQE replaced
+    (e.g. an Exchange that became a cached read) keep distinct ids that
+    each get their own numbered detail entry — counting every detail
+    entry therefore reports pre-runtime exchanges on top of the
+    steady-state plan.  Sections nest, so a plain text split is wrong
+    (the first marker may be a nested cache's); instead skip any line
+    indented deeper than an active ``== Initial Plan ==`` marker
+    (children render 3+ columns to the right of their section header)
+    and collect ``(N)`` refs from the surviving tree lines.
+
+    Only TREE regions are parsed (the main tree before the first
+    ``(N) Name`` detail header, plus each ``Subquery:N`` tree) — detail
+    entries and their attribute lines must not feed ids back in, or the
+    Initial-plan-only entries would defeat the filter."""
+    ids: set[int] = set()
+    skips: list[int] = []  # indent columns of active Initial markers
+    in_tree = True
+    for line in plan.splitlines():
+        if re.match(r"^\(\d+\) ", line):
+            in_tree = False  # numbered detail header starts the detail zone
+            continue
+        if line.startswith("Subquery:") or "===== Subqueries =====" in line:
+            in_tree, skips = True, []
+            continue
+        if not in_tree:
+            continue
+        stripped = line.lstrip()
+        if not stripped:
+            continue
+        col = len(line) - len(stripped)
+        while skips and col <= skips[-1]:
+            skips.pop()
+        if skips:
+            continue
+        if "== Initial Plan ==" in line:
+            skips.append(col)
+            continue
+        ids.update(int(n) for n in re.findall(r"\((\d+)\)", line))
+    return ids
+
+
 def summarize(plan: str) -> dict:
-    """Counts over the NUMBERED nodes of explain("formatted") — each
-    physical operator appears exactly once, so a persist()ed subtree's
-    InMemoryRelation cannot inflate the count the way the tree-string
-    rendering does (it reprints the cached plan at every
-    InMemoryTableScan occurrence)."""
-    nodes = Counter(re.findall(r"\(\d+\) (\w+)", plan))
+    """Counts over the NUMBERED detail entries of explain("formatted")
+    (each physical operator appears exactly once, so a persist()ed
+    subtree's InMemoryRelation cannot inflate the count the way the
+    tree-string rendering does — it reprints the cached plan at every
+    InMemoryTableScan occurrence), restricted to ids the FINAL-plan tree
+    references (:func:`final_plan_ids`) so the published numbers are the
+    steady-state plan the in-suite assertions bound, not final+initial."""
+    keep = final_plan_ids(plan)
+    nodes = Counter(
+        name
+        for n, name in re.findall(r"^\((\d+)\) (\w+)", plan, re.M)
+        if int(n) in keep
+    )
     return {
         "exchanges": nodes["Exchange"] + nodes["BroadcastExchange"],
         "reused_exchanges": nodes["ReusedExchange"],
@@ -133,7 +187,10 @@ def main() -> None:
         "",
         f"Executed plans at `{sf_dir}` after one collect (AQE-final),",
         "counted over the numbered nodes of `explain(\"formatted\")` (each",
-        "operator once — a cached subtree cannot inflate the count).",
+        "operator once — a cached subtree cannot inflate the count),",
+        "FINAL-plan only (`== Initial Plan ==` sections' replaced nodes are",
+        "excluded, so these numbers are the steady-state plans the in-suite",
+        "assertions bound).",
         "`exchanges` excludes reused subtrees; `cartesian` must be False",
         "everywhere; Python stages must be Arrow-vectorized (MapInArrow /",
         "MapInPandas), never row-at-a-time BatchEvalPython.  Rows marked",
