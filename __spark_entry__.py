@@ -253,8 +253,8 @@ WITH u AS (
 ), h AS (
   SELECT doc_id, scheme,
          regexp_replace(regexp_replace(regexp_replace(auth,
-             '^[^@]*@', ''), '^www\\.', ''), ':443$', '') AS host,
-         regexp_replace(pth, '/+$', '') AS cpath,
+             '^.*@', ''), '^(www\\.)+', ''), '(:443)+$', '') AS host,
+         regexp_replace(pth, '[/ ]+$', '') AS cpath,
          array_to_string(list_sort(list_filter(string_split(q, '&'),
              x -> x <> '' AND NOT regexp_matches(x,
              '^(utm_[a-zA-Z0-9_]+|gclid|dclid|fbclid|msclkid|mc_eid|mc_cid|igshid|yclid|ref|ref_src|spm|_ga|_gl)(=.*)?$'))),
@@ -262,9 +262,9 @@ WITH u AS (
   FROM p
 )
 SELECT doc_id,
-       concat(scheme, '://', host,
+       trim(concat(scheme, '://', host,
               CASE WHEN cpath = '' THEN '/' ELSE cpath END,
-              CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END) AS canonical_url,
+              CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END), ' ') AS canonical_url,
        host
 FROM h
 """

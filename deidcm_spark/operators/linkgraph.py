@@ -225,10 +225,17 @@ def canonicalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     tests/test_urlops.py):
 
     * non-http(s) / unparseable values pass through trimmed, ``host = ''``;
-    * scheme and authority lowercased; userinfo (``user@``) dropped; ONE
-      leading ``www.`` stripped from the host; default ports (``:80`` for
-      http, ``:443`` for https) stripped;
-    * path: trailing slash runs stripped, empty path becomes ``/``;
+    * scheme and authority lowercased; userinfo dropped (everything up
+      to the LAST ``@``, the WHATWG delimiter — lenient parsers allow raw
+      ``@`` inside userinfo); the leading ``www.`` RUN stripped from the
+      host; the default-port run (``:80`` for http, ``:443`` for https)
+      stripped.  Each fold consumes its pattern's full run so the
+      function is IDEMPOTENT — ``www.www.x`` or ``h:80:80`` style
+      crawler-trap spellings reach a fixed point in one pass (url_dedup
+      keys must be stable);
+    * path: the trailing run of slashes AND spaces stripped (a dropped
+      fragment can expose either — ``http://h// #``), empty path
+      becomes ``/``;
     * query: params split on ``&``, empty pieces and tracking params
       (:data:`TRACKING_PARAM_RE`) dropped, survivors SORTED (param order
       never changes page identity) and re-joined; an emptied query loses
@@ -259,25 +266,28 @@ def canonicalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
                 # userinfo ("user@host") is not part of the host, and ONE
                 # leading www. is cosmetic
                 F.regexp_replace(
-                    F.regexp_replace("_auth", "^[^@]*@", ""), r"^www\.", ""
+                    F.regexp_replace("_auth", "^.*@", ""), r"^(www\.)+", ""
                 ),
                 # strip the scheme's default port only
-                F.when(F.col("_scheme") == "http", F.lit(":80$")).otherwise(
-                    F.lit(":443$")
+                F.when(F.col("_scheme") == "http", F.lit("(:80)+$")).otherwise(
+                    F.lit("(:443)+$")
                 ),
                 F.lit(""),
             ),
         )
         .withColumns(
             {
-                "_cpath": F.regexp_replace("_path", "/+$", ""),
+                "_cpath": F.regexp_replace("_path", "[/ ]+$", ""),
                 "_cq": F.expr(clean_q),
             }
         )
         .withColumn(
             "canonical_url",
             F.when(F.col("_scheme") == "", F.col("_u")).otherwise(
-                F.concat(
+                # outer trim: dropping a fragment can expose a trailing
+                # space in the path ("http://h/ #"); the next pass would
+                # trim it, so trim NOW to stay idempotent
+                F.trim(F.concat(
                     "_scheme",
                     F.lit("://"),
                     "host",
@@ -287,7 +297,7 @@ def canonicalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
                     F.when(F.col("_cq") == "", F.lit("")).otherwise(
                         F.concat(F.lit("?"), F.col("_cq"))
                     ),
-                )
+                ))
             ),
         )
         .withColumn("host", F.when(F.col("_scheme") == "", "").otherwise(F.col("host")))

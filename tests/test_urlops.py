@@ -32,13 +32,14 @@ def oracle_canon(url):
     if not m:
         return u, ""
     scheme = m.group(1).lower()
-    host = re.sub(r"^www\.", "", re.sub("^[^@]*@", "", m.group(2).lower()))
-    host = re.sub(":80$" if scheme == "http" else ":443$", "", host)
-    path = re.sub("/+$", "", m.group(3))
+    host = re.sub(r"^(www\.)+", "", re.sub("^.*@", "", m.group(2).lower()))
+    host = re.sub("(:80)+$" if scheme == "http" else "(:443)+$", "", host)
+    path = re.sub("[/ ]+$", "", m.group(3))
     q = m.group(4) or ""
     params = sorted(p for p in q.split("&") if p and not TRACK.match(p))
     qs = "&".join(params)
-    return f"{scheme}://{host}{path or '/'}" + (f"?{qs}" if qs else ""), host
+    c = f"{scheme}://{host}{path or '/'}" + (f"?{qs}" if qs else "")
+    return c.strip(" "), host  # fragment drop can expose a trailing space
 
 
 URLS = [
@@ -218,3 +219,109 @@ def test_canonicalize_component_grid_and_idempotence(spark):
         # points too; http(s) canonicals must map to themselves with the
         # same host
         assert twice[i] == got[i], (u, got[i], twice[i])
+
+
+# ---------- hypothesis: adversarial URLs (r3 VERDICT item #8) ----------
+#
+# The crawl front door sees the web's worst strings first; the 5,400-combo
+# grid above is enumerative, so this generator covers what it cannot:
+# unicode hosts, %-encoding, empty/valueless/duplicate params, raw `@` in
+# userinfo AND path, port runs, www runs, whitespace padding.  Two
+# invariants: the pure-Python oracle is IDEMPOTENT on every example
+# (url_dedup keys must be stable), and Spark matches the oracle exactly
+# (checked in ONE batched job over the derandomized example pool — a
+# Spark job per hypothesis example would take minutes).
+
+from hypothesis import given, settings, strategies as st
+
+_HOST_CHARS = "abcdefgABCDEFG0129-._éÜжλ"
+_PATH_CHARS = "abzAZ09-._~%25!$&'()*+,;=:@/ é"
+_PARAM_NAMES = ["a", "b", "Z9", "utm_source", "utm_x", "gclid", "ref",
+                "refx", "_ga", "", "é"]
+
+_urls = st.one_of(
+    # structured http(s) URLs from adversarial components
+    st.builds(
+        lambda pad, scheme, user, www, host, port, path, params, frag: (
+            pad
+            + scheme
+            + "://"
+            + user
+            + www
+            + host
+            + port
+            + path
+            + ("?" + "&".join(params) if params is not None else "")
+            + frag
+            + pad
+        ),
+        pad=st.sampled_from(["", " ", "  "]),
+        scheme=st.sampled_from(["http", "https"]),
+        user=st.sampled_from(["", "u@", "a@b@", "%40@", ":pw@"]),
+        www=st.sampled_from(["", "www.", "www.www.", "WWW.wWw."]),
+        host=st.text(alphabet=_HOST_CHARS, min_size=1, max_size=12),
+        port=st.sampled_from(["", ":80", ":443", ":8080", ":80:80",
+                              ":443:443", ":0080"]),
+        path=st.one_of(
+            st.sampled_from(["", "/", "//", "/a//b///", "/x@y", "/%2F",
+                             "/a b"]),
+            st.text(alphabet=_PATH_CHARS, max_size=16).map(
+                lambda t: "/" + t),
+        ),
+        params=st.one_of(
+            st.none(),
+            st.lists(
+                st.builds(
+                    lambda n, v: n + v,
+                    n=st.sampled_from(_PARAM_NAMES),
+                    v=st.sampled_from(["", "=", "=1", "=%20", "=a=b"]),
+                ),
+                max_size=5,
+            ),
+        ),
+        frag=st.sampled_from(["", "#", "#f", "#a?b=1"]),
+    ),
+    # raw garbage: never parses, must pass through trimmed
+    st.text(max_size=30),
+)
+
+_POOL: list[str] = []
+
+
+@given(_urls)
+@settings(max_examples=400, derandomize=True, deadline=None)
+def test_url_oracle_idempotent_hypothesis(url):
+    c1, h1 = oracle_canon(url)
+    c2, h2 = oracle_canon(c1)
+    assert (c2, h2) == (c1, h1), (url, c1, c2)
+    # canonical host never keeps userinfo or a leading www run
+    if h1:
+        assert "@" not in h1 and not h1.startswith("www.")
+    _POOL.append(url)
+
+
+def test_url_spark_matches_oracle_on_hypothesis_pool(spark):
+    """Spark ≡ oracle on every derandomized hypothesis example, and the
+    SPARK function is idempotent too (re-canonicalizing its own output
+    is a fixed point).  Runs after the @given test in file order."""
+    assert len(_POOL) >= 300  # derandomized generation actually ran
+    urls = sorted(set(_POOL))
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id bigint, url string"
+    )
+    rows = canonicalize_url(df).collect()
+    got = {r.doc_id: (r.canonical_url, r.host) for r in rows}
+    for i, u in enumerate(urls):
+        assert got[i] == oracle_canon(u), (u, got[i], oracle_canon(u))
+
+    again = spark.createDataFrame(
+        [(r.doc_id, r.canonical_url) for r in rows],
+        "doc_id bigint, url string",
+    )
+    got2 = {
+        r.doc_id: (r.canonical_url, r.host)
+        for r in canonicalize_url(again).collect()
+    }
+    for i, u in enumerate(urls):
+        # host of a passthrough stays '' (non-http garbage), otherwise equal
+        assert got2[i][0] == got[i][0], (u, got[i], got2[i])
