@@ -876,25 +876,82 @@ def q_ann_threshold(spark, sf_dir):
 # heuristics, layout parse) — SQL tiers oracle-checked, DOM tier rows-only
 # ---------------------------------------------------------------------------
 
-def q_html_strip_tags(spark, sf_dir):
-    """Boilerplate strip tier: synthetic page per document (shared template,
-    both dialects), script/style dropped, tags stripped, entities decoded."""
+def q_html_signals(spark, sf_dir):
+    """Tagged union of the three row-local HTML lanes over ONE synthetic
+    page scan (r2's html_strip_tags + html_link_density + page_metadata
+    contract entries, merged to free driver slots for line_dedup and
+    quality_gate): ``kind='strip'`` carries the boilerplate-stripped text
+    + char count, ``kind='density'`` the densitometric link features,
+    ``kind='meta'`` title/h1/lang/anchor-count.  Each lane stays a
+    standalone operator in ``operators/extract.py``; only the contract
+    surface is merged."""
     html = extract.with_html(_load(spark, sf_dir, "documents"))
-    return extract.strip_tags(html).select(
-        "doc_id", "plain_text", F.col("n_chars").cast("long").alias("n_chars")
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    strip = extract.strip_tags(html).select(
+        F.lit("strip").alias("kind"), "doc_id",
+        F.col("plain_text").alias("txt"), null_s.alias("txt2"),
+        null_s.alias("txt3"),
+        F.col("n_chars").cast("long").alias("n1"),
+        null_l.alias("n2"), null_l.alias("n3"),
+        F.lit(None).cast("double").alias("d"),
     )
+    dens = extract.link_density(html).select(
+        F.lit("density").alias("kind"), "doc_id",
+        null_s.alias("txt"), null_s.alias("txt2"), null_s.alias("txt3"),
+        F.col("n_links").alias("n1"), F.col("link_chars").alias("n2"),
+        F.col("text_chars").alias("n3"), F.col("link_density").alias("d"),
+    )
+    meta = extract.page_metadata(html).select(
+        F.lit("meta").alias("kind"), "doc_id",
+        F.col("title").alias("txt"), F.col("h1").alias("txt2"),
+        F.col("lang_attr").alias("txt3"),
+        F.col("n_anchors").alias("n1"), null_l.alias("n2"),
+        null_l.alias("n3"), F.lit(None).cast("double").alias("d"),
+    )
+    return strip.unionByName(dens).unionByName(meta)
 
 
-def q_html_link_density(spark, sf_dir):
-    """Densitometric boilerplate signal (anchor chars / text chars)."""
-    html = extract.with_html(_load(spark, sf_dir, "documents"))
-    return extract.link_density(html)
+# two-dialect synthetic multi-line text for the line_dedup contract entry
+# (only the cast keyword differs): line 0 = the document's own text, then a
+# footer line shared by EVERY document, a 7-class and a 3-class modular
+# line, and a whitespace-only line (ineligible — must always survive)
+def _lines_synth_expr(cast_ty: str) -> str:
+    return (
+        "concat(text, chr(10), 'shared footer line', chr(10), "
+        "'para ', cast(doc_id % 7 AS {t}), chr(10), '  ', chr(10), "
+        "'tail ', cast(doc_id % 3 AS {t}))"
+    ).format(t=cast_ty)
 
 
-def q_page_metadata(spark, sf_dir):
-    """Title / first-heading / lang-attr / anchor-count page metadata."""
-    html = extract.with_html(_load(spark, sf_dir, "documents"))
-    return extract.page_metadata(html)
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide line dedup (operators/spandedup.py:line_dedup,
+    salted two-phase winner aggregation): the first occurrence of each
+    eligible line by (doc_id, line_idx) survives, documents rebuilt in
+    line order.  Oracle = FULL DuckDB re-derivation: positional split via
+    list comprehension, the identical md5-prefix fingerprint,
+    row_number() argmin winners, list_sort rebuild."""
+    from deidcm_spark.operators.spandedup import line_dedup
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_lines_synth_expr("STRING")).alias("text")
+    )
+    return line_dedup(d)
+
+
+def q_quality_gate(spark, sf_dir):
+    """Gopher/C4 rule-cascade quality gate (operators/textops.py) — the
+    model-free curation DECISION: which rules each document violates
+    (``reasons`` in fixed rule order) and whether it survives.  The
+    signals were already driver-oracled via text_stats /
+    gopher_repetition; this entry oracle-checks the cascade itself."""
+    out = textops.quality_gate(_load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "reasons",
+        "keep",
+    )
 
 
 def q_extract_main_content(spark, sf_dir):
@@ -1474,9 +1531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "ann_threshold": q_ann_threshold,
-        "html_strip_tags": q_html_strip_tags,
-        "html_link_density": q_html_link_density,
-        "page_metadata": q_page_metadata,
+        "html_signals": q_html_signals,
+        "line_dedup": q_line_dedup,
+        "quality_gate": q_quality_gate,
         "ingest_spans": q_ingest_spans,
         "span_diff": q_span_diff,
         "phi_scrub": q_phi_scrub,
@@ -1656,18 +1713,114 @@ FROM documents
 """
 
 
-def _html_link_density_sql() -> str:
+def _html_signals_sql() -> str:
+    """UNION ALL mirror of q_html_signals — the same three dialect-paired
+    expression sets the r2 per-lane oracles used, union-tagged."""
     h = extract.html_expr("duckdb")
-    cols = extract.link_density_cols(h, "duckdb")
-    sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
-    return f"SELECT doc_id, {sel} FROM documents"
+    strip = extract.strip_tags_expr(h, "duckdb")
+    dens = extract.link_density_cols(h, "duckdb")
+    meta = extract.page_metadata_cols(h, "duckdb")
+    return f"""
+SELECT 'strip' AS kind, doc_id, {strip} AS txt,
+       CAST(NULL AS varchar) AS txt2, CAST(NULL AS varchar) AS txt3,
+       CAST(length({strip}) AS bigint) AS n1,
+       CAST(NULL AS bigint) AS n2, CAST(NULL AS bigint) AS n3,
+       CAST(NULL AS double) AS d
+FROM documents
+UNION ALL
+SELECT 'density', doc_id, NULL, NULL, NULL,
+       {dens['n_links']}, {dens['link_chars']}, {dens['text_chars']},
+       {dens['link_density']}
+FROM documents
+UNION ALL
+SELECT 'meta', doc_id, {meta['title']}, {meta['h1']}, {meta['lang_attr']},
+       {meta['n_anchors']}, NULL, NULL, NULL
+FROM documents
+"""
 
 
-def _page_metadata_sql() -> str:
-    h = extract.html_expr("duckdb")
-    cols = extract.page_metadata_cols(h, "duckdb")
-    sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
-    return f"SELECT doc_id, {sel} FROM documents"
+def _line_dedup_sql() -> str:
+    fp = "CAST('0x' || substr(md5(line), 1, 15) AS bigint)"
+    return f"""
+WITH d AS (SELECT doc_id, {_lines_synth_expr("VARCHAR")} AS text FROM documents),
+l AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM d),
+lines AS (
+  SELECT doc_id,
+         unnest([{{'pos': i - 1, 'line': ls[i]}} for i in range(1, len(ls) + 1)],
+                recursive := true)
+  FROM l
+),
+f AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN length(trim(line)) >= 1 THEN {fp} END AS fp
+  FROM lines
+),
+k AS (
+  SELECT doc_id, pos, line,
+         (fp IS NULL) OR
+         (row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) = 1) AS keep
+  FROM f
+)
+SELECT doc_id,
+       array_to_string(
+         [s.line for s in list_sort(list({{'pos': pos, 'keep': keep, 'line': line}})) if s.keep],
+         chr(10)) AS text,
+       CAST(count(*) AS int) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS int) AS n_dropped
+FROM k GROUP BY doc_id
+"""
+
+
+def _quality_gate_sql() -> str:
+    """Rule-for-rule DuckDB mirror of textops.quality_gate: the same
+    signal expressions the (hash-green) text_stats / gopher_repetition
+    oracles use, thresholds read from the SAME DEFAULT_GATES constants
+    the engine reads (never duplicated), reasons in the engine's rule
+    order."""
+    g = textops.DEFAULT_GATES
+    stop = f"len(list_filter(toks, t -> list_contains({{stop_sql}}, t)))".format(
+        stop_sql=_STOP_SQL
+    )
+    url = textops.url_pat_sql("duckdb")
+    g2 = "[toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]"
+    g3 = "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]"
+    reasons = f"""list_filter([
+      CASE WHEN n_tokens < {g['min_tokens']} THEN 'too_few_tokens' END,
+      CASE WHEN n_tokens > {g['max_tokens']} THEN 'too_many_tokens' END,
+      CASE WHEN avg_token_len < {g['min_avg_token_len']} THEN 'avg_token_too_short' END,
+      CASE WHEN avg_token_len > {g['max_avg_token_len']} THEN 'avg_token_too_long' END,
+      CASE WHEN repetition_ratio > {g['max_repetition_ratio']} THEN 'repetitive_tokens' END,
+      CASE WHEN digit_ratio > {g['max_digit_ratio']} THEN 'digit_heavy' END,
+      CASE WHEN upper_ratio > {g['max_upper_ratio']} THEN 'upper_heavy' END,
+      CASE WHEN stopword_ratio < {g['min_stopword_ratio']} THEN 'stopword_poor' END,
+      CASE WHEN top2_frac > {g['max_top2_frac']} THEN 'top2gram_dominated' END,
+      CASE WHEN dup3_frac > {g['max_dup3_frac']} THEN 'dup3gram_heavy' END,
+      CASE WHEN n_urls > {g['max_urls']} THEN 'url_heavy' END
+    ], x -> x IS NOT NULL)"""
+    return f"""
+WITH t AS (SELECT doc_id, text, {_DT} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS bigint) AS n_tokens,
+    round(length(text) / greatest(len(toks), 1), 3) AS avg_token_len,
+    round(1.0 - len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS repetition_ratio,
+    round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1), 4) AS digit_ratio,
+    round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / greatest(length(text), 1), 4) AS upper_ratio,
+    round({stop} / greatest(len(toks), 1), 4) AS stopword_ratio,
+    CAST(len(regexp_extract_all(text, '{url}')) AS bigint) AS n_urls
+  FROM t
+),
+c2 AS (SELECT doc_id, g, count(*) AS n FROM (SELECT doc_id, unnest({g2}) AS g FROM t WHERE len(toks) >= 2) GROUP BY 1, 2),
+a2 AS (SELECT doc_id, round(max(n) / sum(n), 4) AS top2_frac FROM c2 GROUP BY 1),
+c3 AS (SELECT doc_id, g, count(*) AS n FROM (SELECT doc_id, unnest({g3}) AS g FROM t WHERE len(toks) >= 3) GROUP BY 1, 2),
+a3 AS (SELECT doc_id, round(sum(CASE WHEN n > 1 THEN n ELSE 0 END) / sum(n), 4) AS dup3_frac FROM c3 GROUP BY 1),
+j AS (
+  SELECT s.*, coalesce(a2.top2_frac, 0) AS top2_frac, coalesce(a3.dup3_frac, 0) AS dup3_frac
+  FROM s LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+)
+SELECT doc_id, n_tokens, {reasons} AS reasons, len({reasons}) = 0 AS keep
+FROM j
+"""
 
 
 _COS_SQL = """
@@ -1850,9 +2003,9 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
 """,
         "simhash": _simhash_sql(),
         "simhash_neardup": _simhash_neardup_sql(),
-        "html_strip_tags": _html_strip_sql(),
-        "html_link_density": _html_link_density_sql(),
-        "page_metadata": _page_metadata_sql(),
+        "html_signals": _html_signals_sql(),
+        "line_dedup": _line_dedup_sql(),
+        "quality_gate": _quality_gate_sql(),
         "ingest_spans": _ingest_spans_sql(),
         "span_diff": _span_diff_sql(),
         "phi_scrub": _phi_scrub_sql(),

@@ -67,6 +67,20 @@ HEADLINERS = [
 ]
 ALIASES = {"media_redaction_plan": "media_redaction"}
 
+# lanes whose contract entry was merged away (html_strip_tags lives inside
+# the html_signals tagged union since r4) keep their historical timing
+# basis by calling the standalone operator directly
+def _lane_html_strip_tags(spark, sf_dir):
+    from deidcm_spark.operators import extract
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract.strip_tags(extract.with_html(docs)).select(
+        "doc_id", "plain_text", "n_chars"
+    )
+
+
+LOCAL_LANES = {"html_strip_tags": _lane_html_strip_tags}
+
 
 def _sf(sf_dir: str) -> float:
     import re
@@ -372,7 +386,7 @@ def run(sf_dir: str, cpus: int) -> None:
     # steal is 15% on a 0.3 s query, so these need one more in-process
     # sample than the multi-second lanes to stay under the ±10% target
     for name in HEADLINERS:
-        fn = qs[ALIASES.get(name, name)]
+        fn = LOCAL_LANES.get(name) or qs[ALIASES.get(name, name)]
         fn(spark, WARM_SF).collect()  # warm pass
         timed(name, lambda f=fn: f(spark, sf_dir).collect(), runs=3)
 

@@ -28,12 +28,13 @@ INTERESTING = [
     "events_range_join",
     "simhash_neardup", "embedding_neardup", "ann_threshold", "ann_lsh",
     "ann_ivf", "tfidf_top_term", "vocab_top_terms", "dedup_decisions",
-    "media_redaction", "ocr_word_recognition", "html_strip_tags",
+    "media_redaction", "ocr_word_recognition", "html_signals",
     "extract_main_content", "phi_scrub", "phi_scrub_uids",
     "deid_ingest_testdata", "ingest_spans", "span_diff", "pack_shards",
     "stratified_sample", "events_sessionize", "window_analytics",
     "url_canonicalize",
     "text_stats", "gopher_repetition", "decontaminate", "passage_dedup",
+    "line_dedup", "quality_gate",
     "events_asof_join", "events_rollup",
 ]
 
@@ -136,8 +137,8 @@ def _extra_ops(spark, sf_dir: str) -> dict:
         url_dedup,
     )
     from deidcm_spark.operators.sampling import mix_corpora, select_token_budget
-    from deidcm_spark.operators.spandedup import line_dedup, substring_dedup
-    from deidcm_spark.operators.textops import pack_sequences, quality_gate
+    from deidcm_spark.operators.spandedup import substring_dedup
+    from deidcm_spark.operators.textops import pack_sequences
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
@@ -165,7 +166,6 @@ def _extra_ops(spark, sf_dir: str) -> dict:
             5000,
         ),
         "bm25_search*": _bm25_lane(docs),
-        "line_dedup*": line_dedup(docs),
         "substring_dedup*": substring_dedup(docs, window=16),
         "bloom_build*": flt,
         "bloom_probe*": bloom_probe(docs, flt, 1 << 18),
@@ -173,7 +173,6 @@ def _extra_ops(spark, sf_dir: str) -> dict:
         "pack_sequences_shuffled*": pack_sequences(
             docs, seq_len=512, order="shuffle", seed=1
         ),
-        "quality_gate*": quality_gate(docs),
     }
 
 
