@@ -22,7 +22,7 @@ headline that read as a 1.3x regression on untouched code.  Now:
   box tables) are materialized to /tmp ONCE, outside every timed window —
   in particular media generation no longer pollutes the media_redaction
   number (the r2 "2.2x regression" was unattributable for that reason);
-* the measurement runs in $SPARK_GRAFT_BENCH_WORKERS (default 2) FRESH
+* the measurement runs in $SPARK_GRAFT_BENCH_WORKERS (default 3) FRESH
   spark-submit processes, each pinned with taskset to the core budget;
   within a process each multi-second lane (deid/extract/media) gets one
   warm pass + best-of-2 timed runs and each (mostly sub-second) contract
@@ -50,7 +50,10 @@ from tools.bench_common import spark_submit_json  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_WORKERS = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "2"))
+# 3 workers (r3 VERDICT item #6): with 2, the sub-second lanes'
+# min-across-workers still showed 55-72% cross-worker spread when one
+# worker caught a host-steal episode; a third sample dodges it
+N_WORKERS = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "3"))
 
 # round-2 per-query floors (BENCH_r02 extras.queries_steady — best-of-2 in
 # one JVM, the closest prior methodology) + lane timings.  vs_prev flags

@@ -40,6 +40,16 @@ RUNS_PER_LEVEL = int(os.environ.get("SCALING_RUNS_PER_LEVEL", "2"))
 CORPUS = "/tmp/scaling_corpus.parquet"
 HISTORY = "/root/repo/BENCH/SCALING_HISTORY.jsonl"
 HTML_CORPUS = "/tmp/scaling_html_corpus.parquet"
+# dedup-winner A/B lane (r3 VERDICT item #7): the same fingerprint table
+# stored twice — plain parquet (winner agg pays one exchange) and bucketed
+# on fp (sources.register_bucketed re-attaches it in each fresh worker;
+# winner agg runs with ZERO exchanges)
+FP_CORPUS = "/tmp/scaling_fp.parquet"
+FP_TABLE_LOC = "/tmp/scaling_fp_bucketed"
+FP_ROWS = int(os.environ.get("SCALING_FP_ROWS", "20480000"))
+FP_DUP = 8          # corpus-wide duplication factor (C4-scale post-crawl)
+FP_HOT = 200_000    # one boilerplate/crawler-trap fingerprint at ~1% mass
+FP_BUCKETS = 64
 LEVELS = [32, 8, 2]  # descending so the slowest (2c) runs last in each round
 CPU_PIN = {2: "0-1", 8: "0-7", 32: "0-31"}
 
@@ -63,12 +73,38 @@ def prepare_corpus() -> None:
     replicate_docs(base, HTML_REPLICAS).repartition(128).write.mode(
         "overwrite"
     ).parquet(HTML_CORPUS)
+    # dedup-winner fingerprint table: deterministic synthetic analogue of
+    # the corpus fingerprint column (dedup_exact/line_dedup input) — mostly
+    # 8x-duplicated keys plus one hot fingerprint; fp is PRE-computed so
+    # the timed window isolates the winner aggregation (the exchange-vs-
+    # bucketed contrast), not the normalize/hash projection both share
+    import shutil
+
+    fp = spark.range(FP_ROWS).selectExpr(
+        f"xxhash64(CASE WHEN id < {FP_HOT} THEN 'hot' "
+        f"ELSE concat('fp', cast(id % {FP_ROWS // FP_DUP} as string)) END) AS fp",
+        "id AS doc_id",
+    )
+    fp.repartition(64).write.mode("overwrite").parquet(FP_CORPUS)
+    shutil.rmtree(FP_TABLE_LOC, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS scaling_fp_b")
+    (
+        spark.read.parquet(FP_CORPUS)  # identical rows in both layouts
+        .write.mode("overwrite")
+        .bucketBy(FP_BUCKETS, "fp")
+        .sortBy("fp")
+        .option("path", FP_TABLE_LOC)
+        .saveAsTable("scaling_fp_b")
+    )
     spark.stop()
 
 
 def _run_level_once(cores: int) -> dict:
     return spark_submit_json(
-        "tools/scaling_worker.py", [CORPUS, "256", HTML_CORPUS], cores
+        "tools/scaling_worker.py",
+        [CORPUS, "256", HTML_CORPUS, FP_CORPUS, FP_TABLE_LOC,
+         str(FP_BUCKETS)],
+        cores,
     )
 
 
@@ -76,6 +112,8 @@ def main() -> None:
     if not (
         os.path.exists(os.path.join(CORPUS, "_SUCCESS"))
         and os.path.exists(os.path.join(HTML_CORPUS, "_SUCCESS"))
+        and os.path.exists(os.path.join(FP_CORPUS, "_SUCCESS"))
+        and os.path.exists(os.path.join(FP_TABLE_LOC, "_SUCCESS"))
     ):
         prepare_corpus()
 
@@ -96,6 +134,11 @@ def main() -> None:
         bd = max(samples[cores], key=lambda r: r.get("dedup_docs_per_sec", 0))
         bi = max(samples[cores], key=lambda r: r.get("dsir_docs_per_sec", 0))
         bs = max(samples[cores], key=lambda r: r.get("substr_docs_per_sec", 0))
+        bw = max(samples[cores], key=lambda r: r.get("dedupwin_rows_per_sec", 0))
+        bwb = max(
+            samples[cores],
+            key=lambda r: r.get("dedupwin_bucketed_rows_per_sec", 0),
+        )
         b = dict(b)
         for k in ("extract_n_docs", "extract_n_spans", "extract_elapsed_sec",
                   "extract_docs_per_sec"):
@@ -119,6 +162,14 @@ def main() -> None:
                   "substr_elapsed_sec", "substr_docs_per_sec"):
             if k in bs:
                 b[k] = bs[k]
+        for k in ("dedupwin_n_rows", "dedupwin_n_groups",
+                  "dedupwin_elapsed_sec", "dedupwin_rows_per_sec"):
+            if k in bw:
+                b[k] = bw[k]
+        for k in ("dedupwin_bucketed_elapsed_sec",
+                  "dedupwin_bucketed_rows_per_sec"):
+            if k in bwb:
+                b[k] = bwb[k]
         best[cores] = b
 
     def eff(lo: int, hi: int, key: str) -> float:
@@ -141,6 +192,12 @@ def main() -> None:
         "dsir_efficiency_8_to_32": eff(8, 32, "dsir_docs_per_sec"),
         "substr_efficiency_2_to_8": eff(2, 8, "substr_docs_per_sec"),
         "substr_efficiency_8_to_32": eff(8, 32, "substr_docs_per_sec"),
+        "dedupwin_efficiency_2_to_8": eff(2, 8, "dedupwin_rows_per_sec"),
+        "dedupwin_efficiency_8_to_32": eff(8, 32, "dedupwin_rows_per_sec"),
+        "dedupwin_bucketed_efficiency_2_to_8": eff(
+            2, 8, "dedupwin_bucketed_rows_per_sec"),
+        "dedupwin_bucketed_efficiency_8_to_32": eff(
+            8, 32, "dedupwin_bucketed_rows_per_sec"),
         "criterion": "efficiency >= 0.8 (north_rule, N vs 4N)",
     }
     result["pass"] = (
@@ -163,6 +220,10 @@ def main() -> None:
         "dedup_2_8": result["dedup_efficiency_2_to_8"],
         "dsir_2_8": result["dsir_efficiency_2_to_8"],
         "substr_2_8": result["substr_efficiency_2_to_8"],
+        "dedupwin_2_8": result["dedupwin_efficiency_2_to_8"],
+        "dedupwin_8_32": result["dedupwin_efficiency_8_to_32"],
+        "dedupwin_b_2_8": result["dedupwin_bucketed_efficiency_2_to_8"],
+        "dedupwin_b_8_32": result["dedupwin_bucketed_efficiency_8_to_32"],
         "noshuffle_docs_per_sec_32": best[32].get("noshuffle_docs_per_sec"),
         "pass": result["pass"],
     }
@@ -184,6 +245,8 @@ def main() -> None:
                 f"{_c('dedup_2_8')} | "
                 f"{_c('dsir_2_8')} | "
                 f"{_c('substr_2_8')} | "
+                f"{_c('dedupwin_2_8')}/{_c('dedupwin_8_32')} | "
+                f"{_c('dedupwin_b_2_8')}/{_c('dedupwin_b_8_32')} | "
                 f"{_c('noshuffle_docs_per_sec_32')} | "
                 f"{'PASS' if h.get('pass') else 'see note'} |"
             )
@@ -193,8 +256,10 @@ def main() -> None:
         "regeneration of this file cannot erase prior evidence.\n\n"
         "| invocation | deid (shuffled) 2→8 | deid zero-exchange 2→8 | "
         "extract zero-exchange 2→8 | dedup (LSH) 2→8 | DSIR 2→8 | "
-        "substr-dedup 2→8 | zero-exchange docs/s @32c | criterion |\n"
-        "|---|---|---|---|---|---|---|---|---|\n" + "\n".join(hist_rows) + "\n\n"
+        "substr-dedup 2→8 | winner-agg shuffled 2→8/8→32 | "
+        "winner-agg bucketed 2→8/8→32 | zero-exchange docs/s @32c | criterion |\n"
+        "|---|---|---|---|---|---|---|---|---|---|---|\n"
+        + "\n".join(hist_rows) + "\n\n"
         "The r3 best-of-2 invocation's shuffled-deid outlier (0.582, while\n"
         "the zero-exchange and extraction lanes in the SAME invocation\n"
         "matched r2) is the known failure mode: the shuffled local[2]\n"
@@ -231,7 +296,9 @@ def main() -> None:
         f"{best[c].get('extract_shuffled_docs_per_sec', '-')} | "
         f"{best[c].get('dedup_docs_per_sec', '-')} | "
         f"{best[c].get('dsir_docs_per_sec', '-')} | "
-        f"{best[c].get('substr_docs_per_sec', '-')} |"
+        f"{best[c].get('substr_docs_per_sec', '-')} | "
+        f"{best[c].get('dedupwin_rows_per_sec', '-')} | "
+        f"{best[c].get('dedupwin_bucketed_rows_per_sec', '-')} |"
         for c in sorted(best)
     )
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
@@ -247,16 +314,16 @@ under-reports capability).  Deid corpus: {N_DOCS} span-form documents
 (seed 55, skew 0.02, ~16 spans-out avg/doc x5).  Extraction corpus:
 {best[8]['extract_n_docs']} synthesized HTML documents.
 
-| parallelism | deid elapsed (s) | deid docs/sec | deid no-shuffle docs/sec | extract elapsed (s) | extract docs/sec (zero-exchange) | extract docs/sec (shuffled) | dedup LSH docs/sec | DSIR docs/sec | substr-dedup docs/sec |
-|---|---|---|---|---|---|---|---|---|---|
+| parallelism | deid elapsed (s) | deid docs/sec | deid no-shuffle docs/sec | extract elapsed (s) | extract docs/sec (zero-exchange) | extract docs/sec (shuffled) | dedup LSH docs/sec | DSIR docs/sec | substr-dedup docs/sec | winner-agg rows/sec (shuffled) | winner-agg rows/sec (bucketed) |
+|---|---|---|---|---|---|---|---|---|---|---|---|
 {rows}
 
 ### N → 4N efficiency
 
-| pair | deid (salted shuffle) | deid (bucketed ingest, zero-exchange) | extraction (zero-exchange) | extraction (salted shuffle) | dedup (minhash→LSH→pair join) | DSIR (importance sampling) | exact-substring dedup |
-|---|---|---|---|---|---|---|---|
-| 2 → 8 cores  | **{result['deid_efficiency_2_to_8']}** | **{result['deid_noshuffle_efficiency_2_to_8']}** | **{result['extract_efficiency_2_to_8']}** | {result['extract_shuffled_efficiency_2_to_8']} | **{result['dedup_efficiency_2_to_8']}** | **{result['dsir_efficiency_2_to_8']}** | **{result['substr_efficiency_2_to_8']}** |
-| 8 → 32 cores | {result['deid_efficiency_8_to_32']} | {result['deid_noshuffle_efficiency_8_to_32']} | {result['extract_efficiency_8_to_32']} | {result['extract_shuffled_efficiency_8_to_32']} | {result['dedup_efficiency_8_to_32']} | {result['dsir_efficiency_8_to_32']} | {result['substr_efficiency_8_to_32']} |
+| pair | deid (salted shuffle) | deid (bucketed ingest, zero-exchange) | extraction (zero-exchange) | extraction (salted shuffle) | dedup (minhash→LSH→pair join) | DSIR (importance sampling) | exact-substring dedup | dedup winner agg (shuffled) | dedup winner agg (bucketed, zero-exchange) |
+|---|---|---|---|---|---|---|---|---|---|
+| 2 → 8 cores  | **{result['deid_efficiency_2_to_8']}** | **{result['deid_noshuffle_efficiency_2_to_8']}** | **{result['extract_efficiency_2_to_8']}** | {result['extract_shuffled_efficiency_2_to_8']} | **{result['dedup_efficiency_2_to_8']}** | **{result['dsir_efficiency_2_to_8']}** | **{result['substr_efficiency_2_to_8']}** | {result['dedupwin_efficiency_2_to_8']} | **{result['dedupwin_bucketed_efficiency_2_to_8']}** |
+| 8 → 32 cores | {result['deid_efficiency_8_to_32']} | {result['deid_noshuffle_efficiency_8_to_32']} | {result['extract_efficiency_8_to_32']} | {result['extract_shuffled_efficiency_8_to_32']} | {result['dedup_efficiency_8_to_32']} | {result['dsir_efficiency_8_to_32']} | {result['substr_efficiency_8_to_32']} | {result['dedupwin_efficiency_8_to_32']} | {result['dedupwin_bucketed_efficiency_8_to_32']} |
 
 The zero-exchange columns are the `lineage.prepare_bucketed_corpus` /
 `prepare_bucketed_raw_corpus` paths: the corpus is stored clustered on the
@@ -285,6 +352,20 @@ corpus: two hashed-2-gram distribution builds (65536-row hash
 aggregates), the broadcast-LLR scoring stream, and the Gumbel top-k —
 the heaviest whole-corpus gram-explode lane, with one corpus-sized
 shuffle (the per-doc partial-combined sum).
+
+The dedup-winner A/B pair is the round-4 evidence lane for the bucketed
+training-operator story: the SAME {best[8].get('dedupwin_n_rows', '?')}-row
+fingerprint table ({best[8].get('dedupwin_n_groups', '?')} distinct
+fingerprints, 8x duplication, one ~1%-mass hot fingerprint), winner
+aggregation `groupBy(fp).agg(min(doc_id), count(*))` — dedup_exact's /
+line_dedup's reduction — read once as plain parquet (the aggregation pays
+one full exchange) and once through `sources.register_bucketed` over the
+bucketed layout written at ingest (ZERO exchanges, asserted in
+tests/test_plans.py).  The fingerprint is PRE-computed in both layouts so
+the window isolates the exchange itself.  This mirrors the deid pair:
+pre-bucketing the corpus by the dedup key at ingest buys the same
+shuffle-free shape for the dedup family that `prepare_bucketed_corpus`
+buys for deid.
 
 The exact-substring-dedup lane (round-3 `spandedup.substring_dedup`,
 window=32, fast hashing) is the heaviest NEW lane: O(tokens × window)

@@ -223,3 +223,36 @@ def write_bucketed(
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     if warehouse:
         shutil.rmtree(f"{warehouse.rstrip('/')}/{backup.lower()}_loc", ignore_errors=True)
+
+
+def register_bucketed(
+    spark,
+    table: str,
+    location: str,
+    schema_ddl: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Re-attach a bucketed table written by a PREVIOUS session.
+
+    :func:`write_bucketed` records the bucket spec in the session catalog;
+    with the sandbox's in-memory catalog that metadata dies with the
+    session, so a fresh job reading the same files as plain parquet loses
+    the exchange elimination the layout paid for.  This issues the
+    Spark-native datasource DDL (``USING parquet CLUSTERED BY ...
+    LOCATION ...``) over the existing files — pure metadata, no data is
+    read or moved — after which ``spark.table(table)`` scans report
+    ``HashPartitioning(bucket_col)`` and a ``groupBy(bucket_col)`` or a
+    same-bucketing join runs with ZERO exchanges
+    (tests/test_plans.py asserts both).  In a real deployment a
+    persistent catalog (Hive metastore / Iceberg ``bucket(N, key)``)
+    carries this metadata; this helper is the explicit stand-in.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sorted_by = f"SORTED BY ({bucket_col}) " if sort else ""
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({bucket_col}) {sorted_by}INTO {n_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )

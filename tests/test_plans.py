@@ -160,3 +160,56 @@ def test_bucketed_join_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS bt_customer")
         spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_register_bucketed_winner_agg_no_exchange(spark, tmp_path):
+    """Cross-session bucketed re-attach (sources.register_bucketed): a
+    table written bucketed-by-fp and re-registered from its FILES alone
+    (the in-memory catalog is gone in a fresh job) still gives the
+    dedup winner aggregation a zero-Exchange plan, and the results are
+    identical to the plain-parquet (one-Exchange) shape.  This is the
+    plan the bench_scaling dedup-winner lane measures."""
+    from deidcm_spark.sources import register_bucketed
+
+    loc = str(tmp_path / "fp_bucketed")
+    plain = str(tmp_path / "fp_plain")
+    df = spark.range(20000).selectExpr(
+        "xxhash64(cast(id % 997 as string)) as fp", "id as doc_id"
+    )
+    df.write.mode("overwrite").parquet(plain)
+    (
+        spark.read.parquet(plain).write.mode("overwrite")
+        .bucketBy(8, "fp").sortBy("fp")
+        .option("path", loc).saveAsTable("t_fp_seed")
+    )
+    spark.sql("DROP TABLE IF EXISTS t_fp_seed")  # simulate a fresh session
+    try:
+        register_bucketed(
+            spark, "t_fp_reattached", loc, "fp BIGINT, doc_id BIGINT",
+            "fp", 8,
+        )
+
+        def winners(d):
+            return d.groupBy("fp").agg(
+                F.min("doc_id").alias("keep_doc_id"),
+                F.count("*").alias("n_dupes"),
+            )
+
+        b = winners(spark.table("t_fp_reattached"))
+        got_b = {r["fp"]: (r["keep_doc_id"], r["n_dupes"]) for r in b.collect()}
+        got_p = {
+            r["fp"]: (r["keep_doc_id"], r["n_dupes"])
+            for r in winners(spark.read.parquet(plain)).collect()
+        }
+        assert got_b == got_p and len(got_b) == 997
+        plan = b._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+        # the plain layout DOES pay the exchange — the contrast is real
+        pplan = winners(
+            spark.read.parquet(plain)
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in pplan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fp_reattached")
+        spark.sql("DROP TABLE IF EXISTS t_fp_seed")

@@ -24,6 +24,9 @@ def main() -> None:
     corpus_path = sys.argv[1]
     n_partitions = int(sys.argv[2])
     html_corpus_path = sys.argv[3] if len(sys.argv) > 3 else None
+    fp_path = sys.argv[4] if len(sys.argv) > 4 else None
+    fp_table_loc = sys.argv[5] if len(sys.argv) > 5 else None
+    fp_buckets = int(sys.argv[6]) if len(sys.argv) > 6 else 64
     spark = (
         SparkSession.builder.appName("scaling_worker")
         .config("spark.sql.adaptive.enabled", "true")
@@ -192,6 +195,53 @@ def main() -> None:
             "substr_removed_tokens": int(sub[1]),
             "substr_elapsed_sec": round(sub_elapsed, 3),
             "substr_docs_per_sec": round(int(sub[0]) / sub_elapsed, 1),
+        })
+
+    if fp_path:
+        # dedup-winner A/B (r3 VERDICT item #7): the SAME fingerprint rows
+        # aggregated `groupBy(fp).agg(min(doc_id), count(*))` — the
+        # dedup_exact / line_dedup winner reduction — from (a) plain
+        # parquet, where the aggregation pays one full exchange, and
+        # (b) the bucketed layout re-attached via register_bucketed,
+        # where the bucketed scan already provides HashPartitioning(fp)
+        # and the plan has ZERO exchanges (asserted in tests/test_plans).
+        from deidcm_spark.sources import register_bucketed
+
+        def winner_totals(df):
+            win = df.groupBy("fp").agg(
+                F.min("doc_id").alias("keep_doc_id"),
+                F.count("*").alias("n_dupes"),
+            )
+            row = win.agg(F.count("*"), F.sum("n_dupes")).collect()[0]
+            return int(row[0]), int(row[1])
+
+        fpd = spark.read.parquet(fp_path)
+        winner_totals(fpd.limit(4096))  # warm
+        t0 = time.perf_counter()
+        n_groups, n_rows = winner_totals(fpd)
+        sh_elapsed = time.perf_counter() - t0
+
+        register_bucketed(
+            spark, "scaling_fp_b", fp_table_loc,
+            "fp BIGINT, doc_id BIGINT", "fp", fp_buckets,
+        )
+        fpb = spark.table("scaling_fp_b")
+        winner_totals(fpb.limit(4096))  # warm the bucketed reader
+        t0 = time.perf_counter()
+        nb_groups, nb_rows = winner_totals(fpb)
+        b_elapsed = time.perf_counter() - t0
+        if (n_groups, n_rows) != (nb_groups, nb_rows):
+            raise AssertionError(
+                f"layouts disagree: {(n_groups, n_rows)} vs "
+                f"{(nb_groups, nb_rows)}"
+            )
+        result.update({
+            "dedupwin_n_rows": n_rows,
+            "dedupwin_n_groups": n_groups,
+            "dedupwin_elapsed_sec": round(sh_elapsed, 3),
+            "dedupwin_rows_per_sec": round(n_rows / sh_elapsed, 1),
+            "dedupwin_bucketed_elapsed_sec": round(b_elapsed, 3),
+            "dedupwin_bucketed_rows_per_sec": round(n_rows / b_elapsed, 1),
         })
 
     print(json.dumps(result))
