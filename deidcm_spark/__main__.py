@@ -344,6 +344,61 @@ def cmd_bloom(args) -> dict:
     return summary
 
 
+def cmd_sketch(args) -> dict:
+    """Corpus-statistics lane: build (or --merge-with extend) a mergeable
+    sketch over a column — HLL registers for distinct-count, CMS counters
+    for frequency — and write the sketch table; HLL also reports the
+    cardinality estimate, CMS answers --query items from <output>/est."""
+    spark = _spark("deidcm_sketch", args.shuffle_partitions)
+    from deidcm_spark.operators import sketch as sk
+
+    import os
+
+    if args.merge_with and (
+        os.path.abspath(args.merge_with) == os.path.abspath(args.output)
+    ):
+        raise SystemExit(
+            "sketch: --merge-with must not equal --output — the merged "
+            "sketch write would overwrite the table it is reading"
+        )
+    df = spark.read.parquet(args.input)
+    summary: dict = {"kind": args.kind}
+    if args.kind == "hll":
+        built = sk.hll_build(df, args.col, args.p, args.hash)
+        if args.merge_with:
+            built = sk.hll_merge(
+                [spark.read.parquet(args.merge_with), built]
+            )
+        built.write.mode("overwrite").parquet(args.output)
+        est = sk.hll_estimate(spark.read.parquet(args.output), args.p)
+        row = est.collect()[0]
+        summary.update(
+            {"estimate": round(row["estimate"], 1),
+             "zero_registers": row["n_zero_registers"]}
+        )
+    else:
+        built = sk.cms_build(df, args.col, args.width, args.depth,
+                             hash_impl=args.hash)
+        if args.merge_with:
+            built = sk.cms_merge(
+                [spark.read.parquet(args.merge_with), built]
+            )
+        built.write.mode("overwrite").parquet(args.output)
+        summary["counters"] = spark.read.parquet(args.output).count()
+        if args.query:
+            items = spark.createDataFrame(
+                [(q,) for q in args.query], f"{args.col} string"
+            )
+            got = sk.cms_query(
+                spark.read.parquet(args.output), items, args.col,
+                args.width, args.depth, args.hash,
+            )
+            summary["est"] = {
+                r["value"]: r["est"] for r in got.collect()
+            }
+    return summary
+
+
 def cmd_packseq(args) -> dict:
     """Sequence-packing lane: chunk the doc_id-ordered token stream into
     fixed --seq-len training sequences (one row per document piece)."""
@@ -719,6 +774,20 @@ def build_parser() -> argparse.ArgumentParser:
     common(pq)
     pq.add_argument("--seq-len", type=int, default=2048)
     pq.set_defaults(fn=cmd_packseq)
+
+    sk = sub.add_parser("sketch")
+    common(sk)
+    sk.add_argument("--kind", default="hll", choices=["hll", "cms"])
+    sk.add_argument("--col", default="text")
+    sk.add_argument("--p", type=int, default=12, help="HLL precision (2^p registers)")
+    sk.add_argument("--width", type=int, default=16384)
+    sk.add_argument("--depth", type=int, default=4)
+    sk.add_argument("--hash", default="portable", choices=["portable", "fast"])
+    sk.add_argument("--merge-with", default="",
+                    help="existing sketch parquet to merge the new shard into")
+    sk.add_argument("--query", nargs="*", default=[],
+                    help="cms only: values to frequency-estimate")
+    sk.set_defaults(fn=cmd_sketch)
 
     wc = sub.add_parser("warc")
     common(wc)

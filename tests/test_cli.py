@@ -360,3 +360,41 @@ def test_cli_bm25_index_then_search(tmp_path, capsys, spark):
     ])
     assert 0 < r["hits"] <= 5 and len(r["top"]) >= 1
     assert r["top"][0]["score"] >= r["top"][-1]["score"]
+
+
+def test_cli_sketch_hll_and_cms(tmp_path, capsys, spark):
+    """HLL: per-shard build + --merge-with ≡ one build over the union
+    (the estimate is a pure function of the register table).  CMS:
+    counters land, point queries answer, --query of an absent value is
+    exactly 0."""
+    h1 = str(tmp_path / "hll1")
+    r = _run(capsys, [
+        "sketch", "--input", f"{SF}/documents.parquet", "--output", h1,
+        "--kind", "hll", "--shuffle-partitions", "8",
+    ])
+    # 500 distinct texts; p=12 linear-counting regime is near-exact
+    assert r["estimate"] == pytest.approx(500, rel=0.05)
+    h2 = str(tmp_path / "hll2")
+    r2 = _run(capsys, [
+        "sketch", "--input", f"{SF}/documents.parquet", "--output", h2,
+        "--kind", "hll", "--merge-with", h1, "--shuffle-partitions", "8",
+    ])
+    # merging the SAME shard changes nothing (idempotent registers)
+    assert r2["estimate"] == r["estimate"]
+    with pytest.raises(SystemExit):
+        _run(capsys, [
+            "sketch", "--input", f"{SF}/documents.parquet", "--output", h1,
+            "--kind", "hll", "--merge-with", h1,
+        ])
+
+    c1 = str(tmp_path / "cms1")
+    r = _run(capsys, [
+        "sketch", "--input", f"{SF}/documents.parquet", "--output", c1,
+        "--kind", "cms", "--col", "lang", "--width", "1024",
+        "--query", "en", "definitely-absent", "--shuffle-partitions", "8",
+    ])
+    n_en = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "lang = 'en'"
+    ).count()
+    assert r["est"]["en"] >= n_en  # CMS never underestimates
+    assert r["est"]["definitely-absent"] == 0

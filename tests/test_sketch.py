@@ -1,0 +1,232 @@
+"""Mergeable sketch tables (operators/sketch.py): register/counter tables
+checked BIT-FOR-BIT against a pure-Python re-derivation of the shared
+spec, plus the algebraic contracts (merge ≡ build-over-union for both
+impls), the CMS one-sided error guarantee, and HLL accuracy within the
+theoretical band."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from deidcm_spark.operators.sketch import (
+    HLL_HASH_BITS,
+    cms_build,
+    cms_merge,
+    cms_query,
+    hll_build,
+    hll_estimate,
+    hll_estimate_value,
+    hll_merge,
+)
+
+# ---------- pure-Python oracle of the shared spec ----------
+
+
+def _h60(v: str) -> int:
+    return int(hashlib.md5(v.encode("utf8")).hexdigest()[:15], 16)
+
+
+def oracle_hll_registers(values, p):
+    rest_bits = HLL_HASH_BITS - p
+    regs: dict[int, int] = {}
+    for v in values:
+        h = _h60(str(v))
+        idx = h >> rest_bits
+        rest = h & ((1 << rest_bits) - 1)
+        rho = rest_bits - rest.bit_length() + 1
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+def oracle_hll_estimate(regs, p):
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+    e = alpha * m * m / s
+    v = m - len(regs)
+    if e <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return e
+
+
+def oracle_cms_positions(v: str, width: int, depth: int):
+    return [
+        int(hashlib.md5(f"{j}:{v}".encode("utf8")).hexdigest()[:15], 16) % width
+        for j in range(depth)
+    ]
+
+
+def _values(n, dup=1, tag="v"):
+    return [f"{tag}{i % max(n // dup, 1)}" for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def vals_df(spark):
+    # 6000 rows, 2000 distinct values
+    return spark.createDataFrame(
+        [(v,) for v in _values(6000, dup=3)], "text string"
+    )
+
+
+def test_hll_registers_match_oracle(spark, vals_df):
+    p = 10
+    got = {
+        r["register_idx"]: r["max_rho"]
+        for r in hll_build(vals_df, "text", p=p).collect()
+    }
+    assert got == oracle_hll_registers(_values(6000, dup=3), p)
+
+
+def test_hll_estimate_matches_oracle_and_truth(spark, vals_df):
+    p = 12
+    regs = oracle_hll_registers(_values(6000, dup=3), p)
+    sk = hll_build(vals_df, "text", p=p)
+    est_row = hll_estimate(sk, p=p).collect()[0]
+    assert est_row["estimate"] == pytest.approx(
+        oracle_hll_estimate(regs, p), rel=1e-12
+    )
+    # accuracy: 1.04/sqrt(4096) ≈ 1.6% standard error; allow 3 sigma
+    assert est_row["estimate"] == pytest.approx(2000, rel=0.05)
+    assert est_row["n_zero_registers"] == (1 << p) - len(regs)
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 30 distinct values at p=12: E far below 2.5m -> linear counting path
+    df = spark.createDataFrame([(f"x{i}",) for i in range(30)], "text string")
+    est = hll_estimate_value(hll_build(df, "text", p=12), p=12)
+    assert est == pytest.approx(30, rel=0.01)
+    # empty corpus estimates 0, not NULL
+    empty = hll_build(df.filter("text is null"), "text", p=12)
+    assert hll_estimate_value(empty, p=12) == 0.0
+
+
+@pytest.mark.parametrize("hash_impl", ["portable", "fast"])
+def test_hll_merge_is_build_over_union(spark, hash_impl):
+    p = 10
+    a = spark.createDataFrame([(v,) for v in _values(800, tag="a")], "text string")
+    b = spark.createDataFrame(
+        [(v,) for v in _values(900, tag="a")[400:]], "text string"
+    )
+    merged = hll_merge(
+        [hll_build(a, "text", p, hash_impl), hll_build(b, "text", p, hash_impl)]
+    )
+    direct = hll_build(a.unionByName(b), "text", p, hash_impl)
+    as_rows = lambda d: sorted(tuple(r) for r in d.collect())
+    assert as_rows(merged) == as_rows(direct)
+
+
+def test_hll_fast_impl_estimates_sanely(spark, vals_df):
+    est = hll_estimate_value(hll_build(vals_df, "text", 12, "fast"), 12)
+    assert est == pytest.approx(2000, rel=0.05)
+
+
+def test_hll_validation(spark, vals_df):
+    with pytest.raises(ValueError):
+        hll_build(vals_df, "text", p=2)
+    with pytest.raises(ValueError):
+        hll_build(vals_df, "text", p=12, hash_impl="nope")
+    with pytest.raises(ValueError):
+        hll_merge([])
+
+
+def test_hll_build_single_shuffle_plan(spark, vals_df):
+    sk = hll_build(vals_df, "text", p=12)
+    sk.collect()
+    # final-plan only (no caches here, so the plain split is safe)
+    plan = sk._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("Exchange") <= 1, plan
+    assert "partial_max" in plan  # map-side combine before the exchange
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------- Count-Min ----------
+
+
+def test_cms_counters_match_oracle(spark):
+    width, depth = 256, 3
+    vals = _values(3000, dup=5)  # 600 distinct, 5 occurrences each
+    df = spark.createDataFrame([(v,) for v in vals], "text string")
+    got = {
+        (r["row_idx"], r["col_idx"]): r["cnt"]
+        for r in cms_build(df, "text", width, depth).collect()
+    }
+    exp: dict[tuple[int, int], int] = {}
+    for v in vals:
+        for j, pos in enumerate(oracle_cms_positions(v, width, depth)):
+            exp[(j, pos)] = exp.get((j, pos), 0) + 1
+    assert got == exp
+
+
+def test_cms_query_overestimates_never_under(spark):
+    width, depth = 512, 4
+    vals = _values(4000, dup=8) + ["hot"] * 500
+    df = spark.createDataFrame([(v,) for v in vals], "text string")
+    sk = cms_build(df, "text", width, depth)
+    items = spark.createDataFrame(
+        [("hot",), ("v0",), ("v3",), ("absent",)], "text string"
+    )
+    got = {
+        r["value"]: r["est"]
+        for r in cms_query(sk, items, "text", width, depth).collect()
+    }
+    true = {"hot": 500, "v0": 8, "v3": 8, "absent": 0}
+    for v, t in true.items():
+        assert got[v] >= t, (v, got[v], t)
+        # ε = e/width bound on the total mass (4500)
+        assert got[v] <= t + math.e / width * 4500 + 1
+
+
+def test_cms_weighted_and_merge(spark):
+    width, depth = 128, 3
+    a = spark.createDataFrame(
+        [("x", 5), ("y", 2)], "text string, n bigint"
+    )
+    b = spark.createDataFrame(
+        [("x", 1), ("z", 7)], "text string, n bigint"
+    )
+    ska = cms_build(a, "text", width, depth, weight_col="n")
+    skb = cms_build(b, "text", width, depth, weight_col="n")
+    merged = cms_merge([ska, skb])
+    direct = cms_build(
+        a.unionByName(b), "text", width, depth, weight_col="n"
+    )
+    as_rows = lambda d: sorted(tuple(r) for r in d.collect())
+    assert as_rows(merged) == as_rows(direct)
+    items = spark.createDataFrame([("x",), ("y",), ("z",)], "text string")
+    got = {
+        r["value"]: r["est"]
+        for r in cms_query(merged, items, "text", width, depth).collect()
+    }
+    # tiny corpus, no collisions plausible at 128x3 with 3 keys
+    assert got == {"x": 6, "y": 2, "z": 7}
+
+
+@pytest.mark.parametrize("hash_impl", ["portable", "fast"])
+def test_cms_merge_algebra_both_impls(spark, hash_impl):
+    width, depth = 64, 2
+    a = spark.createDataFrame([(f"k{i}",) for i in range(50)], "text string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(25, 80)], "text string")
+    merged = cms_merge(
+        [cms_build(a, "text", width, depth, hash_impl=hash_impl),
+         cms_build(b, "text", width, depth, hash_impl=hash_impl)]
+    )
+    direct = cms_build(a.unionByName(b), "text", width, depth,
+                       hash_impl=hash_impl)
+    as_rows = lambda d: sorted(tuple(r) for r in d.collect())
+    assert as_rows(merged) == as_rows(direct)
+
+
+def test_cms_validation(spark):
+    df = None
+    with pytest.raises(ValueError):
+        cms_build(df, "text", width=1, depth=2)
+    with pytest.raises(ValueError):
+        cms_build(df, "text", width=16, depth=0)
+    with pytest.raises(ValueError):
+        cms_merge([])

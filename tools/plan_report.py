@@ -137,6 +137,7 @@ def _extra_ops(spark, sf_dir: str) -> dict:
         url_dedup,
     )
     from deidcm_spark.operators.sampling import mix_corpora, select_token_budget
+    from deidcm_spark.operators.sketch import cms_build, hll_build
     from deidcm_spark.operators.spandedup import substring_dedup
     from deidcm_spark.operators.textops import pack_sequences
 
@@ -173,6 +174,8 @@ def _extra_ops(spark, sf_dir: str) -> dict:
         "pack_sequences_shuffled*": pack_sequences(
             docs, seq_len=512, order="shuffle", seed=1
         ),
+        "hll_build*": hll_build(docs, "text", p=12),
+        "cms_build*": cms_build(docs, "text", width=4096, depth=4),
     }
 
 
