@@ -399,6 +399,37 @@ def cmd_sketch(args) -> dict:
     return summary
 
 
+def cmd_robots(args) -> dict:
+    """Crawl-politeness lane: parse robots.txt bodies (host, body) into
+    the per-host rules table, then gate the URL stream for --agent.
+    Writes <output>/rules, <output>/sitemaps, and <output>/allowed (or
+    /flagged with --mode flag)."""
+    spark = _spark("deidcm_robots", args.shuffle_partitions)
+    from deidcm_spark.operators.robots import parse_robots, robots_filter
+
+    bodies = spark.read.parquet(args.robots)
+    rules, sitemaps = parse_robots(bodies)
+    rules.write.mode("overwrite").parquet(args.output + "/rules")
+    sitemaps.write.mode("overwrite").parquet(args.output + "/sitemaps")
+    rules = spark.read.parquet(args.output + "/rules")
+    urls = spark.read.parquet(args.input)
+    out = robots_filter(urls, rules, args.agent, mode=args.mode)
+    dest = args.output + ("/flagged" if args.mode == "flag" else "/allowed")
+    out.write.mode("overwrite").parquet(dest)
+    n_in = urls.count()
+    back = spark.read.parquet(dest)
+    n_allowed = (
+        back.filter("allowed").count() if args.mode == "flag" else back.count()
+    )
+    return {
+        "urls": n_in,
+        "allowed": n_allowed,
+        "blocked": n_in - n_allowed,
+        "rules": rules.count(),
+        "agent": args.agent,
+    }
+
+
 def cmd_packseq(args) -> dict:
     """Sequence-packing lane: chunk the doc_id-ordered token stream into
     fixed --seq-len training sequences (one row per document piece)."""
@@ -788,6 +819,14 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--query", nargs="*", default=[],
                     help="cms only: values to frequency-estimate")
     sk.set_defaults(fn=cmd_sketch)
+
+    rb = sub.add_parser("robots")
+    common(rb)
+    rb.add_argument("--robots", required=True,
+                    help="parquet of (host, body) robots.txt bodies")
+    rb.add_argument("--agent", default="*")
+    rb.add_argument("--mode", default="remove", choices=["remove", "flag"])
+    rb.set_defaults(fn=cmd_robots)
 
     wc = sub.add_parser("warc")
     common(wc)

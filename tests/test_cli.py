@@ -398,3 +398,40 @@ def test_cli_sketch_hll_and_cms(tmp_path, capsys, spark):
     ).count()
     assert r["est"]["en"] >= n_en  # CMS never underestimates
     assert r["est"]["definitely-absent"] == 0
+
+
+def test_cli_robots(tmp_path, capsys, spark):
+    robots = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("a.example",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+          "Sitemap: https://a.example/s.xml\n")],
+        "host string, body string",
+    ).write.parquet(robots)
+    urls = str(tmp_path / "urls")
+    spark.createDataFrame(
+        [(1, "https://a.example/public"),
+         (2, "https://a.example/private/doc"),
+         (3, "https://a.example/private/ok/x"),
+         (4, "https://other.example/anything")],
+        "doc_id bigint, url string",
+    ).write.parquet(urls)
+    out = str(tmp_path / "gated")
+    r = _run(capsys, [
+        "robots", "--input", urls, "--robots", robots, "--output", out,
+        "--agent", "anybot", "--shuffle-partitions", "8",
+    ])
+    assert r == {"urls": 4, "allowed": 3, "blocked": 1,
+                 "rules": 2, "agent": "anybot"}
+    kept = {row["doc_id"] for row in spark.read.parquet(out + "/allowed").collect()}
+    assert kept == {1, 3, 4}
+    maps = spark.read.parquet(out + "/sitemaps").collect()
+    assert [tuple(m) for m in maps] == [("a.example", "https://a.example/s.xml")]
+    # flag mode keeps every row with the verdict column
+    r = _run(capsys, [
+        "robots", "--input", urls, "--robots", robots, "--output", out,
+        "--agent", "anybot", "--mode", "flag", "--shuffle-partitions", "8",
+    ])
+    assert r["allowed"] == 3 and r["urls"] == 4
+    flagged = spark.read.parquet(out + "/flagged")
+    assert flagged.count() == 4 and "allowed" in flagged.columns
