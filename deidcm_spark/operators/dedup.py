@@ -114,9 +114,12 @@ def minhash_signatures(df: DataFrame, hash_impl: str = "portable") -> DataFrame:
     )
 
 
-def lsh_bands(df: DataFrame, hash_impl: str = "portable") -> DataFrame:
-    """Explode signatures into (doc_id, band_idx, band_key) bucket rows."""
-    sig = minhash_signatures(df, hash_impl=hash_impl).filter("n_shingles > 0")
+def signature_bands(sig: DataFrame) -> DataFrame:
+    """Signature table → (doc_id, band_idx, band_key) bucket rows.
+
+    Shared by the one-shot banding and the incremental index probe (which
+    re-derives bands from PERSISTED signatures instead of rescanning the
+    corpus text)."""
     bands = F.array(
         *[
             F.md5(F.concat_ws("|", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]))
@@ -126,6 +129,12 @@ def lsh_bands(df: DataFrame, hash_impl: str = "portable") -> DataFrame:
     return (
         sig.select("doc_id", F.posexplode(bands).alias("band_idx", "band_key"))
     )
+
+
+def lsh_bands(df: DataFrame, hash_impl: str = "portable") -> DataFrame:
+    """Explode signatures into (doc_id, band_idx, band_key) bucket rows."""
+    sig = minhash_signatures(df, hash_impl=hash_impl).filter("n_shingles > 0")
+    return signature_bands(sig)
 
 
 def lsh_candidate_pairs(
@@ -160,6 +169,106 @@ def lsh_candidate_pairs(
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup index (the Bloom-gate pattern, for MinHash LSH)
+# ---------------------------------------------------------------------------
+
+
+def lsh_index_build(df: DataFrame, hash_impl: str = "portable") -> DataFrame:
+    """Corpus shard → the persistable near-dup INDEX: its minhash
+    signature table ``(doc_id, n_shingles, mh0..mh15)``.
+
+    The incremental-crawl story (the near-dup analogue of
+    ``bloom.bloom_build``'s history filter): signatures are ~100 bytes per
+    document — the 100 TB corpus text reduces to a parquet table a
+    thousandth its size, persisted once, and every later shard is
+    adjudicated against it WITHOUT rescanning history text: banding
+    (candidate generation) and signature-agreement Jaccard estimation
+    (verification) both derive from signatures alone.  Empty documents
+    (no shingles) carry no signature and never pair."""
+    return minhash_signatures(df, hash_impl=hash_impl).filter("n_shingles > 0")
+
+
+def lsh_index_merge(index: DataFrame, shard_sig: DataFrame) -> DataFrame:
+    """Append a shard's signatures to the index.  ``distinct`` makes
+    re-ingesting the same shard a no-op (the replay/idempotence contract
+    shared with the Bloom partial log — signatures are pure functions of
+    the text, so a re-crawl of unchanged content reproduces its row
+    exactly).  A doc_id re-ingested with CHANGED content keeps both rows;
+    callers that mutate documents in place must version or replace —
+    crawl ingest keys doc_id on a content hash (``warc.py``), which makes
+    that case unreachable there."""
+    return index.unionByName(shard_sig).distinct()
+
+
+def lsh_index_probe(
+    index: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    max_band_size: int = 100,
+    hash_impl: str = "portable",
+) -> DataFrame:
+    """New shard vs (index ∪ itself) → near-dup pairs
+    ``(doc_a, doc_b, est_jaccard)`` TOUCHING THE NEW SHARD — new×history
+    and new×new, never history×history (already adjudicated when those
+    shards arrived).
+
+    Candidate generation is the standard banding equi-join, with the
+    hot-band guard applied over the COMBINED (history + new) bucket
+    counts so probe results equal the full-batch
+    :func:`lsh_candidate_pairs` over the union restricted to pairs
+    touching the shard (tests pin that equivalence).  Verification is the
+    signature-agreement estimate ``est_jaccard = matching minhashes / 16``
+    — the property that makes the index sufficient: history TEXT is never
+    read again.  (1/16 granularity; pipelines wanting exact Jaccard on
+    the survivors can feed the pairs to :func:`ngram_jaccard_pairs` with
+    the shard + the matched history slice.)
+
+    One shuffle for the new shard's signatures, one short-key join for
+    banding, one join back to signatures for the estimate — at corpus
+    scale the index side is read from parquet with (band/doc) pruning,
+    never recomputed."""
+    new_sig = lsh_index_build(new_docs, hash_impl=hash_impl)
+    all_sig = lsh_index_merge(index, new_sig)
+    nb = signature_bands(new_sig)
+    ab = signature_bands(all_sig)
+    counts = (
+        ab.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_band_size)
+        .drop("_n")
+    )
+    ab = ab.join(counts, ["band_idx", "band_key"])
+    nb = nb.join(counts, ["band_idx", "band_key"])
+    pairs = (
+        nb.alias("l")
+        .join(
+            ab.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.least("l.doc_id", "r.doc_id").alias("doc_a"),
+            F.greatest("l.doc_id", "r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    agree = (
+        sum(
+            F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+            for i in range(N_MINHASH)
+        )
+        / float(N_MINHASH)
+    ).alias("est_jaccard")
+    return (
+        pairs.join(all_sig.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(all_sig.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", agree)
+        .filter(F.col("est_jaccard") >= threshold)
     )
 
 
