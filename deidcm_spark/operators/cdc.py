@@ -1,0 +1,117 @@
+"""Corpus snapshot diff (change data capture) and incremental
+reprocessing.
+
+A continuously-recrawled 100 TB corpus is re-snapshotted, not
+re-created: between snapshot T and T+1 almost every document is
+byte-identical, and the downstream pipeline (extract → deid → dedup →
+pack) should touch ONLY the delta.  This module computes that delta:
+
+* :func:`snapshot_fingerprint` — one deterministic md5 per document,
+  in-row (zero shuffles).  For interleaved corpus frames the
+  fingerprint covers the FULL span-sequence correctness surface in
+  order — kind, text, media_ref, offset per span (the same per-row
+  invariant the north rule checks) — so any span-level change flips it.
+  For flat text corpora it covers the text column.
+* :func:`snapshot_diff` — full outer join of two fingerprinted
+  snapshots on doc_id → ``(doc_id, change, fp_old, fp_new)`` with
+  change ∈ {added, removed, changed} (unchanged rows are dropped by
+  default; they are the ~100 TB that must NOT flow downstream).
+* :func:`select_reprocess` — the new-snapshot rows the pipeline must
+  actually process (added + changed), as a left-semi join; removed
+  doc_ids are served by anti-join at read time (parquet is immutable —
+  the same no-in-place-delete stance as ``maintenance.py``).
+
+Scale notes: the fingerprint is a projection; the diff is ONE shuffle
+per side on doc_id — and zero-exchange when both snapshots are written
+doc_id-bucketed (``sources.write_bucketed`` / ``register_bucketed``),
+the layout the deid lane already maintains.  Deterministic: md5 only,
+no wall-clock.
+
+Canonical string spec (shared with the pure-Python oracle in
+tests/test_cdc.py): spans are joined in ARRAY ORDER (span order is the
+correctness surface; the array is never re-sorted) as
+``kind \\x1e text \\x1e media_ref \\x1e offset`` with NULL text/media_ref
+encoded as the empty string and a ``\\x1d`` marker prefixed when the
+field IS null (so NULL and '' fingerprint differently), records joined
+by ``\\x1f``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# raw control characters interpolated directly into the SQL text (no
+# backslash escapes — the two-dialect literal-eating gotcha in CLAUDE.md)
+_FS = chr(0x1E)  # field separator inside one span
+_RS = chr(0x1F)  # record separator between spans
+_NULLMARK = chr(0x1D)  # distinguishes NULL from empty string
+
+
+def _nullsafe(field: str) -> str:
+    return (
+        f"CASE WHEN {field} IS NULL THEN '{_NULLMARK}' ELSE {field} END"
+    )
+
+
+def span_fingerprint_expr(spans_col: str = "spans") -> str:
+    """SQL expression: md5 over the ordered span sequence (see module
+    docstring for the canonical string spec)."""
+    rec = (
+        f"concat_ws('{_FS}', s.kind, {_nullsafe('s.text')}, "
+        f"{_nullsafe('s.media_ref')}, cast(s.offset as string))"
+    )
+    return (
+        f"md5(array_join(transform({spans_col}, s -> {rec}), '{_RS}'))"
+    )
+
+
+def snapshot_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): one md5 per document, computed in-row.
+
+    Corpus frames (a ``spans`` column) fingerprint the full ordered span
+    sequence; flat corpora fingerprint ``text_col`` (NULL text gets the
+    ``\\x1d`` marker so NULL ≠ '')."""
+    if "spans" in df.columns:
+        fp = F.expr(span_fingerprint_expr("spans"))
+    else:
+        fp = F.expr(f"md5({_nullsafe(text_col)})")
+    return df.select("doc_id", fp.alias("fp"))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Two snapshots → ``(doc_id, change, fp_old, fp_new)``.
+
+    change ∈ {'added', 'removed', 'changed'} (plus 'unchanged' when
+    ``include_unchanged`` — off by default: at snapshot cadence the
+    unchanged mass IS the corpus and must not leave this operator)."""
+    o = snapshot_fingerprint(old, text_col).withColumnRenamed("fp", "fp_old")
+    n = snapshot_fingerprint(new, text_col).withColumnRenamed("fp", "fp_new")
+    j = o.join(n, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select("doc_id", change.alias("change"), "fp_old", "fp_new")
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out
+
+
+def snapshot_diff_stats(diff: DataFrame) -> DataFrame:
+    """(change, n_docs): one aggregation over the (already small) delta."""
+    return diff.groupBy("change").agg(F.count("*").alias("n_docs"))
+
+
+def select_reprocess(new: DataFrame, diff: DataFrame) -> DataFrame:
+    """The new-snapshot rows the pipeline must process: added + changed,
+    via left-semi join (the delta side is small → AQE broadcasts it;
+    no hint forced, per the select_token_budget lesson)."""
+    ids = diff.filter(F.col("change").isin("added", "changed")).select("doc_id")
+    return new.join(ids, "doc_id", "left_semi")

@@ -1,0 +1,141 @@
+"""Snapshot diff / CDC (operators/cdc.py): fingerprints bit-for-bit vs a
+pure-Python re-derivation of the canonical-string spec, diff semantics
+over both corpus shapes, and the incremental-reprocess slice."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from deidcm_spark.operators.cdc import (
+    select_reprocess,
+    snapshot_diff,
+    snapshot_diff_stats,
+    snapshot_fingerprint,
+)
+from deidcm_spark.schema import DOCUMENTS_SCHEMA
+
+FS, RS, NM = chr(0x1E), chr(0x1F), chr(0x1D)
+
+
+def oracle_span_fp(spans) -> str:
+    recs = []
+    for kind, text, media_ref, offset in spans:
+        recs.append(
+            FS.join(
+                [
+                    kind,
+                    NM if text is None else text,
+                    NM if media_ref is None else media_ref,
+                    str(offset),
+                ]
+            )
+        )
+    return hashlib.md5(RS.join(recs).encode("utf8")).hexdigest()
+
+
+def _frame(spark, docs):
+    return spark.createDataFrame(
+        [(d, [tuple(s) for s in spans]) for d, spans in docs], DOCUMENTS_SCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def old_frame(spark):
+    return _frame(
+        spark,
+        [
+            ("a", [("text", "hello", None, 0), ("media", None, "m/1", 1)]),
+            ("b", [("text", "stable doc", None, 0)]),
+            ("c", [("text", "will change", None, 0)]),
+            ("d", [("text", "will vanish", None, 0)]),
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def new_frame(spark):
+    return _frame(
+        spark,
+        [
+            ("a", [("text", "hello", None, 0), ("media", None, "m/1", 1)]),
+            ("b", [("text", "stable doc", None, 0)]),
+            ("c", [("text", "did change", None, 0)]),
+            ("e", [("text", "brand new", None, 0)]),
+        ],
+    )
+
+
+def test_span_fingerprint_matches_oracle(spark, old_frame):
+    got = {r["doc_id"]: r["fp"] for r in snapshot_fingerprint(old_frame).collect()}
+    assert got["a"] == oracle_span_fp(
+        [("text", "hello", None, 0), ("media", None, "m/1", 1)]
+    )
+    assert got["b"] == oracle_span_fp([("text", "stable doc", None, 0)])
+
+
+def test_fingerprint_sensitivity(spark):
+    """Every field of the span-sequence correctness surface flips the fp:
+    kind, text, media_ref, offset, order, NULL-vs-empty."""
+    base = [("text", "x", None, 0), ("media", None, "m/1", 1)]
+    variants = [
+        [("attr", "x", None, 0), ("media", None, "m/1", 1)],   # kind
+        [("text", "y", None, 0), ("media", None, "m/1", 1)],   # text
+        [("text", "x", None, 0), ("media", None, "m/2", 1)],   # media_ref
+        [("text", "x", None, 0), ("media", None, "m/1", 2)],   # offset
+        [("media", None, "m/1", 1), ("text", "x", None, 0)],   # order
+        [("text", "", None, 0), ("media", None, "m/1", 1)],    # NULL vs ''
+    ]
+    fps = {oracle_span_fp(v) for v in variants}
+    assert len(fps) == len(variants)
+    assert oracle_span_fp(base) not in fps
+
+
+def test_snapshot_diff_frames(spark, old_frame, new_frame):
+    got = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(old_frame, new_frame).collect()
+    }
+    assert got == {"c": "changed", "d": "removed", "e": "added"}
+    with_unchanged = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(old_frame, new_frame, include_unchanged=True).collect()
+    }
+    assert with_unchanged["a"] == "unchanged" and with_unchanged["b"] == "unchanged"
+    stats = {
+        r["change"]: r["n_docs"]
+        for r in snapshot_diff_stats(snapshot_diff(old_frame, new_frame)).collect()
+    }
+    assert stats == {"changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_flat_text(spark):
+    old = spark.createDataFrame(
+        [("1", "aaa"), ("2", "bbb"), ("3", None), ("4", "")],
+        "doc_id string, text string",
+    )
+    new = spark.createDataFrame(
+        [("1", "aaa"), ("2", "BBB"), ("3", ""), ("5", "eee")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    # NULL -> '' is a change (the null marker), '4' removed, '5' added
+    assert got == {"2": "changed", "3": "changed", "4": "removed", "5": "added"}
+
+
+def test_select_reprocess(spark, old_frame, new_frame):
+    diff = snapshot_diff(old_frame, new_frame)
+    got = {r["doc_id"] for r in select_reprocess(new_frame, diff).collect()}
+    assert got == {"c", "e"}
+    # reprocess rows carry the full new-snapshot schema
+    assert select_reprocess(new_frame, diff).columns == new_frame.columns
+
+
+def test_fingerprint_zero_exchange_plan(spark, old_frame):
+    """The fingerprint is a projection: no Exchange in its plan."""
+    df = snapshot_fingerprint(old_frame)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
