@@ -508,6 +508,169 @@ def bootstrap_bloom_log(bloom: DataFrame, filter_dir: str) -> None:
     _idempotent_write(bloom, -1, filter_dir)
 
 
+def _neardup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    index_dir: str,
+    threshold: float,
+    max_band_size: int,
+    hash_impl: str,
+) -> None:
+    """One micro-batch of the LSH-gated ingest (module-level so tests can
+    exercise the replay contract directly).
+
+    Same correctness ordering as :func:`_bloom_ingest_batch`:
+
+    1. compact the signature partial log EXCLUDING this batch_id (a
+       replayed batch must probe the state its first attempt saw);
+    2. within-batch doc_id dedup (one row per doc_id);
+    3. probe: near-dup pairs touching this batch
+       (``dedup.lsh_index_probe`` — history text is never rescanned).
+       Drop policy: a batch doc pairing with HISTORY always drops
+       (history is canonical regardless of id order); a batch doc
+       pairing only inside the batch drops unless it is the pair's
+       smaller doc_id (the ``dedup_decisions`` rule);
+    4. idempotent fresh-document write (partition batch_id=N);
+    5. idempotent signature-partial write of the KEPT docs only — the
+       index mirrors the SURVIVING corpus, so a later re-crawl of a
+       dropped near-dup re-pairs with its kept winner and drops again,
+       while the index never accumulates rows for documents the corpus
+       does not hold.  (Bloom absorbs its whole batch because set bits
+       are free; signatures are rows.)
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window, functions as F
+
+    from deidcm_spark.operators.dedup import lsh_index_build, lsh_index_probe
+
+    spark = batch_df.sparkSession
+    try:
+        prior = (
+            spark.read.parquet(index_dir)
+            .filter(F.col("batch_id") != int(batch_id))
+            .drop("batch_id")
+            .distinct()
+        )
+    except AnalysisException as e:  # first batch ever: no log yet.  ONLY
+        # path-not-found may fall back to an empty index — anything else
+        # (corrupt/unreadable log) must FAIL the batch, or every
+        # historical near-dup would be re-admitted
+        cond = getattr(e, "getCondition", e.getErrorClass)()
+        if cond != "PATH_NOT_FOUND":
+            raise
+        # empty index with the RIGHT schema (doc_id type follows the batch)
+        prior = lsh_index_build(batch_df.limit(0), hash_impl=hash_impl)
+
+    batch_df = batch_df.persist()
+    try:
+        first = (
+            batch_df.withColumn(
+                "_rk",
+                F.row_number().over(
+                    # deterministic pick among same-doc_id rows
+                    Window.partitionBy("doc_id").orderBy(
+                        F.col("text").asc_nulls_first()
+                    )
+                ),
+            )
+            .filter("_rk = 1")
+            .drop("_rk")
+        )
+        pairs = lsh_index_probe(
+            prior, first, threshold=threshold,
+            max_band_size=max_band_size, hash_impl=hash_impl,
+        )
+        batch_ids = first.select("doc_id")
+        tagged = (
+            pairs.join(
+                batch_ids.withColumnRenamed("doc_id", "doc_a")
+                .withColumn("_a_new", F.lit(True)),
+                "doc_a", "left",
+            )
+            .join(
+                batch_ids.withColumnRenamed("doc_id", "doc_b")
+                .withColumn("_b_new", F.lit(True)),
+                "doc_b", "left",
+            )
+        )
+        drops = tagged.select(
+            F.when(~F.coalesce("_a_new", F.lit(False)), F.col("doc_b"))  # a=history
+            .when(~F.coalesce("_b_new", F.lit(False)), F.col("doc_a"))   # b=history
+            .otherwise(F.col("doc_b"))  # both new: keep the smaller id
+            .alias("doc_id")
+        ).distinct()
+        fresh = first.join(drops, "doc_id", "left_anti")
+        _idempotent_write(fresh, batch_id, out_dir)
+        _idempotent_write(
+            lsh_index_build(fresh, hash_impl=hash_impl), batch_id, index_dir
+        )
+    finally:
+        batch_df.unpersist()
+
+
+def stream_neardup_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    threshold: float = 0.8,
+    max_band_size: int = 100,
+    hash_impl: str = "fast",
+    schema: str = "doc_id long, text string, lang string, source string",
+    available_now: bool = True,
+):
+    """Continuous-crawl ingest with incremental NEAR-dup gating: documents
+    landing in ``in_dir`` are probed against the minhash-signature index
+    of everything already KEPT (``dedup.lsh_index_probe`` — banding +
+    signature-agreement Jaccard, history text never rescanned); survivors
+    reach ``out_dir`` and their signatures extend the index as an
+    append-only partial log in ``index_dir`` (compact with
+    :func:`read_lsh_log`; bootstrap from a batch-built index with
+    :func:`bootstrap_lsh_log`).
+
+    The Bloom gate (:func:`stream_bloom_ingest`) kills exact re-crawls;
+    this lane kills boilerplate-level near-dups (mirror pages, template
+    spam) the moment they arrive instead of in the next full-corpus dedup
+    sweep.  Exactly-once by the same partial-log + idempotent-partition
+    contract (see :func:`_neardup_ingest_batch`)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _neardup_ingest_batch(
+            batch_df, batch_id, out_dir, index_dir,
+            threshold, max_band_size, hash_impl,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_lsh_log(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Compact the streaming signature partial log into one index table —
+    interchangeable with a batch-built ``dedup.lsh_index_build`` over the
+    kept corpus (probe new shards with ``dedup.lsh_index_probe``)."""
+    return spark.read.parquet(index_dir).drop("batch_id").distinct()
+
+
+def bootstrap_lsh_log(index: DataFrame, index_dir: str) -> None:
+    """Seed a streaming signature log from a batch-built index
+    (historical corpus summarized once with ``dedup.lsh_index_build``):
+    lands as partition ``batch_id=-1``, which no streaming epoch ever
+    overwrites."""
+    _idempotent_write(index, -1, index_dir)
+
+
 # binaryFile's fixed schema — the streaming source demands it explicitly
 _BINARY_FILE_SCHEMA = (
     "path string, modificationTime timestamp, length long, content binary"

@@ -104,3 +104,77 @@ def test_index_round_trips_through_parquet(spark, history, shard, tmp_path):
         for r in dedup.lsh_index_probe(idx, shard, threshold=0.9).collect()
     }
     assert (1, 10) in got and (12, 13) in got
+
+
+# ---------- streaming LSH-gated ingest ----------
+
+NEW1 = "brand new unique document text that matches nothing else at all"
+NEW2 = "some other entirely separate piece of writing about distributed engines"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(d, t, "", "") for d, t in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_stream_neardup_ingest_two_drops(spark, tmp_path):
+    from deidcm_spark.streaming import read_lsh_log, stream_neardup_ingest
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "index")
+    # drop 1: two docs + a within-batch exact near-dup (same text, higher id)
+    _docs(spark, [(1, BASE), (2, NEW2), (9, BASE)]) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_neardup_ingest(spark, in_dir, out, ckpt, idx, threshold=0.9)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}  # within-batch dup collapsed to the min doc_id
+    # drop 2: a re-crawl of doc 1's text (drops against HISTORY even though
+    # its id is smaller than nothing in-batch) plus one genuinely new doc
+    _docs(spark, [(20, BASE), (3, NEW1)]) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_neardup_ingest(spark, in_dir, out, ckpt, idx, threshold=0.9)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 3}
+    # the compacted log equals a batch-built index over the KEPT corpus
+    log = {tuple(r) for r in read_lsh_log(spark, idx).collect()}
+    kept = _docs(spark, [(1, BASE), (2, NEW2), (3, NEW1)])
+    batch_idx = {tuple(r) for r in dedup.lsh_index_build(kept, "fast").collect()}
+    assert log == batch_idx
+
+
+def test_neardup_ingest_replay_emits_same_fresh_docs(spark, tmp_path):
+    """Replay contract: the same batch_id twice (second run = replay after
+    the first wrote its signature partial) emits the same fresh rows."""
+    from deidcm_spark.streaming import _neardup_ingest_batch
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    batch = _docs(spark, [(1, BASE), (2, NEW2)])
+    for attempt in range(2):
+        _neardup_ingest_batch(batch, 0, out, idx, 0.9, 100, "fast")
+        got = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got == {1, 2}, f"attempt {attempt}"
+    # a LATER batch is gated by batch 0's signatures
+    _neardup_ingest_batch(_docs(spark, [(7, NEW2), (8, NEW1)]), 1, out, idx,
+                          0.9, 100, "fast")
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 8}
+
+
+def test_bootstrap_lsh_log(spark, tmp_path):
+    from deidcm_spark.streaming import _neardup_ingest_batch, bootstrap_lsh_log
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    history = _docs(spark, [(100, BASE), (101, NEW2)])
+    bootstrap_lsh_log(dedup.lsh_index_build(history, "fast"), idx)
+    _neardup_ingest_batch(_docs(spark, [(1, BASE), (2, NEW1)]), 0, out, idx,
+                          0.9, 100, "fast")
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {2}  # doc 1 near-dups the bootstrapped history
