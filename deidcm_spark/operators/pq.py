@@ -1,0 +1,306 @@
+"""Product quantization (PQ) for embedding compression + ANN search
+(Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search", IEEE TPAMI 2011 — public method).
+
+At 100 TB an ``array<float>`` embedding column dominates storage: 64
+float32 dims = 256 bytes/row.  PQ splits each vector into ``m``
+subvectors, quantizes each against its own ``ksub``-centroid codebook,
+and stores only the code indices — ``m`` small ints per row (m=4,
+ksub=16 → the 256-byte column becomes 4 codes), while search runs on
+the CODES table via asymmetric distance computation (ADC): the query
+is NOT quantized; its exact distance to every centroid of every
+subspace is a tiny m x ksub lookup table computed once driver-side,
+and each row's approximate distance is a sum of m table lookups.
+
+Spark mapping (mirrors ``similarity.py``'s IVF conventions):
+
+* ``pq_train`` — deterministic codebooks: seeds from the md5-ordered
+  sample (no RNG), optional Lloyd passes expressed as DataFrame ops
+  (assign = the encode kernel, re-center = posexplode + groupBy avg).
+  The codebook (m x ksub x d/m floats, k x d total) is the ONLY
+  collect, same bound as ``ivf_centroids``.
+* ``pq_encode`` — one vectorized pandas-UDF projection, zero shuffles:
+  the Arrow batch stacks into an (n, d) matrix and each subspace is one
+  broadcasting distance computation + argmin.  The output codes table
+  is what gets persisted; encoding happens once per corpus, not per
+  query.
+* ``pq_search`` — the hot path is PURE JVM: the LUT rides into the plan
+  as a nested array literal and the score is
+  ``aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c+1)), ...)``
+  — whole-stage codegen over the codes scan, then top-k =
+  TakeOrderedAndProject (partial per partition, no global sort).  With
+  ``rerank=N`` the ADC shortlist (N rows) joins back to the original
+  embeddings for exact re-scoring — the standard recall repair, and the
+  join side is shortlist-sized so AQE broadcasts it.
+
+Distances are squared L2 (the PQ-native metric).  On L2-normalized
+vectors squared L2 = 2 - 2*cosine, so ascending L2 ranking on a
+normalized corpus is exactly descending-cosine ranking — callers
+wanting cosine semantics normalize first (``normalize=True`` on
+``pq_train``/``pq_encode``/``pq_search`` applies the same in-row
+normalization everywhere).
+
+Determinism: seeding and tie-breaks are md5/argmin-lowest-index; the
+encode kernel and the tests' numpy oracle perform the identical
+float64 operations in the identical order, so codes and ADC scores are
+bit-reproducible (Lloyd re-centering uses Spark ``avg`` like
+``ivf_centroids`` — deterministic for a fixed layout; tests pin
+two-run equality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_search",
+    "adc_table",
+    "l2_brute_force",
+]
+
+# squared L2 between two array<float/double> columns, left-to-right fold
+_SQL2_EXPR = (
+    "aggregate(zip_with({x}, {y}, (a, b) -> (cast(a as double) - cast(b as double))"
+    " * (cast(a as double) - cast(b as double))), 0D, (acc, v) -> acc + v)"
+)
+
+_NORM_EXPR = (
+    "transform({x}, v -> cast(v as double) /"
+    " greatest(sqrt(aggregate({x}, 0D, (acc, u) ->"
+    " acc + cast(u as double) * cast(u as double))), 1e-12D))"
+)
+
+
+def _check_geometry(dim: int, m: int, ksub: int) -> None:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m={m} must divide the embedding dim {dim}")
+    if ksub < 1 or ksub > 256:
+        raise ValueError(f"ksub={ksub} out of range [1, 256] (codes are bytes at scale)")
+
+
+def _normalize_rows(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _encode_matrix(M: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float64 matrix -> (n, m) int32 codes.  Shared between the
+    executor kernel and the tests' oracle twin: identical broadcasting
+    subtract/square/sum/argmin in float64, so codes match bit for bit."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((M.shape[0], m), dtype=np.int32)
+    for s in range(m):
+        X = M[:, s * dsub:(s + 1) * dsub]
+        D = ((X[:, None, :] - books[None, s]) ** 2).sum(axis=-1)
+        codes[:, s] = np.argmin(D, axis=1)  # ties -> lowest code
+    return codes
+
+
+def _encode_udf(codebooks: list[list[list[float]]], normalize: bool):
+    books = np.asarray(codebooks, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(embedding: pd.Series) -> pd.Series:
+        M = np.stack(embedding.to_numpy()).astype(np.float64)
+        if normalize:
+            M = _normalize_rows(M)
+        codes = _encode_matrix(M, books)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    lloyd_iters: int = 1,
+    normalize: bool = False,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train the PQ codebooks: ``codebooks[sub][code]`` is a d/m-dim
+    centroid.  Seeds are the first ``ksub`` vectors in deterministic
+    md5(id) order (hash sample, retry-stable), split into their m
+    subvectors; each Lloyd pass assigns codes with the encode kernel and
+    re-centers via posexplode + groupBy avg — the collect is bounded by
+    the codebook size (m * ksub * d/m = ksub * d values), never by the
+    corpus."""
+    first = emb.select(embedding_col).head()
+    if first is None:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    dim = len(first[0])
+    _check_geometry(dim, m, ksub)
+    dsub = dim // m
+
+    src = emb.select(id_col, embedding_col)
+    if normalize:
+        src = src.withColumn(embedding_col, F.expr(_NORM_EXPR.format(x=embedding_col)))
+    seeds = (
+        src.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(ksub)
+        .select(embedding_col)
+        .collect()
+    )
+    vecs = [list(r[0]) for r in seeds]
+    books = [
+        [v[s * dsub:(s + 1) * dsub] for v in vecs]
+        for s in range(m)
+    ]
+    # corpus smaller than ksub: fewer codes, clamp like ivf_centroids
+    ksub_eff = len(vecs)
+    for _ in range(lloyd_iters):
+        # normalize=False here: src is already normalized when requested
+        enc = src.withColumn("codes", _encode_udf(books, False)(F.col(embedding_col)))
+        means = (
+            enc.select("codes", F.posexplode(embedding_col).alias("d", "v"))
+            .select(
+                (F.col("d") / dsub).cast("int").alias("sub"),
+                F.expr(f"element_at(codes, cast(d / {dsub} as int) + 1)").alias("code"),
+                (F.col("d") % dsub).alias("dd"),
+                "v",
+            )
+            .groupBy("sub", "code", "dd")
+            .agg(F.avg("v").alias("mean"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            acc.setdefault((r["sub"], r["code"]), {})[r["dd"]] = r["mean"]
+        books = [
+            [
+                [acc[(s, c)][d] for d in range(dsub)]
+                if (s, c) in acc else books[s][c]  # empty code keeps its seed
+                for c in range(ksub_eff)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    normalize: bool = False,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus -> the persistable codes table ``(id, codes array<int>)``.
+    One vectorized projection, zero exchanges; this is the compression
+    step run once per corpus (the 100 TB float column reduces ~d*4/m x)."""
+    src = emb
+    if normalize:
+        src = src.withColumn(embedding_col, F.expr(_NORM_EXPR.format(x=embedding_col)))
+    return src.select(
+        id_col,
+        _encode_udf(codebooks, False)(F.col(embedding_col)).alias("codes"),
+    )
+
+
+def adc_table(query: list[float], codebooks: list[list[list[float]]],
+              normalize: bool = False) -> list[list[float]]:
+    """The m x ksub asymmetric-distance lookup table: exact squared L2
+    from each query SUBVECTOR to each centroid of its subspace.  Tiny —
+    computed once driver-side per query, shipped as a plan literal."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    if normalize:
+        q = q / max(np.linalg.norm(q), 1e-12)
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != codebook dim {m * dsub}")
+    lut = ((q.reshape(m, 1, dsub) - books) ** 2).sum(axis=-1)
+    return [[float(v) for v in row] for row in lut]
+
+
+def _lut_literal(lut: list[list[float]]):
+    return F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in lut])
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    rerank: int | None = None,
+    emb: DataFrame | None = None,
+    normalize: bool = False,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the codes table -> ``(id, adc_dist)`` ascending
+    (squared-L2 estimate, 6 dp).  The scoring expression is pure JVM
+    codegen (LUT literal + zip_with/element_at fold) and top-k is
+    TakeOrderedAndProject — no Python, no global sort, at any corpus
+    size.
+
+    ``rerank=N`` (requires ``emb``): keep the N best ADC rows, join back
+    to the original embeddings (shortlist-sized side — AQE broadcasts
+    it), score exact squared L2, return the true top-k of the shortlist
+    as ``(id, l2_dist)`` — the standard PQ recall repair."""
+    if rerank is not None and emb is None:
+        raise ValueError("rerank requires the original embeddings DataFrame")
+    lut = adc_table(query, codebooks, normalize=normalize)
+    scored = codes.withColumn("_lut", _lut_literal(lut)).select(
+        id_col,
+        F.expr(
+            "round(aggregate(zip_with(codes, _lut, (c, r) -> element_at(r, c + 1)),"
+            " 0D, (acc, v) -> acc + v), 6)"
+        ).alias("adc_dist"),
+    )
+    shortlist = scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(
+        rerank if rerank is not None else k
+    )
+    if rerank is None:
+        return shortlist
+    src = emb
+    if normalize:
+        src = src.withColumn(embedding_col, F.expr(_NORM_EXPR.format(x=embedding_col)))
+    q = adc_query_vector(query, normalize)
+    reranked = (
+        shortlist.select(id_col)
+        .join(src.select(id_col, embedding_col), id_col)
+        .withColumn("_q", F.array(*[F.lit(v) for v in q]))
+        .select(
+            id_col,
+            F.expr(
+                "round(" + _SQL2_EXPR.format(x=embedding_col, y="_q") + ", 6)"
+            ).alias("l2_dist"),
+        )
+    )
+    return reranked.orderBy(F.col("l2_dist").asc(), F.col(id_col)).limit(k)
+
+
+def adc_query_vector(query: list[float], normalize: bool) -> list[float]:
+    q = np.asarray(query, dtype=np.float64)
+    if normalize:
+        q = q / max(np.linalg.norm(q), 1e-12)
+    return [float(v) for v in q]
+
+
+def l2_brute_force(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    normalize: bool = False,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact squared-L2 top-k — the recall baseline for PQ (the L2 twin
+    of ``similarity.ann_brute_force``)."""
+    src = emb
+    if normalize:
+        src = src.withColumn(embedding_col, F.expr(_NORM_EXPR.format(x=embedding_col)))
+    q = adc_query_vector(query, normalize)
+    scored = src.withColumn("_q", F.array(*[F.lit(v) for v in q])).select(
+        id_col,
+        F.expr("round(" + _SQL2_EXPR.format(x=embedding_col, y="_q") + ", 6)").alias(
+            "l2_dist"
+        ),
+    )
+    return scored.orderBy(F.col("l2_dist").asc(), F.col(id_col)).limit(k)
