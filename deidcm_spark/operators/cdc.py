@@ -30,10 +30,17 @@ no wall-clock.
 Canonical string spec (shared with the pure-Python oracle in
 tests/test_cdc.py): spans are joined in ARRAY ORDER (span order is the
 correctness surface; the array is never re-sorted) as
-``kind \\x1e text \\x1e media_ref \\x1e offset`` with NULL text/media_ref
-encoded as the empty string and a ``\\x1d`` marker prefixed when the
-field IS null (so NULL and '' fingerprint differently), records joined
-by ``\\x1f``.
+``kind \\x1e text \\x1e media_ref \\x1e offset``, records joined by
+``\\x1f``.  Every variable-length field is LENGTH-PREFIXED
+(``len:value``, char length) and NULL is the bare ``\\x1d`` marker —
+the prefix makes the encoding INJECTIVE: without it a span text
+containing the separator bytes could make two different span sequences
+produce the same canonical string (one span embedding
+``…\\x1f<next record>`` is indistinguishable from two spans), i.e. a
+changed document silently classified unchanged and dropped from the
+reprocess slice.  A bare marker can't be confused with a prefixed
+value (prefixes start with a digit), and the offset field is all
+digits, so the string parses back unambiguously left to right.
 """
 
 from __future__ import annotations
@@ -48,8 +55,10 @@ _NULLMARK = chr(0x1D)  # distinguishes NULL from empty string
 
 
 def _nullsafe(field: str) -> str:
+    """Length-prefixed (injective) encoding; NULL is the bare marker."""
     return (
-        f"CASE WHEN {field} IS NULL THEN '{_NULLMARK}' ELSE {field} END"
+        f"CASE WHEN {field} IS NULL THEN '{_NULLMARK}' "
+        f"ELSE concat(cast(length({field}) as string), ':', {field}) END"
     )
 
 
@@ -57,7 +66,7 @@ def span_fingerprint_expr(spans_col: str = "spans") -> str:
     """SQL expression: md5 over the ordered span sequence (see module
     docstring for the canonical string spec)."""
     rec = (
-        f"concat_ws('{_FS}', s.kind, {_nullsafe('s.text')}, "
+        f"concat_ws('{_FS}', {_nullsafe('s.kind')}, {_nullsafe('s.text')}, "
         f"{_nullsafe('s.media_ref')}, cast(s.offset as string))"
     )
     return (

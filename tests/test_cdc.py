@@ -20,19 +20,15 @@ from deidcm_spark.schema import DOCUMENTS_SCHEMA
 FS, RS, NM = chr(0x1E), chr(0x1F), chr(0x1D)
 
 
+def _lp(v) -> str:
+    # length-prefixed field (injective); NULL is the bare marker
+    return NM if v is None else f"{len(v)}:{v}"
+
+
 def oracle_span_fp(spans) -> str:
     recs = []
     for kind, text, media_ref, offset in spans:
-        recs.append(
-            FS.join(
-                [
-                    kind,
-                    NM if text is None else text,
-                    NM if media_ref is None else media_ref,
-                    str(offset),
-                ]
-            )
-        )
+        recs.append(FS.join([_lp(kind), _lp(text), _lp(media_ref), str(offset)]))
     return hashlib.md5(RS.join(recs).encode("utf8")).hexdigest()
 
 
@@ -91,6 +87,30 @@ def test_fingerprint_sensitivity(spark):
     fps = {oracle_span_fp(v) for v in variants}
     assert len(fps) == len(variants)
     assert oracle_span_fp(base) not in fps
+
+
+def test_fingerprint_injective_on_separator_bytes(spark):
+    """Without length prefixes these two DIFFERENT documents produced the
+    SAME canonical string (one span whose text embeds
+    ``…\\x1e\\x1d\\x1e0\\x1f<record 2>`` concatenates identically to two
+    spans) — i.e. a changed snapshot row silently classified unchanged.
+    The length-prefixed spec separates them, Spark ≡ oracle on both, and
+    texts containing every separator byte round through Spark intact."""
+    two = [("text", "x", None, 0), ("text", "y", None, 0)]
+    one = [("text", f"x{FS}{NM}{FS}0{RS}text{FS}y", None, 0)]
+    nasty = [("text", f"{NM}", None, 0), ("text", f"a{FS}b{RS}c{NM}", "m/1", 1)]
+    df = _frame(spark, [("two", two), ("one", one), ("nasty", nasty)])
+    got = {r["doc_id"]: r["fp"] for r in snapshot_fingerprint(df).collect()}
+    assert got["two"] != got["one"]
+    assert got["two"] == oracle_span_fp(two)
+    assert got["one"] == oracle_span_fp(one)
+    assert got["nasty"] == oracle_span_fp(nasty)
+    # flat-text lane: NULL, '', and the bare marker all fingerprint apart
+    flat = spark.createDataFrame(
+        [(1, None), (2, ""), (3, NM)], "doc_id bigint, text string"
+    )
+    flat_fps = [r["fp"] for r in snapshot_fingerprint(flat).collect()]
+    assert len(set(flat_fps)) == 3
 
 
 def test_snapshot_diff_frames(spark, old_frame, new_frame):
