@@ -70,11 +70,25 @@ _SQL2_EXPR = (
     " * (cast(a as double) - cast(b as double))), 0D, (acc, v) -> acc + v)"
 )
 
-_NORM_EXPR = (
-    "transform({x}, v -> cast(v as double) /"
-    " greatest(sqrt(aggregate({x}, 0D, (acc, u) ->"
-    " acc + cast(u as double) * cast(u as double))), 1e-12D))"
+# NOTE: the norm must NOT live inside the transform lambda — HOF lambdas
+# get no common-subexpression elimination, so the aggregate would
+# re-evaluate per element (textops' measured 15x pitfall).  _normalized
+# layers two projections instead: norm once, then the divide.
+_NORM_AGG = (
+    "greatest(sqrt(aggregate({x}, 0D, (acc, u) ->"
+    " acc + cast(u as double) * cast(u as double))), 1e-12D)"
 )
+
+
+def _normalized(df: DataFrame, embedding_col: str) -> DataFrame:
+    return (
+        df.withColumn("_emb_norm", F.expr(_NORM_AGG.format(x=embedding_col)))
+        .withColumn(
+            embedding_col,
+            F.expr(f"transform({embedding_col}, v -> cast(v as double) / _emb_norm)"),
+        )
+        .drop("_emb_norm")
+    )
 
 
 def _check_geometry(dim: int, m: int, ksub: int) -> None:
@@ -82,10 +96,6 @@ def _check_geometry(dim: int, m: int, ksub: int) -> None:
         raise ValueError(f"m={m} must divide the embedding dim {dim}")
     if ksub < 1 or ksub > 256:
         raise ValueError(f"ksub={ksub} out of range [1, 256] (codes are bytes at scale)")
-
-
-def _normalize_rows(M: np.ndarray) -> np.ndarray:
-    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
 def _encode_matrix(M: np.ndarray, books: np.ndarray) -> np.ndarray:
@@ -101,14 +111,14 @@ def _encode_matrix(M: np.ndarray, books: np.ndarray) -> np.ndarray:
     return codes
 
 
-def _encode_udf(codebooks: list[list[list[float]]], normalize: bool):
+def _encode_udf(codebooks: list[list[list[float]]]):
+    # normalization happens in the JVM projection (_normalized) BEFORE
+    # this stage, so the kernel sees final vectors in every mode
     books = np.asarray(codebooks, dtype=np.float64)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def encode(embedding: pd.Series) -> pd.Series:
         M = np.stack(embedding.to_numpy()).astype(np.float64)
-        if normalize:
-            M = _normalize_rows(M)
         codes = _encode_matrix(M, books)
         return pd.Series(list(codes))
 
@@ -140,7 +150,7 @@ def pq_train(
 
     src = emb.select(id_col, embedding_col)
     if normalize:
-        src = src.withColumn(embedding_col, F.expr(_NORM_EXPR.format(x=embedding_col)))
+        src = _normalized(src, embedding_col)
     seeds = (
         src.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
         .limit(ksub)
@@ -156,7 +166,7 @@ def pq_train(
     ksub_eff = len(vecs)
     for _ in range(lloyd_iters):
         # normalize=False here: src is already normalized when requested
-        enc = src.withColumn("codes", _encode_udf(books, False)(F.col(embedding_col)))
+        enc = src.withColumn("codes", _encode_udf(books)(F.col(embedding_col)))
         means = (
             enc.select("codes", F.posexplode(embedding_col).alias("d", "v"))
             .select(
@@ -195,10 +205,10 @@ def pq_encode(
     step run once per corpus (the 100 TB float column reduces ~d*4/m x)."""
     src = emb
     if normalize:
-        src = src.withColumn(embedding_col, F.expr(_NORM_EXPR.format(x=embedding_col)))
+        src = _normalized(src, embedding_col)
     return src.select(
         id_col,
-        _encode_udf(codebooks, False)(F.col(embedding_col)).alias("codes"),
+        _encode_udf(codebooks)(F.col(embedding_col)).alias("codes"),
     )
 
 
@@ -260,7 +270,7 @@ def pq_search(
         return shortlist
     src = emb
     if normalize:
-        src = src.withColumn(embedding_col, F.expr(_NORM_EXPR.format(x=embedding_col)))
+        src = _normalized(src, embedding_col)
     q = adc_query_vector(query, normalize)
     reranked = (
         shortlist.select(id_col)
@@ -295,7 +305,7 @@ def l2_brute_force(
     of ``similarity.ann_brute_force``)."""
     src = emb
     if normalize:
-        src = src.withColumn(embedding_col, F.expr(_NORM_EXPR.format(x=embedding_col)))
+        src = _normalized(src, embedding_col)
     q = adc_query_vector(query, normalize)
     scored = src.withColumn("_q", F.array(*[F.lit(v) for v in q])).select(
         id_col,
