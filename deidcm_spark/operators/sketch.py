@@ -76,6 +76,7 @@ def hll_build(
     value_col: str = "text",
     p: int = 12,
     hash_impl: str = "portable",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """value column → HLL register table ``(register_idx, max_rho)``.
 
@@ -83,8 +84,14 @@ def hll_build(
     map-side, so the shuffle carries at most ``2^p`` rows per map task
     regardless of corpus size.  NULL values are skipped (a NULL is not a
     distinct value).  ``fast`` uses the full signed xxhash64 range folded
-    to 60 bits so rho arithmetic is shared."""
+    to 60 bits so rho arithmetic is shared.
+
+    ``group_cols`` keys the registers per group (``(…groups,
+    register_idx, max_rho)``, ≤ 2^p rows PER GROUP — the dataset-card
+    shape: distinct URLs/fingerprints per source×lang in one pass,
+    identical to building each group's sketch separately)."""
     _check_hll_p(p)
+    g = list(group_cols or [])
     rest_bits = HLL_HASH_BITS - p
     h = _hash_expr(value_col, hash_impl)
     if hash_impl == "fast":
@@ -92,8 +99,9 @@ def hll_build(
         h = f"pmod({h}, {1 << HLL_HASH_BITS})"
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(F.expr(h).alias("_h"))
+        .select(*g, F.expr(h).alias("_h"))
         .select(
+            *g,
             F.expr(f"cast(_h div {1 << rest_bits} as int)").alias("register_idx"),
             # bit_length via conv-to-binary string length: exact integer
             # logic (conv emits no leading zeros; see module docstring for
@@ -104,31 +112,39 @@ def hll_build(
                 f"END) + 1 as int)"
             ).alias("_rho"),
         )
-        .groupBy("register_idx")
+        .groupBy(*g, "register_idx")
         .agg(F.max("_rho").alias("max_rho"))
     )
 
 
-def hll_merge(sketches: list[DataFrame]) -> DataFrame:
+def hll_merge(
+    sketches: list[DataFrame], group_cols: list[str] | None = None
+) -> DataFrame:
     """Element-wise merge: the HLL of a UNION of corpora.  Linearity is
     the whole point — per-shard sketches persist as tiny parquet tables
-    and the corpus-wide cardinality never rescans the corpus."""
+    and the corpus-wide cardinality never rescans the corpus.  Pass the
+    same ``group_cols`` the sketches were built with."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    g = list(group_cols or [])
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("register_idx").agg(F.max("max_rho").alias("max_rho"))
+    return out.groupBy(*g, "register_idx").agg(F.max("max_rho").alias("max_rho"))
 
 
-def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
-    """Register table → one-row ``(estimate double, n_zero_registers int)``.
+def hll_estimate(
+    sketch: DataFrame, p: int = 12, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Register table → ``(estimate double, n_zero_registers int)`` —
+    one row, or one row per group with ``group_cols``.
 
-    Fully distributed: one aggregation collapses the ≤ 2^p rows; absent
-    registers contribute ``2^0 = 1`` to the harmonic sum and count as
-    zero registers (linear-counting correction applies when E ≤ 2.5m and
-    any remain)."""
+    Fully distributed: one aggregation collapses the ≤ 2^p rows (per
+    group); absent registers contribute ``2^0 = 1`` to the harmonic sum
+    and count as zero registers (linear-counting correction applies when
+    E ≤ 2.5m and any remain)."""
     _check_hll_p(p)
+    g = list(group_cols or [])
     m = 1 << p
     if m >= 128:
         alpha = 0.7213 / (1.0 + 1.079 / m)
@@ -138,17 +154,19 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
         alpha = 0.697
     else:
         alpha = 0.673
-    agg = sketch.agg(
+    aggs = [
         # empty sketch (0 rows): sum is NULL -> coalesce so the empty
         # corpus estimates 0 via linear counting, not NULL
         F.coalesce(
             F.sum(F.expr("power(0.5, max_rho)")), F.lit(0.0)
         ).alias("_present_sum"),
         F.count("*").alias("_n_present"),
-    )
+    ]
+    agg = sketch.groupBy(*g).agg(*aggs) if g else sketch.agg(*aggs)
     raw = f"{alpha} * {m} * {m} / (_present_sum + ({m} - _n_present))"
     v = f"({m} - _n_present)"
     return agg.select(
+        *g,
         F.expr(
             f"CASE WHEN {raw} <= {2.5 * m} AND {v} > 0 "
             f"THEN {m} * ln({m} / cast({v} as double)) "
@@ -230,6 +248,77 @@ def cms_merge(sketches: list[DataFrame]) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("row_idx", "col_idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    min_count: int,
+    n: int = 3,
+    width: int = 16384,
+    depth: int = 4,
+    hash_impl: str = "portable",
+    sketch: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT corpus-wide heavy hitters — every word ``n``-gram occurring
+    at least ``min_count`` times, with its exact count — via a CMS gate
+    (boilerplate/template mining: the output is a blocklist candidate
+    set for line/passage dedup).
+
+    The naive ``explode → groupBy(gram) → filter`` shuffles the DISTINCT
+    grams per map partition — at 100 TB that is dominated by the
+    singleton tail (virtually every 3-gram is rare).  Here the gate runs
+    BEFORE the shuffle: each gram occurrence probes the CMS with
+    ``depth`` map-side broadcast joins (the sketch side is ≤ depth×width
+    rows BY CONSTRUCTION — the forced broadcast is size-bounded, unlike
+    the unbounded prefix the token-budget lane learned not to hint) and
+    only grams whose estimate clears ``min_count`` reach the exact
+    count.  CMS never underestimates, so the gate has ZERO false
+    negatives; the exact aggregation removes the (rare, collision-born)
+    false positives — the result is IDENTICAL to the naive form, with
+    the shuffle carrying only the heavy candidates.
+
+    ``sketch``: pass a pre-built (typically parquet-persisted)
+    ``cms_build`` table over the same grams/width/depth/hash to skip the
+    build pass; otherwise one is built and cached here (two corpus scans
+    total — sketch + gated count)."""
+    if n not in (1, 2, 3):
+        raise ValueError(f"n must be 1, 2, or 3, got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from deidcm_spark.operators.textops import (
+        TOKENS,
+        shingles_all_expr,
+        twograms_all_expr,
+    )
+
+    grams_expr = {1: TOKENS, 2: twograms_all_expr(), 3: shingles_all_expr()}[n]
+    grams = df.select(F.explode(F.expr(grams_expr)).alias("gram"))
+    if sketch is None:
+        sketch = cms_build(grams, "gram", width, depth, hash_impl=hash_impl)
+        sketch = sketch.persist()
+        sketch.count()  # materialize once — each probe join reuses it
+    # counters below min_count can never admit a gram (min over positions):
+    # pruning them first shrinks every broadcast side
+    hot = sketch.filter(F.col("cnt") >= min_count)
+    probe = grams
+    est_terms = []
+    for j in range(depth):
+        side = hot.filter(F.col("row_idx") == j).select(
+            F.col("col_idx").alias(f"_c{j}"), F.col("cnt").alias(f"_n{j}")
+        )
+        pos = _cms_pos_expr("gram", j, width, hash_impl)
+        probe = probe.withColumn(f"_p{j}", F.expr(f"cast({pos} as int)")).join(
+            F.broadcast(side), F.col(f"_p{j}") == F.col(f"_c{j}"), "left"
+        )
+        est_terms.append(f"coalesce(_n{j}, cast(0 as bigint))")
+    gated = probe.filter(
+        F.expr(f"least({', '.join(est_terms)}) >= {int(min_count)}")
+    ).select("gram")
+    return (
+        gated.groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
 
 
 def cms_query(

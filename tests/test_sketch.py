@@ -17,6 +17,7 @@ from deidcm_spark.operators.sketch import (
     cms_build,
     cms_merge,
     cms_query,
+    heavy_hitters,
     hll_build,
     hll_estimate,
     hll_estimate_value,
@@ -230,3 +231,142 @@ def test_cms_validation(spark):
         cms_build(df, "text", width=16, depth=0)
     with pytest.raises(ValueError):
         cms_merge([])
+
+
+def test_hll_grouped_equals_per_group_builds(spark):
+    """group_cols keys the registers per group: the one-pass grouped
+    sketch is IDENTICAL to building each group's slice separately, the
+    grouped estimate matches the oracle formula per group, and grouped
+    merge is build-over-union per group."""
+    rows = [
+        ("web", "en", f"u{i % 700}") for i in range(2100)
+    ] + [
+        ("web", "fr", f"u{i % 40}") for i in range(200)
+    ] + [
+        ("books", "en", f"b{i}") for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    p = 8
+    grouped = hll_build(df, "text", p, group_cols=["source", "lang"])
+    got = {
+        (r["source"], r["lang"], r["register_idx"]): r["max_rho"]
+        for r in grouped.collect()
+    }
+    expect = {}
+    for src, lang in {("web", "en"), ("web", "fr"), ("books", "en")}:
+        vals = [t for s, lg, t in rows if (s, lg) == (src, lang)]
+        for idx, rho in oracle_hll_registers(vals, p).items():
+            expect[(src, lang, idx)] = rho
+    assert got == expect
+
+    est = {
+        (r["source"], r["lang"]): r["estimate"]
+        for r in hll_estimate(grouped, p, group_cols=["source", "lang"]).collect()
+    }
+    for src, lang in expect_keys(expect):
+        vals = [t for s, lg, t in rows if (s, lg) == (src, lang)]
+        assert est[(src, lang)] == pytest.approx(
+            oracle_hll_estimate(oracle_hll_registers(vals, p), p), rel=1e-12
+        )
+        truth = len(set(vals))
+        assert abs(est[(src, lang)] - truth) / truth < 0.25
+
+    # merge per group: two shards of the same corpus
+    a = df.filter("text like '%0' or text like '%1' or text like '%2'")
+    b = df.subtract(a)
+    merged = hll_merge(
+        [
+            hll_build(a, "text", p, group_cols=["source", "lang"]),
+            hll_build(b, "text", p, group_cols=["source", "lang"]),
+        ],
+        group_cols=["source", "lang"],
+    )
+    got_m = {
+        (r["source"], r["lang"], r["register_idx"]): r["max_rho"]
+        for r in merged.collect()
+    }
+    assert got_m == expect
+
+
+def expect_keys(expect):
+    return sorted({(s, lg) for s, lg, _ in expect})
+
+
+# ---------- CMS-gated exact heavy hitters ----------
+
+
+@pytest.fixture(scope="module")
+def hh_docs(spark):
+    # boilerplate footer in every doc, a medium-frequency phrase in 1/3,
+    # and unique long-tail content everywhere
+    rows = [
+        (
+            i,
+            f"unique words {i} alpha{i} beta{i} "
+            + ("subscribe to our newsletter today " if i % 3 == 0 else "")
+            + "all rights reserved 2024",
+        )
+        for i in range(240)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _naive_hh(spark, docs, n, min_count):
+    from deidcm_spark.operators.textops import (
+        TOKENS,
+        shingles_all_expr,
+        twograms_all_expr,
+    )
+
+    expr = {1: TOKENS, 2: twograms_all_expr(), 3: shingles_all_expr()}[n]
+    return {
+        (r["gram"], r["n"])
+        for r in docs.select(F.explode(F.expr(expr)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("n,min_count", [(3, 50), (2, 80), (1, 100)])
+def test_heavy_hitters_equals_naive(spark, hh_docs, n, min_count):
+    got = {
+        (r["gram"], r["n_occurrences"])
+        for r in heavy_hitters(hh_docs, min_count, n=n).collect()
+    }
+    assert got == _naive_hh(spark, hh_docs, n, min_count)
+    assert got  # the boilerplate phrases are in there
+
+
+def test_heavy_hitters_tiny_width_collisions_still_exact(spark, hh_docs):
+    """width=8 forces massive counter collisions — the gate passes false
+    positives, the exact count must remove every one."""
+    got = {
+        (r["gram"], r["n_occurrences"])
+        for r in heavy_hitters(hh_docs, 50, n=3, width=8).collect()
+    }
+    assert got == _naive_hh(spark, hh_docs, 3, 50)
+
+
+def test_heavy_hitters_prebuilt_sketch_and_fast_impl(spark, hh_docs, tmp_path):
+    from deidcm_spark.operators.textops import shingles_all_expr
+
+    grams = hh_docs.select(F.explode(F.expr(shingles_all_expr())).alias("gram"))
+    loc = str(tmp_path / "cms")
+    cms_build(grams, "gram", 4096, 4, hash_impl="fast").write.parquet(loc)
+    got = {
+        (r["gram"], r["n_occurrences"])
+        for r in heavy_hitters(
+            hh_docs, 50, n=3, width=4096, hash_impl="fast",
+            sketch=spark.read.parquet(loc),
+        ).collect()
+    }
+    assert got == _naive_hh(spark, hh_docs, 3, 50)
+
+
+def test_heavy_hitters_validation(spark, hh_docs):
+    with pytest.raises(ValueError):
+        heavy_hitters(hh_docs, 10, n=4)
+    with pytest.raises(ValueError):
+        heavy_hitters(hh_docs, 0)
