@@ -35,6 +35,14 @@ supports it:
            cascade), drop-mass per rule in the summary
   hostrank WARC records table → host link edges + PageRank table
   report   raw documents → per-(source, lang) dataset-card aggregates
+  heavyhitters every word n-gram ≥ --min-count occurrences with exact
+           counts (CMS-gated — the singleton tail never shuffles)
+  topk     keep the --k (or --fraction) highest-scoring rows without a
+           global sort (bucket prefix + boundary refinement)
+  snapdiff diff two corpus snapshots by document fingerprint → delta +
+           the incremental reprocess slice (CDC)
+  pq       product-quantization: codebook + compressed codes table
+           [--query-id: ADC top-k search with exact rerank]
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -428,6 +436,124 @@ def cmd_robots(args) -> dict:
         "rules": rules.count(),
         "agent": args.agent,
     }
+
+
+def cmd_heavyhitters(args) -> dict:
+    """Boilerplate-mining lane: every word n-gram with >= --min-count
+    exact occurrences, CMS-gated so the singleton tail never shuffles."""
+    spark = _spark("deidcm_heavyhitters", args.shuffle_partitions)
+    from deidcm_spark.operators.sketch import heavy_hitters
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(args.input)
+    heavy_hitters(
+        df, args.min_count, n=args.n, width=args.width, depth=args.depth,
+        hash_impl=args.hash,
+    ).write.mode("overwrite").parquet(args.output)
+    back = spark.read.parquet(args.output)
+    top = back.orderBy(F.col("n_occurrences").desc(), "gram").limit(3).collect()
+    return {
+        "grams": back.count(),
+        "top": [[r["gram"], int(r["n_occurrences"])] for r in top],
+    }
+
+
+def cmd_topk(args) -> dict:
+    """Selection lane: keep the --k highest-scoring rows (or the top
+    --fraction) WITHOUT a global sort — bucket counts → bounded driver
+    prefix → boundary-bucket refinement → deterministic residue draw
+    (operators/quantile.py)."""
+    spark = _spark("deidcm_topk", args.shuffle_partitions)
+    from deidcm_spark.operators.quantile import select_top_fraction, select_top_k
+
+    if (args.k is None) == (args.fraction is None):
+        raise SystemExit("topk: give exactly one of --k / --fraction")
+    df = spark.read.parquet(args.input)
+    if args.k is not None:
+        out = select_top_k(df, args.k, score_col=args.score_col)
+    else:
+        out = select_top_fraction(df, args.fraction, score_col=args.score_col)
+    out.write.mode("overwrite").parquet(args.output)
+    back = spark.read.parquet(args.output)
+    row = back.agg({args.score_col: "min"}).first()
+    return {
+        "rows": back.count(),
+        "min_score": None if row[0] is None else round(float(row[0]), 6),
+    }
+
+
+def cmd_snapdiff(args) -> dict:
+    """CDC lane: diff two corpus snapshots by document fingerprint and
+    write <output>/diff (added/removed/changed) plus <output>/reprocess
+    (the new-snapshot slice the pipeline must actually re-touch)."""
+    spark = _spark("deidcm_snapdiff", args.shuffle_partitions)
+    from deidcm_spark.operators.cdc import (
+        select_reprocess,
+        snapshot_diff,
+        snapshot_diff_stats,
+    )
+
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.input)
+    diff = snapshot_diff(old, new, text_col=args.text_col)
+    diff.write.mode("overwrite").parquet(args.output + "/diff")
+    diff = spark.read.parquet(args.output + "/diff")
+    select_reprocess(new, diff).write.mode("overwrite").parquet(
+        args.output + "/reprocess"
+    )
+    stats = {
+        r["change"]: r["n_docs"] for r in snapshot_diff_stats(diff).collect()
+    }
+    return {
+        "added": stats.get("added", 0),
+        "removed": stats.get("removed", 0),
+        "changed": stats.get("changed", 0),
+        "reprocess": spark.read.parquet(args.output + "/reprocess").count(),
+    }
+
+
+def cmd_pq(args) -> dict:
+    """Embedding-compression lane: train PQ codebooks, write the codes
+    table (<output>/codes) and the codebook table (<output>/codebook —
+    (sub, code, centroid) rows, re-attachable for later searches); with
+    --query-id also run an ADC top-k search with exact rerank and report
+    the neighbor ids."""
+    spark = _spark("deidcm_pq", args.shuffle_partitions)
+    from deidcm_spark.operators import pq as pqop
+
+    emb = spark.read.parquet(args.input)
+    books = pqop.pq_train(
+        emb, m=args.m, ksub=args.ksub, lloyd_iters=args.iters,
+        normalize=args.normalize,
+    )
+    rows = [
+        (s, c, books[s][c])
+        for s in range(len(books))
+        for c in range(len(books[s]))
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(args.output + "/codebook")
+    pqop.pq_encode(emb, books, normalize=args.normalize).write.mode(
+        "overwrite"
+    ).parquet(args.output + "/codes")
+    codes = spark.read.parquet(args.output + "/codes")
+    summary = {
+        "rows": codes.count(),
+        "m": len(books),
+        "ksub": len(books[0]),
+    }
+    if args.query_id is not None:
+        q = emb.filter(f"vec_id = {int(args.query_id)}").head()
+        if q is None:
+            raise SystemExit(f"pq: --query-id {args.query_id} not in input")
+        got = pqop.pq_search(
+            codes, books, list(q["embedding"]), k=args.k,
+            rerank=args.rerank or None, emb=emb, normalize=args.normalize,
+        ).collect()
+        summary["neighbors"] = [int(r["vec_id"]) for r in got]
+    return summary
 
 
 def cmd_packseq(args) -> dict:
@@ -827,6 +953,41 @@ def build_parser() -> argparse.ArgumentParser:
     rb.add_argument("--agent", default="*")
     rb.add_argument("--mode", default="remove", choices=["remove", "flag"])
     rb.set_defaults(fn=cmd_robots)
+
+    hh = sub.add_parser("heavyhitters")
+    common(hh)
+    hh.add_argument("--min-count", type=int, required=True)
+    hh.add_argument("--n", type=int, default=3, choices=[1, 2, 3])
+    hh.add_argument("--width", type=int, default=16384)
+    hh.add_argument("--depth", type=int, default=4)
+    hh.add_argument("--hash", default="fast", choices=["portable", "fast"])
+    hh.set_defaults(fn=cmd_heavyhitters)
+
+    tk = sub.add_parser("topk")
+    common(tk)
+    tk.add_argument("--k", type=int, default=None)
+    tk.add_argument("--fraction", type=float, default=None)
+    tk.add_argument("--score-col", default="score")
+    tk.set_defaults(fn=cmd_topk)
+
+    sd = sub.add_parser("snapdiff")
+    common(sd)
+    sd.add_argument("--old", required=True,
+                    help="previous-snapshot parquet (--input is the new one)")
+    sd.add_argument("--text-col", default="text")
+    sd.set_defaults(fn=cmd_snapdiff)
+
+    pquant = sub.add_parser("pq")
+    common(pquant)
+    pquant.add_argument("--m", type=int, default=16)
+    pquant.add_argument("--ksub", type=int, default=32)
+    pquant.add_argument("--iters", type=int, default=1)
+    pquant.add_argument("--normalize", action="store_true",
+                        help="L2-normalize first (cosine-ranking semantics)")
+    pquant.add_argument("--query-id", type=int, default=None)
+    pquant.add_argument("--k", type=int, default=10)
+    pquant.add_argument("--rerank", type=int, default=80)
+    pquant.set_defaults(fn=cmd_pq)
 
     wc = sub.add_parser("warc")
     common(wc)

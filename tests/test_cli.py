@@ -435,3 +435,77 @@ def test_cli_robots(tmp_path, capsys, spark):
     assert r["allowed"] == 3 and r["urls"] == 4
     flagged = spark.read.parquet(out + "/flagged")
     assert flagged.count() == 4 and "allowed" in flagged.columns
+
+
+def test_cli_topk(tmp_path, capsys, spark):
+    scores = str(tmp_path / "scores")
+    spark.createDataFrame(
+        [(i, float(i % 50)) for i in range(200)], "doc_id bigint, score double"
+    ).write.parquet(scores)
+    out = str(tmp_path / "topk")
+    r = _run(capsys, [
+        "topk", "--input", scores, "--output", out, "--k", "8",
+        "--shuffle-partitions", "8",
+    ])
+    # scores 46..49 appear 4x each -> top 8 are the 46+ rows
+    assert r == {"rows": 8, "min_score": 48.0}
+    back = spark.read.parquet(out)
+    assert back.filter("score < 48").count() == 0
+    r = _run(capsys, [
+        "topk", "--input", scores, "--output", out, "--fraction", "0.1",
+        "--shuffle-partitions", "8",
+    ])
+    assert r["rows"] == 20
+    with pytest.raises(SystemExit):
+        _run(capsys, ["topk", "--input", scores, "--output", out])
+
+
+def test_cli_snapdiff(tmp_path, capsys, spark):
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id bigint, text string"
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(2, "beta"), (3, "GAMMA"), (4, "delta")], "doc_id bigint, text string"
+    ).write.parquet(new)
+    out = str(tmp_path / "cdc")
+    r = _run(capsys, [
+        "snapdiff", "--input", new, "--old", old, "--output", out,
+        "--shuffle-partitions", "8",
+    ])
+    assert r == {"added": 1, "removed": 1, "changed": 1, "reprocess": 2}
+    rp = {row["doc_id"] for row in spark.read.parquet(out + "/reprocess").collect()}
+    assert rp == {3, 4}
+
+
+def test_cli_pq(tmp_path, capsys, spark):
+    out = str(tmp_path / "pq")
+    r = _run(capsys, [
+        "pq", "--input", f"{SF}/embeddings.parquet", "--output", out,
+        "--m", "4", "--ksub", "8", "--iters", "0",
+        "--query-id", "0", "--k", "5", "--rerank", "50",
+        "--shuffle-partitions", "8",
+    ])
+    assert r["rows"] == 500 and r["m"] == 4 and r["ksub"] == 8
+    # with exact rerank the query vector is its own nearest neighbor
+    assert r["neighbors"][0] == 0 and len(r["neighbors"]) == 5
+    book = spark.read.parquet(out + "/codebook")
+    assert book.count() == 4 * 8
+    codes = spark.read.parquet(out + "/codes")
+    assert codes.count() == 500 and len(codes.head()["codes"]) == 4
+
+
+def test_cli_heavyhitters(tmp_path, capsys, spark):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"unique{i} filler{i} all rights reserved") for i in range(60)],
+        "doc_id bigint, text string",
+    ).write.parquet(docs)
+    out = str(tmp_path / "hh")
+    r = _run(capsys, [
+        "heavyhitters", "--input", docs, "--output", out,
+        "--min-count", "50", "--n", "2", "--shuffle-partitions", "8",
+    ])
+    assert r["grams"] == 2  # 'all rights' + 'rights reserved', 60x each
+    assert r["top"] == [["all rights", 60], ["rights reserved", 60]]
