@@ -191,6 +191,16 @@ def main() -> None:
             s["extras"]["warc_parse_docs_per_sec"] for s in samples
         ),
         "host_rank_sec": min(s["extras"]["host_rank_sec"] for s in samples),
+        "pq_encode_sec": min(s["extras"]["pq_encode_sec"] for s in samples),
+        "pq_encode_vecs_per_sec": max(
+            s["extras"]["pq_encode_vecs_per_sec"] for s in samples
+        ),
+        "pq_search_sec": min(s["extras"]["pq_search_sec"] for s in samples),
+        "topk_select_sec": min(
+            s["extras"]["topk_select_sec"] for s in samples
+        ),
+        "pq_n_vecs": samples[0]["extras"]["pq_n_vecs"],
+        "topk_n_rows": samples[0]["extras"]["topk_n_rows"],
         "deid_n_docs": samples[0]["extras"]["deid_n_docs"],
         "extract_n_docs": samples[0]["extras"]["extract_n_docs"],
         "n_workers": N_WORKERS,
