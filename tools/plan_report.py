@@ -176,6 +176,40 @@ def _extra_ops(spark, sf_dir: str) -> dict:
         ),
         "hll_build*": hll_build(docs, "text", p=12),
         "cms_build*": cms_build(docs, "text", width=4096, depth=4),
+        **_r4_ops(spark, sf_dir, docs),
+    }
+
+
+def _r4_ops(spark, sf_dir: str, docs):
+    """Round-4 lanes: PQ search, top-k selection, CDF sketch, CDC diff,
+    incremental LSH probe."""
+    from pyspark.sql import functions as F
+
+    from deidcm_spark.operators import pq as pqop
+    from deidcm_spark.operators.cdc import snapshot_diff
+    from deidcm_spark.operators.dedup import lsh_index_build, lsh_index_probe
+    from deidcm_spark.operators.quantile import cdf_build, select_top_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pqop.pq_train(emb, m=4, ksub=16, lloyd_iters=0)
+    codes = pqop.pq_encode(emb, books)
+    qvec = [0.0] * 64
+    scored = docs.withColumn("score", F.expr("(doc_id * 37 % 100) / 100"))
+    old = docs
+    new = docs.withColumn(
+        "text", F.expr("case when doc_id % 7 = 0 then concat(text, '!') else text end")
+    )
+    shard = docs.filter("doc_id % 5 = 0")
+    return {
+        "pq_encode*": codes,
+        "pq_search*": pqop.pq_search(codes, books, qvec, k=10),
+        "pq_search_rerank*": pqop.pq_search(
+            codes, books, qvec, k=10, rerank=50, emb=emb
+        ),
+        "select_top_k*": select_top_k(scored, 100),
+        "cdf_build*": cdf_build(scored, "score", lo=0.0, hi=1.0, m=256),
+        "snapshot_diff*": snapshot_diff(old, new),
+        "lsh_index_probe*": lsh_index_probe(lsh_index_build(docs), shard),
     }
 
 
