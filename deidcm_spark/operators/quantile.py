@@ -78,6 +78,7 @@ def cdf_build(
     hi: float,
     m: int = 4096,
     weight_col: str | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """value column → CDF sketch table ``(bucket_idx, cnt)``.
 
@@ -85,27 +86,36 @@ def cdf_build(
     map-side, so the shuffle carries ≤ m rows per map task regardless of
     corpus size).  NULL values are skipped.  ``weight_col`` accumulates
     weights (e.g. token counts) instead of row counts, giving a
-    token-weighted CDF."""
+    token-weighted CDF.  ``group_cols`` keys the sketch per group
+    (≤ m rows PER GROUP — per-source length/score distributions in one
+    pass, identical to building each group's sketch separately)."""
     _check_cdf(lo, hi, m)
+    g = list(group_cols or [])
     w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(_bucket_col(value_col, lo, hi, m).alias("bucket_idx"), w.alias("_w"))
-        .groupBy("bucket_idx")
+        .select(
+            *g, _bucket_col(value_col, lo, hi, m).alias("bucket_idx"), w.alias("_w")
+        )
+        .groupBy(*g, "bucket_idx")
         .agg(F.sum("_w").alias("cnt"))
     )
 
 
-def cdf_merge(sketches: list[DataFrame]) -> DataFrame:
+def cdf_merge(
+    sketches: list[DataFrame], group_cols: list[str] | None = None
+) -> DataFrame:
     """Element-wise sum: the CDF sketch of the concatenated corpora.
     Per-shard sketches persist as tiny parquet tables; corpus-wide
-    quantiles never rescan the corpus."""
+    quantiles never rescan the corpus.  Pass the same ``group_cols``
+    the sketches were built with."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    g = list(group_cols or [])
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("bucket_idx").agg(F.sum("cnt").alias("cnt"))
+    return out.groupBy(*g, "bucket_idx").agg(F.sum("cnt").alias("cnt"))
 
 
 def cdf_quantile(
@@ -114,19 +124,20 @@ def cdf_quantile(
     lo: float,
     hi: float,
     m: int = 4096,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Sketch → one row per q: ``(q, bucket_idx, value_lo, value_hi,
-    rank_lo, rank_hi, total)``.
+    """Sketch → one row per q (per group with ``group_cols``):
+    ``(q, bucket_idx, value_lo, value_hi, rank_lo, rank_hi, total)``.
 
     The true q-quantile (rank ``ceil(q·total)``, q in (0, 1]) lies in
     ``[value_lo, value_hi)``; ``rank_lo``/``rank_hi`` are the exclusive/
     inclusive cumulative counts bracketing the bucket, so the rank
     uncertainty is exactly the bucket's own mass.  The cumulative walk
-    runs as a single-partition window over the ≤ m sketch rows —
-    BOUNDED at any corpus size (same class as the ≤ n_buckets driver
-    tables elsewhere), never over data — and the per-q hit lookup is
-    ONE ``min_by`` aggregation (no join, no nested-loop pairing of the
-    q list against the sketch)."""
+    runs as a window over the ≤ m sketch rows per group (one partition
+    when ungrouped — BOUNDED at any corpus size, same class as the
+    ≤ n_buckets driver tables elsewhere, never over data) and the per-q
+    hit lookup is ONE ``min_by`` aggregation (no join, no nested-loop
+    pairing of the q list against the sketch)."""
     _check_cdf(lo, hi, m)
     for q in qs:
         if not 0.0 < q <= 1.0:
@@ -135,8 +146,13 @@ def cdf_quantile(
         raise ValueError("need at least one q")
     from pyspark.sql import Window
 
-    w = Window.orderBy("bucket_idx").rowsBetween(Window.unboundedPreceding, 0)
-    total_w = Window.partitionBy()
+    g = list(group_cols or [])
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("bucket_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total_w = Window.partitionBy(*g)
     cum = (
         sketch.withColumn("_cum", F.sum("cnt").over(w))
         .withColumn("_total", F.sum("cnt").over(total_w))
@@ -154,7 +170,7 @@ def cdf_quantile(
         ).alias(f"_s{i}")
         for i, q in enumerate(qs)
     ]
-    one = cum.agg(*aggs)
+    one = cum.groupBy(*g).agg(*aggs) if g else cum.agg(*aggs)
     width = (hi - lo) / m
     rows = F.explode(
         F.array(
@@ -165,9 +181,10 @@ def cdf_quantile(
         )
     )
     return (
-        one.select(rows.alias("r"))
+        one.select(*g, rows.alias("r"))
         .filter(F.col("r.s").isNotNull())  # empty sketch -> no rows
         .select(
+            *g,
             F.col("r.q").alias("q"),
             F.col("r.s.bucket_idx").alias("bucket_idx"),
             (F.lit(lo) + F.col("r.s.bucket_idx") * F.lit(width)).alias("value_lo"),

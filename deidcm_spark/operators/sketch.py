@@ -258,6 +258,7 @@ def heavy_hitters(
     depth: int = 4,
     hash_impl: str = "portable",
     sketch: DataFrame | None = None,
+    unit: str = "word",
 ) -> DataFrame:
     """EXACT corpus-wide heavy hitters — every word ``n``-gram occurring
     at least ``min_count`` times, with its exact count — via a CMS gate
@@ -280,8 +281,15 @@ def heavy_hitters(
     ``sketch``: pass a pre-built (typically parquet-persisted)
     ``cms_build`` table over the same grams/width/depth/hash to skip the
     build pass; otherwise one is built and cached here (two corpus scans
-    total — sketch + gated count)."""
-    if n not in (1, 2, 3):
+    total — sketch + gated count).
+
+    ``unit="line"`` mines whole LINES instead of word n-grams (``n`` is
+    ignored), with ``line_dedup``'s split spec — ``split(text, '\\n')``,
+    exact content, blank lines excluded — so the output feeds a
+    boilerplate-line blocklist directly."""
+    if unit not in ("word", "line"):
+        raise ValueError(f"unit must be 'word' or 'line', got {unit!r}")
+    if unit == "word" and n not in (1, 2, 3):
         raise ValueError(f"n must be 1, 2, or 3, got {n}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
@@ -291,7 +299,14 @@ def heavy_hitters(
         twograms_all_expr,
     )
 
-    grams_expr = {1: TOKENS, 2: twograms_all_expr(), 3: shingles_all_expr()}[n]
+    if unit == "line":
+        # two backslashes in the Spark literal (dialect gotcha: string
+        # literals eat one level) -> regex \n is not needed, plain char
+        grams_expr = (
+            "filter(split(coalesce(text, ''), '\\n'), x -> length(trim(x)) > 0)"
+        )
+    else:
+        grams_expr = {1: TOKENS, 2: twograms_all_expr(), 3: shingles_all_expr()}[n]
     grams = df.select(F.explode(F.expr(grams_expr)).alias("gram"))
     if sketch is None:
         sketch = cms_build(grams, "gram", width, depth, hash_impl=hash_impl)

@@ -282,3 +282,51 @@ def test_warc_random_records_roundtrip(records, gz):
     data = encode_warc(records, gzip_members=gz)
     back = parse_warc(_gzip.decompress(data) if gz else data)
     assert back == records
+
+
+# ---------- CDF-sketch bracket guarantee (operators/quantile.py spec) ----------
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1000.0, exclude_max=True,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=300,
+    ),
+    st.integers(min_value=2, max_value=64),
+    st.floats(min_value=0.01, max_value=1.0),
+)
+@settings(max_examples=300, deadline=None)
+def test_cdf_bracket_property(values, m, q):
+    """For arbitrary inputs in [lo, hi) the bucket bracketing the rank
+    ceil(q*n) MUST contain the true q-quantile (within one double ulp of
+    the bucket arithmetic) and the rank bounds must bracket the rank —
+    the guarantee cdf_quantile's docstring states, exercised on
+    hypothesis-generated distributions including bucket-edge floats.
+    Pure Python: the spec twin (same IEEE arithmetic as the Spark/SQL
+    expression, pinned bit-for-bit in test_quantile)."""
+    import math as _math
+
+    lo, hi = 0.0, 1000.0
+    counts: dict[int, int] = {}
+    for v in values:
+        raw = _math.floor((v - lo) / (hi - lo) * m)
+        b = max(0, min(raw, m - 1))
+        counts[b] = counts.get(b, 0) + 1
+    total = len(values)
+    target = _math.ceil(q * total)
+    cum = 0
+    hit = None
+    for b in sorted(counts):
+        prev = cum
+        cum += counts[b]
+        if hit is None and cum >= target:
+            hit = (b, prev, cum)
+    assert hit is not None
+    b, rank_lo, rank_hi = hit
+    width = (hi - lo) / m
+    value_lo, value_hi = lo + b * width, lo + (b + 1) * width
+    true_q = sorted(values)[target - 1]
+    tol = (hi - lo) * 1e-12
+    assert value_lo - tol <= true_q < value_hi + tol
+    assert rank_lo < target <= rank_hi

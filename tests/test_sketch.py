@@ -370,3 +370,71 @@ def test_heavy_hitters_validation(spark, hh_docs):
         heavy_hitters(hh_docs, 10, n=4)
     with pytest.raises(ValueError):
         heavy_hitters(hh_docs, 0)
+
+
+def test_heavy_hitters_line_unit(spark):
+    docs = spark.createDataFrame(
+        [
+            (i, f"unique content {i}\nAll Rights Reserved\n  \n"
+                + ("Subscribe now\n" if i % 2 == 0 else ""))
+            for i in range(80)
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["gram"], r["n_occurrences"])
+        for r in heavy_hitters(docs, 40, unit="line").collect()
+    }
+    # blank/whitespace-only lines are never mined; exact line content keys
+    assert got == {("All Rights Reserved", 80), ("Subscribe now", 40)}
+    with pytest.raises(ValueError):
+        heavy_hitters(docs, 40, unit="sentence")
+
+
+def test_cdf_grouped_equals_per_group_builds(spark):
+    from deidcm_spark.operators.quantile import cdf_build, cdf_merge, cdf_quantile
+
+    rows = [("web", float(i % 100)) for i in range(3000)] + [
+        ("books", float((i * 7) % 50)) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "source string, v double")
+    lo, hi, m = 0.0, 100.0, 64
+    grouped = cdf_build(df, "v", lo, hi, m, group_cols=["source"])
+    for src in ("web", "books"):
+        solo = {
+            r["bucket_idx"]: r["cnt"]
+            for r in cdf_build(
+                df.filter(F.col("source") == src), "v", lo, hi, m
+            ).collect()
+        }
+        got = {
+            r["bucket_idx"]: r["cnt"]
+            for r in grouped.filter(F.col("source") == src).collect()
+        }
+        assert got == solo
+    # per-group quantiles == per-group solo quantiles
+    qs = [0.5, 0.9]
+    gq = {
+        (r["source"], r["q"]): (r["bucket_idx"], r["rank_lo"], r["rank_hi"], r["total"])
+        for r in cdf_quantile(grouped, qs, lo, hi, m, group_cols=["source"]).collect()
+    }
+    for src in ("web", "books"):
+        solo = {
+            r["q"]: (r["bucket_idx"], r["rank_lo"], r["rank_hi"], r["total"])
+            for r in cdf_quantile(
+                cdf_build(df.filter(F.col("source") == src), "v", lo, hi, m),
+                qs, lo, hi, m,
+            ).collect()
+        }
+        for q in qs:
+            assert gq[(src, q)] == solo[q]
+    # grouped merge ≡ grouped build-over-union
+    a = df.filter("v < 30")
+    b = df.filter("v >= 30")
+    merged = cdf_merge(
+        [cdf_build(a, "v", lo, hi, m, group_cols=["source"]),
+         cdf_build(b, "v", lo, hi, m, group_cols=["source"])],
+        group_cols=["source"],
+    )
+    as_rows = lambda d: sorted(tuple(r) for r in d.collect())
+    assert as_rows(merged) == as_rows(grouped)
