@@ -586,7 +586,9 @@ def cmd_report(args) -> dict:
     from deidcm_spark.operators.textops import corpus_report
 
     docs = spark.read.parquet(args.input)
-    corpus_report(docs).write.mode("overwrite").parquet(args.output)
+    corpus_report(docs, with_sketches=args.sketches).write.mode(
+        "overwrite"
+    ).parquet(args.output)
     out = spark.read.parquet(args.output)
     from pyspark.sql import functions as SF
 
@@ -1048,6 +1050,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     rp = sub.add_parser("report")
     common(rp)
+    rp.add_argument("--sketches", action="store_true",
+                    help="add per-slice HLL distinct-text estimates and "
+                         "CDF p50/p90 token counts")
     rp.set_defaults(fn=cmd_report)
 
     sd = sub.add_parser("semdedup")

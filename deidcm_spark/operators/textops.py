@@ -722,7 +722,13 @@ def cap_per_source(
     )
 
 
-def corpus_report(df: DataFrame, by: list[str] | None = None) -> DataFrame:
+def corpus_report(
+    df: DataFrame,
+    by: list[str] | None = None,
+    with_sketches: bool = False,
+    hll_p: int = 12,
+    token_cap: int = 65536,
+) -> DataFrame:
     """Dataset-card aggregates per corpus slice (default: per ``source`` ×
     ``lang``): document/token volumes, mean quality signals, and the
     :func:`quality_gate` keep rate — the summary table a curation run
@@ -731,13 +737,21 @@ def corpus_report(df: DataFrame, by: list[str] | None = None) -> DataFrame:
     ``n_docs, kept_docs, keep_rate, total_tokens, avg_tokens,
     avg_quality, avg_stopword_ratio`` per group.  Cost: the gate's single
     scan + one doc_id equi-join to attach the slice keys + one hash
-    aggregation — report cardinality is |slices|, never corpus-scale."""
+    aggregation — report cardinality is |slices|, never corpus-scale.
+
+    ``with_sketches=True`` adds the bounded-sketch columns: a per-slice
+    DISTINCT-text estimate (grouped HLL, ``sketch.hll_build`` — an exact
+    ``countDistinct`` per slice would shuffle the corpus keyed by text;
+    the registers are ≤ 2^p rows per slice) and approximate p50/p90
+    token counts (grouped CDF sketch over ``[0, token_cap]``, reported
+    as the bracketing bucket's midpoint).  One extra scan for each
+    sketch; all joins are |slices|-sized."""
     by = list(by) if by is not None else ["source", "lang"]
     gate = quality_gate(df.select("doc_id", "text"))
     dims = df.select("doc_id", *by)
-    return (
-        gate.join(dims, "doc_id")
-        .groupBy(*by)
+    base = gate.join(dims, "doc_id")
+    rep = (
+        base.groupBy(*by)
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("keep").cast("long")).alias("kept_docs"),
@@ -748,6 +762,27 @@ def corpus_report(df: DataFrame, by: list[str] | None = None) -> DataFrame:
             F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
         )
     )
+    if not with_sketches:
+        return rep
+    from deidcm_spark.operators.quantile import cdf_build, cdf_quantile
+    from deidcm_spark.operators.sketch import hll_build, hll_estimate
+
+    est = hll_estimate(
+        hll_build(df.select(*by, "text"), "text", hll_p, group_cols=by),
+        hll_p,
+        group_cols=by,
+    ).select(*by, F.round("estimate", 1).alias("distinct_texts_est"))
+    lo, hi, m = 0.0, float(token_cap), 4096
+    qrows = cdf_quantile(
+        cdf_build(
+            base.select(*by, F.col("n_tokens").cast("double").alias("_nt")),
+            "_nt", lo, hi, m, group_cols=by,
+        ),
+        [0.5, 0.9], lo, hi, m, group_cols=by,
+    ).withColumn("_mid", F.round((F.col("value_lo") + F.col("value_hi")) / 2, 1))
+    p50 = qrows.filter("q = 0.5").select(*by, F.col("_mid").alias("p50_tokens"))
+    p90 = qrows.filter("q = 0.9").select(*by, F.col("_mid").alias("p90_tokens"))
+    return rep.join(est, by, "left").join(p50, by, "left").join(p90, by, "left")
 
 
 # pre-tokenization text hygiene (ftfy-lite): pure-codegen steps first,

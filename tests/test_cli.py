@@ -287,6 +287,15 @@ def test_cli_report(tmp_path, capsys, spark):
         "--shuffle-partitions", "8",
     ])
     assert r["docs"] == 500 and r["slices"] > 0 and 0 <= r["kept"] <= 500
+    r = _run(capsys, [
+        "report", "--input", f"{SF}/documents.parquet", "--output", out,
+        "--sketches", "--shuffle-partitions", "8",
+    ])
+    assert r["docs"] == 500
+    back = spark.read.parquet(out)
+    for c in ("distinct_texts_est", "p50_tokens", "p90_tokens"):
+        assert c in back.columns
+    assert back.filter("distinct_texts_est > 0").count() == back.count()
 
 
 def test_cli_urldedup_and_domainfilter(tmp_path, capsys, spark):

@@ -493,3 +493,36 @@ def test_normalize_text_plan_is_codegen(spark):
     q.collect()
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_corpus_report_with_sketches(spark):
+    import math
+
+    """with_sketches adds per-slice distinct-text HLL estimates and
+    CDF-bracketed p50/p90 token counts; checked against exact per-slice
+    recomputation (estimates within the sketches' own error bands)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = {
+        (r.source, r.lang): r.asDict()
+        for r in textops.corpus_report(d, with_sketches=True).collect()
+    }
+    gate = {
+        r.doc_id: r
+        for r in textops.quality_gate(d.select("doc_id", "text")).collect()
+    }
+    slices: dict = {}
+    for r in d.select("doc_id", "source", "lang", "text").collect():
+        slices.setdefault((r.source, r.lang), []).append(r)
+    assert set(rep) == set(slices)
+    for key, rows in slices.items():
+        row = rep[key]
+        truth_distinct = len({r.text for r in rows})
+        # p=12 HLL: ~1.6% stderr, but tiny slices take the linear-counting
+        # path which is near-exact; allow 10%+1
+        assert abs(row["distinct_texts_est"] - truth_distinct) <= 0.1 * truth_distinct + 1
+        toks = sorted(gate[r.doc_id].n_tokens for r in rows)
+        for q, col in ((0.5, "p50_tokens"), (0.9, "p90_tokens")):
+            true_q = toks[math.ceil(q * len(toks)) - 1]
+            # bucket width = 65536/4096 = 16 tokens; midpoint is within
+            # half a bucket of the bracketing interval
+            assert abs(row[col] - true_q) <= 8.0, (key, col, row[col], true_q)
