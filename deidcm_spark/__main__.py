@@ -518,15 +518,30 @@ def cmd_pq(args) -> dict:
     table (<output>/codes) and the codebook table (<output>/codebook —
     (sub, code, centroid) rows, re-attachable for later searches); with
     --query-id also run an ADC top-k search with exact rerank and report
-    the neighbor ids."""
+    the neighbor ids.  --nlist N switches to IVF-PQ (coarse inverted
+    lists + residual PQ): codes rows gain list_id, the coarse centroids
+    land in <output>/coarse, and searches probe --nprobe lists."""
     spark = _spark("deidcm_pq", args.shuffle_partitions)
     from deidcm_spark.operators import pq as pqop
 
     emb = spark.read.parquet(args.input)
-    books = pqop.pq_train(
-        emb, m=args.m, ksub=args.ksub, lloyd_iters=args.iters,
-        normalize=args.normalize,
-    )
+    coarse = None
+    if args.nlist:
+        coarse, books = pqop.ivfpq_train(
+            emb, nlist=args.nlist, m=args.m, ksub=args.ksub,
+            lloyd_iters=args.iters, normalize=args.normalize,
+        )
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(coarse)],
+            "list_id int, centroid array<double>",
+        ).write.mode("overwrite").parquet(args.output + "/coarse")
+        enc = pqop.ivfpq_encode(emb, coarse, books, normalize=args.normalize)
+    else:
+        books = pqop.pq_train(
+            emb, m=args.m, ksub=args.ksub, lloyd_iters=args.iters,
+            normalize=args.normalize,
+        )
+        enc = pqop.pq_encode(emb, books, normalize=args.normalize)
     rows = [
         (s, c, books[s][c])
         for s in range(len(books))
@@ -535,23 +550,30 @@ def cmd_pq(args) -> dict:
     spark.createDataFrame(
         rows, "sub int, code int, centroid array<double>"
     ).write.mode("overwrite").parquet(args.output + "/codebook")
-    pqop.pq_encode(emb, books, normalize=args.normalize).write.mode(
-        "overwrite"
-    ).parquet(args.output + "/codes")
+    enc.write.mode("overwrite").parquet(args.output + "/codes")
     codes = spark.read.parquet(args.output + "/codes")
     summary = {
         "rows": codes.count(),
         "m": len(books),
         "ksub": len(books[0]),
     }
+    if args.nlist:
+        summary["nlist"] = len(coarse)
     if args.query_id is not None:
         q = emb.filter(f"vec_id = {int(args.query_id)}").head()
         if q is None:
             raise SystemExit(f"pq: --query-id {args.query_id} not in input")
-        got = pqop.pq_search(
-            codes, books, list(q["embedding"]), k=args.k,
-            rerank=args.rerank or None, emb=emb, normalize=args.normalize,
-        ).collect()
+        if args.nlist:
+            got = pqop.ivfpq_search(
+                codes, coarse, books, list(q["embedding"]), k=args.k,
+                nprobe=args.nprobe, rerank=args.rerank or None, emb=emb,
+                normalize=args.normalize,
+            ).collect()
+        else:
+            got = pqop.pq_search(
+                codes, books, list(q["embedding"]), k=args.k,
+                rerank=args.rerank or None, emb=emb, normalize=args.normalize,
+            ).collect()
         summary["neighbors"] = [int(r["vec_id"]) for r in got]
     return summary
 
@@ -989,6 +1011,9 @@ def build_parser() -> argparse.ArgumentParser:
     pquant.add_argument("--query-id", type=int, default=None)
     pquant.add_argument("--k", type=int, default=10)
     pquant.add_argument("--rerank", type=int, default=80)
+    pquant.add_argument("--nlist", type=int, default=0,
+                        help="IVF-PQ: number of coarse inverted lists")
+    pquant.add_argument("--nprobe", type=int, default=4)
     pquant.set_defaults(fn=cmd_pq)
 
     wc = sub.add_parser("warc")

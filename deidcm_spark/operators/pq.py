@@ -54,7 +54,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 __all__ = [
     "pq_train",
@@ -62,6 +62,9 @@ __all__ = [
     "pq_search",
     "adc_table",
     "l2_brute_force",
+    "ivfpq_train",
+    "ivfpq_encode",
+    "ivfpq_search",
 ]
 
 # squared L2 between two array<float/double> columns, left-to-right fold
@@ -314,3 +317,173 @@ def l2_brute_force(
         ),
     )
     return scored.orderBy(F.col("l2_dist").asc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists + residual product quantization
+# (Jégou et al. TPAMI 2011 §IV — the composed billion-scale layout)
+# ---------------------------------------------------------------------------
+
+
+def _residual_encode_udf(coarse: list[list[float]], codebooks):
+    """(embedding, list_id) -> residual PQ codes: subtract the row's
+    coarse centroid, then the shared encode kernel."""
+    C = np.asarray(coarse, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(embedding: pd.Series, list_id: pd.Series) -> pd.Series:
+        M = np.stack(embedding.to_numpy()).astype(np.float64)
+        R = M - C[list_id.to_numpy()]
+        return pd.Series(list(_encode_matrix(R, books)))
+
+    return encode
+
+
+def ivfpq_train(
+    emb: DataFrame,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    lloyd_iters: int = 1,
+    normalize: bool = False,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the composed index: ``(coarse, codebooks)``.
+
+    The coarse quantizer IS product quantization with m=1 and
+    ksub=nlist — same seeded init, same Lloyd machinery, L2 assignment
+    (``similarity.ivf_centroids`` assigns by cosine; this lane is
+    L2-native).  The PQ codebooks then train on the RESIDUALS
+    ``x - coarse[list(x)]`` — residuals concentrate near zero, so the
+    same ksub spends its resolution where the data actually is (the
+    reason IVF-PQ beats flat PQ at equal code size).  Both codebooks
+    are collect-bounded (nlist·d + ksub·d floats)."""
+    coarse_books = pq_train(
+        emb, m=1, ksub=nlist, lloyd_iters=lloyd_iters, normalize=normalize,
+        embedding_col=embedding_col, id_col=id_col,
+    )
+    coarse = coarse_books[0]
+    src = emb.select(id_col, embedding_col)
+    if normalize:
+        src = _normalized(src, embedding_col)
+    assigned = src.withColumn(
+        "_list", _encode_udf(coarse_books)(F.col(embedding_col))[0]
+    )
+    Cb = np.asarray(coarse, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _residual(embedding: pd.Series, list_id: pd.Series) -> pd.Series:
+        M = np.stack(embedding.to_numpy()).astype(np.float64)
+        return pd.Series(list(M - Cb[list_id.to_numpy()]))
+
+    res = assigned.select(
+        id_col, _residual(F.col(embedding_col), F.col("_list")).alias("res")
+    )
+    books = pq_train(
+        res, m=m, ksub=ksub, lloyd_iters=lloyd_iters,
+        embedding_col="res", id_col=id_col,
+    )
+    return coarse, books
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    normalize: bool = False,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus -> ``(id, list_id, codes)``: the persistable IVF-PQ index
+    rows.  One vectorized projection, zero exchanges.  At corpus scale
+    ``list_id`` is the partition key, so probing prunes at planning
+    time (the ann_lsh/ann_ivf pattern)."""
+    src = emb
+    if normalize:
+        src = _normalized(src, embedding_col)
+    assigned = src.withColumn(
+        "list_id", _encode_udf([coarse])(F.col(embedding_col))[0]
+    )
+    return assigned.select(
+        id_col,
+        "list_id",
+        _residual_encode_udf(coarse, codebooks)(
+            F.col(embedding_col), F.col("list_id")
+        ).alias("codes"),
+    )
+
+
+def ivfpq_search(
+    index: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    emb: DataFrame | None = None,
+    normalize: bool = False,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the ``nprobe`` lists nearest the query.
+
+    Driver side computes nprobe coarse distances + one LUT per probed
+    list (against the query's PER-LIST residual ``q - c_list``); the
+    plan carries them as a ``map<int, array<array<double>>>`` literal,
+    so scoring is ``element_at(map, list_id)`` then the same
+    zip_with/element_at fold — PURE JVM over the pruned scan
+    (``list_id IN (...)`` is a pushable IN-list; at 10^9+ rows the list
+    id is the partition key and pruning happens at planning time).
+    Top-k = TakeOrderedAndProject; ``rerank=N`` repairs recall exactly
+    like :func:`pq_search`."""
+    if rerank is not None and emb is None:
+        raise ValueError("rerank requires the original embeddings DataFrame")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    q = np.asarray(adc_query_vector(query, normalize), dtype=np.float64)
+    C = np.asarray(coarse, dtype=np.float64)
+    dists = ((q[None, :] - C) ** 2).sum(axis=1)
+    probes = [int(p) for p in np.argsort(dists, kind="stable")[:nprobe]]
+    luts = {
+        p: adc_table([float(v) for v in (q - C[p])], codebooks)
+        for p in probes
+    }
+    map_entries: list = []
+    for p in probes:
+        map_entries.append(F.lit(p))
+        map_entries.append(_lut_literal(luts[p]))
+    scored = (
+        index.filter(F.col("list_id").isin(probes))
+        .withColumn("_luts", F.create_map(*map_entries))
+        .select(
+            id_col,
+            F.expr(
+                "round(aggregate(zip_with(codes, element_at(_luts, list_id),"
+                " (c, r) -> element_at(r, c + 1)), 0D, (acc, v) -> acc + v), 6)"
+            ).alias("adc_dist"),
+        )
+    )
+    shortlist = scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(
+        rerank if rerank is not None else k
+    )
+    if rerank is None:
+        return shortlist
+    src = emb
+    if normalize:
+        src = _normalized(src, embedding_col)
+    qv = [float(v) for v in q]
+    reranked = (
+        shortlist.select(id_col)
+        .join(src.select(id_col, embedding_col), id_col)
+        .withColumn("_q", F.array(*[F.lit(v) for v in qv]))
+        .select(
+            id_col,
+            F.expr(
+                "round(" + _SQL2_EXPR.format(x=embedding_col, y="_q") + ", 6)"
+            ).alias("l2_dist"),
+        )
+    )
+    return reranked.orderBy(F.col("l2_dist").asc(), F.col(id_col)).limit(k)

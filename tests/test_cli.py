@@ -518,3 +518,18 @@ def test_cli_heavyhitters(tmp_path, capsys, spark):
     ])
     assert r["grams"] == 2  # 'all rights' + 'rights reserved', 60x each
     assert r["top"] == [["all rights", 60], ["rights reserved", 60]]
+
+
+def test_cli_ivfpq(tmp_path, capsys, spark):
+    out = str(tmp_path / "ivfpq")
+    r = _run(capsys, [
+        "pq", "--input", f"{SF}/embeddings.parquet", "--output", out,
+        "--nlist", "8", "--m", "4", "--ksub", "8", "--iters", "0",
+        "--query-id", "0", "--k", "5", "--nprobe", "8", "--rerank", "50",
+        "--shuffle-partitions", "8",
+    ])
+    assert r["rows"] == 500 and r["nlist"] == 8
+    assert r["neighbors"][0] == 0  # full probe + rerank: self is nearest
+    codes = spark.read.parquet(out + "/codes")
+    assert set(codes.columns) == {"vec_id", "list_id", "codes"}
+    assert spark.read.parquet(out + "/coarse").count() == 8
