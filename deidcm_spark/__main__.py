@@ -42,7 +42,10 @@ supports it:
   snapdiff diff two corpus snapshots by document fingerprint → delta +
            the incremental reprocess slice (CDC)
   pq       product-quantization: codebook + compressed codes table
-           [--query-id: ADC top-k search with exact rerank]
+           [--query-id: ADC top-k search with exact rerank;
+            --nlist: IVF-PQ coarse lists + residual codes]
+  zorder   rewrite a parquet dir clustered on the Z-order curve over
+           --cols (file-level min/max pruning for k-D predicates)
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -457,6 +460,18 @@ def cmd_heavyhitters(args) -> dict:
         "grams": back.count(),
         "top": [[r["gram"], int(r["n_occurrences"])] for r in top],
     }
+
+
+def cmd_zorder(args) -> dict:
+    """Layout lane: rewrite a parquet dir clustered on the Z-order curve
+    over --cols so file-level min/max prune multi-column predicates."""
+    spark = _spark("deidcm_zorder", args.shuffle_partitions)
+    from deidcm_spark.maintenance import zorder_rewrite
+
+    return zorder_rewrite(
+        spark, args.input, args.output, args.cols.split(","),
+        n_files=args.files, bits=args.bits, method=args.method,
+    )
 
 
 def cmd_topk(args) -> dict:
@@ -986,6 +1001,15 @@ def build_parser() -> argparse.ArgumentParser:
     hh.add_argument("--depth", type=int, default=4)
     hh.add_argument("--hash", default="fast", choices=["portable", "fast"])
     hh.set_defaults(fn=cmd_heavyhitters)
+
+    zo = sub.add_parser("zorder")
+    common(zo)
+    zo.add_argument("--cols", required=True,
+                    help="comma-separated columns to cluster on (>= 2)")
+    zo.add_argument("--files", type=int, default=16)
+    zo.add_argument("--bits", type=int, default=16)
+    zo.add_argument("--method", default="minmax", choices=["minmax", "cdf"])
+    zo.set_defaults(fn=cmd_zorder)
 
     tk = sub.add_parser("topk")
     common(tk)

@@ -533,3 +533,18 @@ def test_cli_ivfpq(tmp_path, capsys, spark):
     codes = spark.read.parquet(out + "/codes")
     assert set(codes.columns) == {"vec_id", "list_id", "codes"}
     assert spark.read.parquet(out + "/coarse").count() == 8
+
+
+def test_cli_zorder(tmp_path, capsys, spark):
+    src = str(tmp_path / "zsrc")
+    out = str(tmp_path / "zout")
+    spark.createDataFrame(
+        [(i, i % 50, (i * 7) % 50) for i in range(2000)],
+        "doc_id long, x long, y long",
+    ).repartition(8).write.parquet(src)
+    r = _run(capsys, [
+        "zorder", "--input", src, "--output", out, "--cols", "x,y",
+        "--files", "4", "--shuffle-partitions", "8",
+    ])
+    assert r["cols"] == ["x", "y"] and r["files_out"] >= 2
+    assert spark.read.parquet(out).count() == 2000
