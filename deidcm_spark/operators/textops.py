@@ -849,3 +849,54 @@ def normalize_text(df: DataFrame, nfc: bool = False) -> DataFrame:
             yield pdf
 
     return cleaned.mapInPandas(_nfc_batches, cleaned.schema)
+
+
+def compression_signals(df: DataFrame, level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the classic redundancy
+    quality signal (template spam and keyword stuffing compress far
+    below prose; near-random noise barely compresses at all).  Several
+    public curation pipelines gate on it because it catches repetition
+    the n-gram fractions miss (long-period repeats beyond the 2/3-gram
+    horizon).
+
+    ``(doc_id, n_bytes, n_compressed, compression_ratio)`` with ratio =
+    compressed/raw (4 dp), NULL for empty text.  One Arrow-batched
+    ``mapInPandas`` projection, zero shuffles — zlib is the one step SQL
+    cannot express (same declared seam as NFC normalization).
+    Deterministic for a fixed zlib level; the oracle in
+    tests/test_training_ops.py is the same zlib, byte for byte."""
+    if not 1 <= level <= 9:
+        raise ValueError(f"zlib level must be in [1, 9], got {level}")
+    out_schema = (
+        "doc_id long, n_bytes int, n_compressed int, compression_ratio double"
+    )
+
+    def _batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = [
+                None if t is None else t.encode("utf-8", "replace")
+                for t in pdf["text"]
+            ]
+            n_bytes = [None if b is None else len(b) for b in raw]
+            n_comp = [
+                None if b is None or not b else len(zlib.compress(b, level))
+                for b in raw
+            ]
+            ratio = [
+                None if nb in (None, 0) else round(nc / nb, 4)
+                for nb, nc in zip(n_bytes, n_comp)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.array(n_bytes, dtype="Int32"),
+                    "n_compressed": pd.array(n_comp, dtype="Int32"),
+                    "compression_ratio": pd.array(ratio, dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", "text").mapInPandas(_batches, out_schema)

@@ -526,3 +526,34 @@ def test_corpus_report_with_sketches(spark):
             # bucket width = 65536/4096 = 16 tokens; midpoint is within
             # half a bucket of the bracketing interval
             assert abs(row[col] - true_q) <= 8.0, (key, col, row[col], true_q)
+
+
+def test_compression_signals_matches_zlib(spark):
+    import zlib
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 40),  # compressible
+        (2, "a1k9x qz7 mnop3 vw8 " * 3),                            # short noise
+        (3, ""),                                                     # empty
+        (4, None),                                                   # null
+        (5, "buy now " * 500),                                       # spammy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["compression_ratio"])
+        for r in textops.compression_signals(df).collect()
+    }
+    for did, text in rows:
+        if text is None:
+            assert got[did] == (None, None, None)
+            continue
+        raw = text.encode("utf-8")
+        if not raw:
+            assert got[did] == (0, None, None)
+            continue
+        comp = len(zlib.compress(raw, 6))
+        assert got[did] == (len(raw), comp, round(comp / len(raw), 4))
+    # the signal separates: spam/boilerplate compresses far below noise
+    assert got[5][2] < 0.1 < got[2][2]
+    with pytest.raises(ValueError):
+        textops.compression_signals(df, level=0)
