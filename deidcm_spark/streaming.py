@@ -755,3 +755,62 @@ def stream_warc_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cdf(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    m: int = 4096,
+    weight_col: str | None = None,
+    schema: str = "doc_id long, value double",
+    available_now: bool = True,
+    queryName: str = "cdf_refresh",
+):
+    """Streaming refresh of the CDF quantile sketch
+    (``operators/quantile.cdf_build``): each micro-batch appends its own
+    ≤ m-row sketch PARTIAL through the idempotent batch-partition sink
+    (``sum`` counts are decomposable — partials of partials re-aggregate
+    exactly, the ``stream_rollup``/``stream_bloom_ingest`` contract);
+    :func:`read_cdf` compacts the log into the identical table a batch
+    build over everything-seen-so-far would produce.  Continuous corpus
+    statistics (length/score quantiles over a live crawl) without ever
+    rescanning history: the log grows by ≤ m rows per micro-batch
+    regardless of batch size, and a replayed batch overwrites its own
+    partition instead of double-counting."""
+    from deidcm_spark.operators.quantile import cdf_build
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _idempotent_write(
+            cdf_build(batch_df, value_col, lo, hi, m, weight_col=weight_col),
+            batch_id, out_dir,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cdf(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Compact the streaming sketch partial log → ``(bucket_idx, cnt)``,
+    interchangeable with a batch ``cdf_build`` over the union of all
+    micro-batches (the test's equality invariant); feed it straight to
+    ``quantile.cdf_quantile``/``cdf_merge``."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("bucket_idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -189,3 +189,49 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     batches = {r["batch_id"] for r in
                spark.read.parquet(out_dir).select("batch_id").distinct().collect()}
     assert len(batches) == 2
+
+
+def test_stream_cdf_matches_batch(spark, tmp_path):
+    """Streaming sketch refresh: two value drops → partial log →
+    read_cdf must equal the batch cdf_build over everything seen, and
+    the compacted sketch answers quantiles through the normal lane."""
+    from pyspark.sql import functions as F
+
+    from deidcm_spark.operators.quantile import cdf_build, cdf_quantile
+    from deidcm_spark.streaming import read_cdf, stream_cdf
+
+    in_dir = str(tmp_path / "vals_in")
+    out_dir = str(tmp_path / "cdf_partials")
+    ck = str(tmp_path / "cdf_ck")
+    lo, hi, m = 0.0, 100.0, 64
+    rows = [(i, float((i * 37) % 100)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, value double")
+    a, b = df.filter("doc_id % 2 = 0"), df.filter("doc_id % 2 = 1")
+
+    a.write.parquet(in_dir)
+    q = stream_cdf(spark, in_dir, out_dir, ck, "value", lo, hi, m,
+                   queryName="cdf1")
+    q.awaitTermination(120)
+    b.write.mode("append").parquet(in_dir)
+    q2 = stream_cdf(spark, in_dir, out_dir, ck, "value", lo, hi, m,
+                    queryName="cdf2")
+    q2.awaitTermination(120)
+
+    def snap(d):
+        return {r["bucket_idx"]: r["cnt"] for r in d.collect()}
+
+    got = snap(read_cdf(spark, out_dir))
+    want = snap(cdf_build(spark.read.parquet(in_dir), "value", lo, hi, m))
+    assert got == want and sum(got.values()) == 5000
+    # the log is incremental (one partial per micro-batch: two starts
+    # under one checkpoint lineage -> batch ids 0 and 1) and bounded at
+    # <= m rows per batch
+    log = spark.read.parquet(out_dir)
+    batches = {r["batch_id"] for r in log.select("batch_id").distinct().collect()}
+    assert len(batches) == 2
+    per_batch = {r["batch_id"]: r["n"] for r in
+                 log.groupBy("batch_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= m for n in per_batch.values())
+    # quantile query runs on the compacted log directly
+    qrow = cdf_quantile(read_cdf(spark, out_dir), [0.5], lo, hi, m).collect()[0]
+    assert qrow["total"] == 5000 and 0 <= qrow["bucket_idx"] < m
