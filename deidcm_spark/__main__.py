@@ -46,6 +46,9 @@ supports it:
             --nlist: IVF-PQ coarse lists + residual codes]
   zorder   rewrite a parquet dir clustered on the Z-order curve over
            --cols (file-level min/max pruning for k-D predicates)
+  curate   the full curation flow in one job: normalize → quality gate
+           → line dedup → exact dedup → pack (per-stage materialization
+           + drop-mass ledger)
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -460,6 +463,20 @@ def cmd_heavyhitters(args) -> dict:
         "grams": back.count(),
         "top": [[r["gram"], int(r["n_occurrences"])] for r in top],
     }
+
+
+def cmd_curate(args) -> dict:
+    """The full curation flow in one job: normalize → quality gate →
+    line dedup → exact dedup → fixed-length packing, each stage
+    materialized under <output>/<stage> with a drop-mass ledger."""
+    spark = _spark("deidcm_curate", args.shuffle_partitions)
+    from deidcm_spark.pipeline import curate
+
+    return curate(
+        spark, spark.read.parquet(args.input), args.output,
+        seq_len=args.seq_len, min_line_chars=args.min_line_chars,
+        nfc=args.nfc, hash_impl=args.hash,
+    )
 
 
 def cmd_zorder(args) -> dict:
@@ -1001,6 +1018,14 @@ def build_parser() -> argparse.ArgumentParser:
     hh.add_argument("--depth", type=int, default=4)
     hh.add_argument("--hash", default="fast", choices=["portable", "fast"])
     hh.set_defaults(fn=cmd_heavyhitters)
+
+    cu = sub.add_parser("curate")
+    common(cu)
+    cu.add_argument("--seq-len", type=int, default=2048)
+    cu.add_argument("--min-line-chars", type=int, default=1)
+    cu.add_argument("--nfc", action="store_true")
+    cu.add_argument("--hash", default="fast", choices=["portable", "fast"])
+    cu.set_defaults(fn=cmd_curate)
 
     zo = sub.add_parser("zorder")
     common(zo)

@@ -56,3 +56,81 @@ def ingest_deidentify(
         spans, org_root, salt,
         num_partitions=num_partitions, with_metrics=with_metrics,
     )
+
+
+def curate(
+    spark,
+    docs: DataFrame,
+    out_dir: str,
+    seq_len: int = 2048,
+    gate_overrides: dict | None = None,
+    min_line_chars: int = 1,
+    nfc: bool = False,
+    hash_impl: str = "fast",
+) -> dict:
+    """The full training-data curation flow as ONE job — the pipeline a
+    100 TB pretraining corpus actually runs, each stage an operator this
+    engine already oracles individually:
+
+        raw (doc_id, text)
+          → normalize_text      (codegen hygiene; typographic variants
+                                 collapse to one dedup fingerprint)
+          → quality_gate        (Gopher/C4 rule cascade, keep == no
+                                 violated rule)
+          → line_dedup          (corpus-duplicated boilerplate lines out,
+                                 documents rebuilt)
+          → exact dedup         (NORM_FP winners, smallest doc_id kept)
+          → pack_sequences      (fixed seq_len pieces, the loader layout)
+
+    Every stage MATERIALIZES to ``<out_dir>/<stage>`` and the next stage
+    reads the parquet back — deliberate at scale: a stage barrier caps
+    recomputation on failure, makes each intermediate inspectable /
+    resumable, and keeps any one job's lineage shallow (the same reason
+    lineage.run_deid_job commits per bucket).  Returns the stage-by-stage
+    document accounting (the drop-mass ledger a dataset card needs).
+    """
+    from pyspark.sql import functions as F
+
+    from deidcm_spark.operators import dedup, spandedup, textops
+
+    base = docs.select("doc_id", "text")
+    n_in = base.count()
+
+    norm = textops.normalize_text(base, nfc=nfc)
+    norm.write.mode("overwrite").parquet(f"{out_dir}/normalized")
+    norm = spark.read.parquet(f"{out_dir}/normalized")
+
+    gate = textops.quality_gate(norm, overrides=gate_overrides)
+    kept = norm.join(
+        gate.filter("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+    kept.write.mode("overwrite").parquet(f"{out_dir}/gated")
+    kept = spark.read.parquet(f"{out_dir}/gated")
+    n_gated = kept.count()
+
+    ld = spandedup.line_dedup(
+        kept, min_line_chars=min_line_chars, hash_impl=hash_impl
+    ).select("doc_id", "text")
+    ld.write.mode("overwrite").parquet(f"{out_dir}/line_deduped")
+    ld = spark.read.parquet(f"{out_dir}/line_deduped")
+
+    winners = dedup.dedup_exact(ld).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    final = ld.join(winners, "doc_id", "left_semi")
+    final.write.mode("overwrite").parquet(f"{out_dir}/deduped")
+    final = spark.read.parquet(f"{out_dir}/deduped")
+    n_final = final.count()
+
+    packed = textops.pack_sequences(final, seq_len=seq_len)
+    packed.write.mode("overwrite").parquet(f"{out_dir}/sequences")
+    packed = spark.read.parquet(f"{out_dir}/sequences")
+    n_seq = int(packed.agg(F.countDistinct("seq_id")).first()[0])
+
+    return {
+        "docs_in": n_in,
+        "docs_after_gate": n_gated,
+        "docs_after_dedup": n_final,
+        "sequences": n_seq,
+        "seq_len": seq_len,
+    }

@@ -548,3 +548,49 @@ def test_cli_zorder(tmp_path, capsys, spark):
     ])
     assert r["cols"] == ["x", "y"] and r["files_out"] >= 2
     assert spark.read.parquet(out).count() == 2000
+
+
+def test_cli_curate_end_to_end(tmp_path, capsys, spark):
+    """The composed curation job equals the individually-applied stages
+    (stage barriers change nothing but lineage)."""
+    from pyspark.sql import functions as SQLF
+
+    from deidcm_spark.operators import dedup, spandedup, textops
+
+    src = str(tmp_path / "curate_src")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant exact duplicates so the dedup stage bites
+    docs.unionByName(
+        docs.filter("doc_id < 20").selectExpr("doc_id + 100000 as doc_id", "text")
+    ).write.parquet(src)
+    out = str(tmp_path / "curated")
+    r = _run(capsys, [
+        "curate", "--input", src, "--output", out,
+        "--seq-len", "512", "--shuffle-partitions", "8",
+    ])
+    assert r["docs_in"] == 520
+    assert r["docs_after_gate"] <= 520
+    # the 20 planted duplicates that survive the gate must all collapse
+    assert r["docs_after_dedup"] <= r["docs_after_gate"] - 1
+    assert r["sequences"] > 0 and r["seq_len"] == 512
+
+    # stage equivalence: replay the stages by hand on the same input
+    base = spark.read.parquet(src).select("doc_id", "text")
+    norm = textops.normalize_text(base)
+    gate_keep = textops.quality_gate(norm).filter("keep").select("doc_id")
+    kept = norm.join(gate_keep, "doc_id", "left_semi")
+    ld = spandedup.line_dedup(kept, hash_impl="fast").select("doc_id", "text")
+    winners = dedup.dedup_exact(ld).select(
+        SQLF.col("keep_doc_id").alias("doc_id")
+    )
+    final = ld.join(winners, "doc_id", "left_semi")
+    got = {
+        (r2["doc_id"], r2["text"])
+        for r2 in spark.read.parquet(out + "/deduped").collect()
+    }
+    want = {(r2["doc_id"], r2["text"]) for r2 in final.collect()}
+    assert got == want
+    assert r["docs_after_dedup"] == len(want)
+
