@@ -18,6 +18,9 @@ supports it:
            documents (DSIR importance sampling, deterministic)
   ppl      raw documents + --reference corpus → per-doc LM perplexity
            (CCNet-style quality filtering)
+  qualityfilter train a hashed-n-gram NB classifier on --positive vs
+           --negative seeds, keep --input docs through the Pareto
+           acceptance gate (GPT-3 quality filter)
   bpe      train a BPE tokenizer (or reuse --merges) → persisted merge
            list + per-doc subword counts
   compact  small-file compaction: rewrite a fragmented parquet dir into
@@ -207,6 +210,28 @@ def cmd_dsir(args) -> dict:
         raw, tgt, args.k, n_buckets=args.buckets
     ).write.mode("overwrite").parquet(args.output)
     return {"selected": spark.read.parquet(args.output).count(), "k": args.k}
+
+
+def cmd_qualityfilter(args) -> dict:
+    """GPT-3-style classifier quality filter (arXiv:2005.14165 App. A):
+    train a hashed-n-gram Naive Bayes on --positive vs --negative seed
+    corpora, score --input, keep docs through the deterministic Pareto
+    acceptance gate."""
+    spark = _spark("deidcm_qualityfilter", args.shuffle_partitions)
+    from deidcm_spark.operators.classify import quality_classifier_select
+
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    pos = spark.read.parquet(args.positive).select("doc_id", "text")
+    neg = (
+        spark.read.parquet(args.negative).select("doc_id", "text")
+        if args.negative else docs
+    )
+    quality_classifier_select(
+        docs, pos, neg, n_buckets=args.buckets, alpha=args.alpha,
+        normalize=args.normalize,
+    ).write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    return {"docs": docs.count(), "kept": out.count(), "alpha": args.alpha}
 
 
 def cmd_compact(args) -> dict:
@@ -1145,6 +1170,19 @@ def build_parser() -> argparse.ArgumentParser:
     ds.add_argument("--k", type=int, required=True)
     ds.add_argument("--buckets", type=int, default=4096)
     ds.set_defaults(fn=cmd_dsir)
+
+    qf = sub.add_parser("qualityfilter")
+    common(qf)
+    qf.add_argument("--positive", required=True,
+                    help="curated positive-class documents parquet")
+    qf.add_argument("--negative", default="",
+                    help="negative-class parquet (default: --input itself, "
+                         "the GPT-3 convention of crawl-as-negative)")
+    qf.add_argument("--buckets", type=int, default=4096)
+    qf.add_argument("--alpha", type=float, default=9.0)
+    qf.add_argument("--normalize", action="store_true",
+                    help="fastText-style per-gram mean head")
+    qf.set_defaults(fn=cmd_qualityfilter)
 
     pp = sub.add_parser("ppl")
     common(pp)

@@ -280,6 +280,27 @@ def test_cli_qualitygate(tmp_path, capsys, spark):
     assert sum(r["dropped_by_rule"].values()) >= r["docs"] - r["kept"]
 
 
+def test_cli_qualityfilter(tmp_path, capsys, spark):
+    # positive seed = a deterministic slice of the corpus; negative
+    # defaults to --input itself (the GPT-3 crawl-as-negative convention)
+    pos = str(tmp_path / "pos")
+    out = str(tmp_path / "qf")
+    (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("doc_id % 7 = 0").select("doc_id", "text")
+        .write.parquet(pos)
+    )
+    r = _run(capsys, [
+        "qualityfilter", "--input", f"{SF}/documents.parquet",
+        "--positive", pos, "--output", out, "--normalize",
+        "--buckets", "512", "--shuffle-partitions", "8",
+    ])
+    assert r["docs"] == 500 and 0 <= r["kept"] <= 500
+    back = spark.read.parquet(out)
+    assert {"doc_id", "prob", "pareto_draw"} <= set(back.columns)
+    assert back.filter("prob > 1.0 - pareto_draw").count() == back.count()
+
+
 def test_cli_report(tmp_path, capsys, spark):
     out = str(tmp_path / "report")
     r = _run(capsys, [
