@@ -128,6 +128,8 @@ def cmd_scrub(args) -> dict:
 
     names = args.names.split(",") if args.names else []
     out = scrub.scrub_documents(docs, args.org_root, names)
+    if args.pii:
+        out = scrub.scrub_pii(out)
     out.write.mode("overwrite").parquet(args.output)
     return {"docs": spark.read.parquet(args.output).count()}
 
@@ -970,6 +972,8 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("scrub")
     common(s, org_root=True)
     s.add_argument("--names", default="")
+    s.add_argument("--pii", action="store_true",
+                   help="also scrub web PII: Luhn-valid cards, phones, IPv4")
     s.set_defaults(fn=cmd_scrub)
 
     pl = sub.add_parser("pipeline")

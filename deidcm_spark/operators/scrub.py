@@ -134,6 +134,103 @@ def scrub_uids(df: DataFrame, org_root: str, text_col: str = "text") -> DataFram
     return df.mapInPandas(run, schema)
 
 
+# ---------------------------------------------------------------------------
+# web-PII pass: credit cards (Luhn-validated), phone numbers, IPv4
+# ---------------------------------------------------------------------------
+#
+# The BigCode/StarCoder-style PII pass a web/code pipeline runs before
+# training.  These three need boundary semantics the two-dialect SQL chain
+# cannot express: global regexp_replace with a captured-prefix "boundary"
+# CONSUMES the boundary character, so two PII items separated by one char
+# ("1.2.3.4 5.6.7.8") miss the second match, and RE2 (the DuckDB oracle
+# dialect) has no lookaround to fix that; Luhn validation is conditional
+# per match besides.  So the pass is one Arrow-batched mapInPandas scan
+# (the scrub_uids pattern): zero shuffles, row-local, Python-regex
+# lookarounds for exact boundaries, and only Luhn-VALID digit runs become
+# ``[CARD]`` — a 16-digit order number with a failing checksum is left
+# alone.
+
+# 13-19 digits with optional single space/dash separators, not digit-adjacent
+_CARD_PAT = re.compile(r"(?<![\d-])(?:\d[ -]?){12,18}\d(?!\d)")
+# optional +CC / (area), then a 6-14-digit run split by space/dot/dash;
+# validated afterwards by TOTAL digit count (9-15, or 8 with +CC) so ISO
+# dates (8 digits) never match and "(212) 555-0173"-style area+7 does
+_PHONE_PAT = re.compile(
+    r"(?<![\d/.-])(?:\+\d{1,3}[ .-]?)?(?:\(\d{1,4}\)[ .-]?)?\d(?:[ .-]?\d){5,13}(?![\d/.-])"
+)
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_IP_PAT = re.compile(rf"(?<![\d.])(?:{_OCTET}\.){{3}}{_OCTET}(?![\d.])")
+
+
+def luhn_valid(digits: str) -> bool:
+    """Luhn checksum (ISO/IEC 7812): doubled-every-second-from-the-right
+    digit sum ≡ 0 mod 10."""
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _card_sub(m: re.Match) -> str:
+    digits = re.sub(r"[ -]", "", m.group(0))
+    if 13 <= len(digits) <= 19 and luhn_valid(digits):
+        return "[CARD]"
+    return m.group(0)
+
+
+def _phone_sub(m: re.Match) -> str:
+    s = m.group(0)
+    n = sum(c.isdigit() for c in s)
+    if not (9 <= n <= 15 or (n == 8 and s.startswith("+"))):
+        return s
+    if "." in s:
+        # dotted candidates must LOOK like a phone grouping, not an
+        # OID/version arc list: all-pairs (French 06.12.34.56.78) or
+        # 3-3-4 (US 212.555.0173).  Dotted quads are gone already (the
+        # IP stage runs first).
+        lens = [len(g) for g in re.findall(r"\d+", s)]
+        if not (all(v <= 2 for v in lens) or lens == [3, 3, 4]):
+            return s
+    return "[PHONE]"
+
+
+def scrub_pii_text(text: str) -> str:
+    """The per-string web-PII scrub.  Order matters twice: cards first
+    (a card run is phone-shaped), then IPv4 BEFORE phones (a dotted quad
+    like 255.255.255.255 is a 12-digit separator-grouped run the phone
+    rule would otherwise take)."""
+    text = _CARD_PAT.sub(_card_sub, text)
+    text = _IP_PAT.sub("[IP]", text)
+    return _PHONE_PAT.sub(_phone_sub, text)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Web-PII scrub pass over a text column — ``[CARD]`` (Luhn-valid
+    13-19-digit runs), ``[PHONE]`` (9-15-digit separator-grouped runs,
+    +CC/(area) aware), ``[IP]`` (strict-octet dotted quads, never a ≥5-arc
+    OID/version prefix thanks to the ``(?![\\d.])`` guard).
+
+    One zero-shuffle Arrow pass; scan → project plan, composes with
+    scrub_text/scrub_uids in either order (the UID pseudonym alphabet is
+    dotted 30-digit arcs — arc values far above 255 — so the strict-octet
+    IP rule cannot chew a remapped UID)."""
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[text_col] = [
+                scrub_pii_text(t) if t else t for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def scrub_documents(
     df: DataFrame,
     org_root: str,

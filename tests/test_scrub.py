@@ -162,3 +162,95 @@ def test_scrub_spans_full_uid_first_ordering(spark):
     )
     out = scrub.scrub_spans_full(df, ORG).collect()[0]["spans"][0]["text"]
     assert out == f"s {gen_dicom_uid('', '1.2.19890312.44.5', ORG)} e"
+
+
+# ---------------------------------------------------------------------------
+# web-PII pass (cards / phones / IPv4)
+# ---------------------------------------------------------------------------
+
+PII_GOLDENS = [
+    # Luhn-valid cards (4111111111111111 is the canonical Visa test PAN)
+    ("pay 4111111111111111 now", "pay [CARD] now"),
+    ("pay 4111-1111-1111-1111 now", "pay [CARD] now"),
+    ("pay 4111 1111 1111 1111 now", "pay [CARD] now"),
+    # Luhn-INVALID 16-digit run: left alone by the card rule; the phone
+    # rule does not take it either (16 digits > 15)
+    ("order 4111111111111112 ref", "order 4111111111111112 ref"),
+    # phones
+    ("call +33 1 23 45 67 89 ok", "call [PHONE] ok"),
+    ("call (212) 555-0173 ok", "call [PHONE] ok"),
+    ("call 06.12.34.56.78 ok", "call [PHONE] ok"),
+    ("call 212.555.0173 ok", "call [PHONE] ok"),
+    # 8 digits without +CC: NOT a phone (ISO dates stay)
+    ("date 2021-01-01 and 20210101 stay", "date 2021-01-01 and 20210101 stay"),
+    # IPv4, including two adjacent ones (the RE2 prefix-capture miss case)
+    ("from 10.0.0.1 to 255.255.255.255 .", "from [IP] to [IP] ."),
+    ("pair 1.2.3.4 5.6.7.8 done", "pair [IP] [IP] done"),
+    # NOT IPs: out-of-range octet, >= 5 arcs (OID/version), digit-adjacent
+    ("v 1.2.3.456 stays", "v 1.2.3.456 stays"),
+    ("oid 1.2.840.10008.5 stays", "oid 1.2.840.10008.5 stays"),
+    ("ver 10.2.3.4.5 stays", "ver 10.2.3.4.5 stays"),
+    ("", ""),
+]
+
+
+def test_scrub_pii_goldens():
+    for raw, want in PII_GOLDENS:
+        assert scrub.scrub_pii_text(raw) == want, raw
+
+
+def _luhn_runs(text):
+    """Independent safety oracle: every maximal digit run (separators
+    stripped) of card length with a passing checksum."""
+    import re as _re
+
+    out = []
+    for m in _re.finditer(r"[\d -]+", text):
+        digits = _re.sub(r"\D", "", m.group(0))
+        if 13 <= len(digits) <= 19 and scrub.luhn_valid(digits):
+            out.append(digits)
+    return out
+
+
+def test_scrub_pii_safety_properties():
+    """After the pass: no Luhn-valid card-length digit run survives in
+    any golden input, no strict dotted quad survives, and the pass is
+    idempotent on every golden."""
+    import re as _re
+
+    quad = _re.compile(
+        r"(?<![\d.])(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+        r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\d.])"
+    )
+    for raw, _ in PII_GOLDENS:
+        got = scrub.scrub_pii_text(raw)
+        assert not _luhn_runs(got), raw
+        assert not quad.search(got), raw
+        assert scrub.scrub_pii_text(got) == got, raw
+
+
+def test_scrub_pii_hypothesis_idempotent_and_safe():
+    from hypothesis import given, settings, strategies as st
+
+    soup = st.text(
+        alphabet="0123456789 .-+()[]CARDPHONEIPabc\n", min_size=0, max_size=60
+    )
+
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    @given(soup)
+    def check(s):
+        got = scrub.scrub_pii_text(s)
+        assert not _luhn_runs(got)
+        assert scrub.scrub_pii_text(got) == got
+
+    check()
+
+
+def test_scrub_pii_spark_matches_python(spark):
+    rows = [(i, raw) for i, (raw, _) in enumerate(PII_GOLDENS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in scrub.scrub_pii(df).collect()}
+    assert got == {i: want for i, (_, want) in enumerate(PII_GOLDENS)}
+    # zero-shuffle scan -> project plan
+    plan = scrub.scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
