@@ -21,6 +21,9 @@ supports it:
   qualityfilter train a hashed-n-gram NB classifier on --positive vs
            --negative seeds, keep --input docs through the Pareto
            acceptance gate (GPT-3 quality filter)
+  balance  k-means the embedding space, re-draw --k rows under
+           per-cluster quotas (topic rebalancing; --policy uniform |
+           proportional | temperature)
   bpe      train a BPE tokenizer (or reuse --merges) → persisted merge
            list + per-doc subword counts
   compact  small-file compaction: rewrite a fragmented parquet dir into
@@ -234,6 +237,26 @@ def cmd_qualityfilter(args) -> dict:
     ).write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
     return {"docs": docs.count(), "kept": out.count(), "alpha": args.alpha}
+
+
+def cmd_balance(args) -> dict:
+    """Cluster-balanced selection lane: k-means the embedding space,
+    re-draw --k rows under per-cluster quotas (--policy uniform |
+    proportional | temperature)."""
+    spark = _spark("deidcm_balance", args.shuffle_partitions)
+    from deidcm_spark.operators.balance import cluster_balanced_sample
+
+    emb = spark.read.parquet(args.input).select("vec_id", "embedding")
+    cluster_balanced_sample(
+        emb, args.k, n_centroids=args.centroids, policy=args.policy,
+        alpha=args.alpha, n_salts=args.salts,
+    ).write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    from pyspark.sql import functions as SF
+
+    clusters = out.agg(SF.countDistinct("cluster")).first()[0]
+    return {"selected": out.count(), "clusters": int(clusters),
+            "policy": args.policy}
 
 
 def cmd_compact(args) -> dict:
@@ -1174,6 +1197,17 @@ def build_parser() -> argparse.ArgumentParser:
     ds.add_argument("--k", type=int, required=True)
     ds.add_argument("--buckets", type=int, default=4096)
     ds.set_defaults(fn=cmd_dsir)
+
+    bl = sub.add_parser("balance")
+    common(bl)
+    bl.add_argument("--k", type=int, required=True)
+    bl.add_argument("--centroids", type=int, default=16)
+    bl.add_argument("--policy", default="uniform",
+                    choices=["uniform", "proportional", "temperature"])
+    bl.add_argument("--alpha", type=float, default=0.5)
+    bl.add_argument("--salts", type=int, default=1,
+                    help=">1 = two-phase top-N for hot clusters")
+    bl.set_defaults(fn=cmd_balance)
 
     qf = sub.add_parser("qualityfilter")
     common(qf)

@@ -301,6 +301,18 @@ def test_cli_qualityfilter(tmp_path, capsys, spark):
     assert back.filter("prob > 1.0 - pareto_draw").count() == back.count()
 
 
+def test_cli_balance(tmp_path, capsys, spark):
+    out = str(tmp_path / "bal")
+    r = _run(capsys, [
+        "balance", "--input", f"{SF}/embeddings.parquet", "--output", out,
+        "--k", "40", "--policy", "uniform", "--salts", "3",
+        "--shuffle-partitions", "8",
+    ])
+    assert r["selected"] == 40 and r["clusters"] > 1
+    back = spark.read.parquet(out)
+    assert {"vec_id", "cluster"} <= set(back.columns)
+
+
 def test_cli_report(tmp_path, capsys, spark):
     out = str(tmp_path / "report")
     r = _run(capsys, [
