@@ -190,6 +190,10 @@ def _r4_ops(spark, sf_dir: str, docs):
     from deidcm_spark.operators.dedup import lsh_index_build, lsh_index_probe
     from deidcm_spark.operators.quantile import cdf_build, select_top_k
 
+    from deidcm_spark.operators.balance import cluster_balanced_sample
+    from deidcm_spark.operators.classify import quality_classifier_select
+    from deidcm_spark.operators.scrub import scrub_pii
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     books = pqop.pq_train(emb, m=4, ksub=16, lloyd_iters=0)
     codes = pqop.pq_encode(emb, books)
@@ -210,6 +214,13 @@ def _r4_ops(spark, sf_dir: str, docs):
         "cdf_build*": cdf_build(scored, "score", lo=0.0, hi=1.0, m=256),
         "snapshot_diff*": snapshot_diff(old, new),
         "lsh_index_probe*": lsh_index_probe(lsh_index_build(docs), shard),
+        "quality_classifier*": quality_classifier_select(
+            docs, docs.filter("doc_id % 7 = 0"), docs, n_buckets=512
+        ),
+        "cluster_balance*": cluster_balanced_sample(
+            emb, 100, n_centroids=8, n_salts=4
+        ),
+        "scrub_pii*": scrub_pii(docs),
     }
 
 
