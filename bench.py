@@ -199,6 +199,12 @@ def main() -> None:
         "topk_select_sec": min(
             s["extras"]["topk_select_sec"] for s in samples
         ),
+        "quality_classifier_sec": min(
+            s["extras"]["quality_classifier_sec"] for s in samples
+        ),
+        "cluster_balance_sec": min(
+            s["extras"]["cluster_balance_sec"] for s in samples
+        ),
         "pq_n_vecs": samples[0]["extras"]["pq_n_vecs"],
         "topk_n_rows": samples[0]["extras"]["topk_n_rows"],
         "deid_n_docs": samples[0]["extras"]["deid_n_docs"],

@@ -52,9 +52,10 @@ supports it:
             --nlist: IVF-PQ coarse lists + residual codes]
   zorder   rewrite a parquet dir clustered on the Z-order curve over
            --cols (file-level min/max pruning for k-D predicates)
-  curate   the full curation flow in one job: normalize → quality gate
-           → line dedup → exact dedup → pack (per-stage materialization
-           + drop-mass ledger)
+  curate   the full curation flow in one job: normalize → [--pii scrub]
+           → quality gate → [--classifier-positive gate] → line dedup →
+           exact dedup → pack (per-stage materialization + drop-mass
+           ledger)
   textstats raw documents → per-doc token/quality/language/fingerprint table
   ingest   raw documents → span-form table (ingest.documents_to_spans)
   export   de-identified span table → rendered JSON + meta CSV, or real
@@ -516,16 +517,22 @@ def cmd_heavyhitters(args) -> dict:
 
 
 def cmd_curate(args) -> dict:
-    """The full curation flow in one job: normalize → quality gate →
-    line dedup → exact dedup → fixed-length packing, each stage
-    materialized under <output>/<stage> with a drop-mass ledger."""
+    """The full curation flow in one job: normalize → [PII scrub] →
+    quality gate → [classifier gate] → line dedup → exact dedup →
+    fixed-length packing, each stage materialized under
+    <output>/<stage> with a drop-mass ledger."""
     spark = _spark("deidcm_curate", args.shuffle_partitions)
     from deidcm_spark.pipeline import curate
 
+    pos = (
+        spark.read.parquet(args.classifier_positive)
+        if args.classifier_positive else None
+    )
     return curate(
         spark, spark.read.parquet(args.input), args.output,
         seq_len=args.seq_len, min_line_chars=args.min_line_chars,
-        nfc=args.nfc, hash_impl=args.hash,
+        nfc=args.nfc, hash_impl=args.hash, pii=args.pii,
+        classifier_positive=pos, classifier_alpha=args.classifier_alpha,
     )
 
 
@@ -1077,6 +1084,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--min-line-chars", type=int, default=1)
     cu.add_argument("--nfc", action="store_true")
     cu.add_argument("--hash", default="fast", choices=["portable", "fast"])
+    cu.add_argument("--pii", action="store_true",
+                    help="scrub web PII (cards/phones/IPv4) after normalize")
+    cu.add_argument("--classifier-positive", default="",
+                    help="positive-seed parquet: add the GPT-3 classifier "
+                         "gate after the rule cascade")
+    cu.add_argument("--classifier-alpha", type=float, default=9.0)
     cu.set_defaults(fn=cmd_curate)
 
     zo = sub.add_parser("zorder")

@@ -67,6 +67,9 @@ def curate(
     min_line_chars: int = 1,
     nfc: bool = False,
     hash_impl: str = "fast",
+    pii: bool = False,
+    classifier_positive: DataFrame | None = None,
+    classifier_alpha: float = 9.0,
 ) -> dict:
     """The full training-data curation flow as ONE job — the pipeline a
     100 TB pretraining corpus actually runs, each stage an operator this
@@ -75,8 +78,14 @@ def curate(
         raw (doc_id, text)
           → normalize_text      (codegen hygiene; typographic variants
                                  collapse to one dedup fingerprint)
+          → scrub_pii           (optional, ``pii=True``: Luhn cards,
+                                 phones, IPv4 — zero-shuffle Arrow pass
+                                 fused into the normalize write)
           → quality_gate        (Gopher/C4 rule cascade, keep == no
                                  violated rule)
+          → classifier gate     (optional, ``classifier_positive=``:
+                                 GPT-3 NB + Pareto acceptance over the
+                                 gate survivors; raw-as-negative)
           → line_dedup          (corpus-duplicated boilerplate lines out,
                                  documents rebuilt)
           → exact dedup         (NORM_FP winners, smallest doc_id kept)
@@ -97,6 +106,10 @@ def curate(
     n_in = base.count()
 
     norm = textops.normalize_text(base, nfc=nfc)
+    if pii:
+        from deidcm_spark.operators.scrub import scrub_pii
+
+        norm = scrub_pii(norm)  # row-local: fuses into the same write
     norm.write.mode("overwrite").parquet(f"{out_dir}/normalized")
     norm = spark.read.parquet(f"{out_dir}/normalized")
 
@@ -107,6 +120,19 @@ def curate(
     kept.write.mode("overwrite").parquet(f"{out_dir}/gated")
     kept = spark.read.parquet(f"{out_dir}/gated")
     n_gated = kept.count()
+
+    n_classified = None
+    if classifier_positive is not None:
+        from deidcm_spark.operators.classify import quality_classifier_select
+
+        chosen = quality_classifier_select(
+            kept, classifier_positive.select("doc_id", "text"), norm,
+            alpha=classifier_alpha, hash_impl=hash_impl,
+        ).select("doc_id")
+        kept = kept.join(chosen, "doc_id", "left_semi")
+        kept.write.mode("overwrite").parquet(f"{out_dir}/classified")
+        kept = spark.read.parquet(f"{out_dir}/classified")
+        n_classified = kept.count()
 
     ld = spandedup.line_dedup(
         kept, min_line_chars=min_line_chars, hash_impl=hash_impl
@@ -127,10 +153,13 @@ def curate(
     packed = spark.read.parquet(f"{out_dir}/sequences")
     n_seq = int(packed.agg(F.countDistinct("seq_id")).first()[0])
 
-    return {
+    out = {
         "docs_in": n_in,
         "docs_after_gate": n_gated,
         "docs_after_dedup": n_final,
         "sequences": n_seq,
         "seq_len": seq_len,
     }
+    if n_classified is not None:
+        out["docs_after_classifier"] = n_classified
+    return out

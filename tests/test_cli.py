@@ -627,3 +627,58 @@ def test_cli_curate_end_to_end(tmp_path, capsys, spark):
     assert got == want
     assert r["docs_after_dedup"] == len(want)
 
+
+
+def test_cli_curate_with_pii_and_classifier(tmp_path, capsys, spark):
+    """The optional PII-scrub and classifier-gate stages compose into the
+    curate flow: PII markers land in the normalized output, the
+    classifier ledger entry appears, and every downstream stage runs on
+    the reduced set."""
+    from deidcm_spark.operators.classify import quality_classifier_select
+    from deidcm_spark.operators.scrub import scrub_pii
+    from deidcm_spark.operators import textops
+
+    src = str(tmp_path / "cur_src")
+    pos = str(tmp_path / "cur_pos")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant a PII doc that also passes the quality gate (long enough)
+    pii_doc = spark.createDataFrame(
+        [(900_001,
+          "contact us at 212.555.0173 or pay 4111 1111 1111 1111 today. "
+          + "this sentence keeps the document long enough to pass the "
+          + "gopher gates. " * 5)],
+        "doc_id long, text string",
+    )
+    docs.unionByName(pii_doc).write.parquet(src)
+    docs.filter("doc_id % 7 = 0").write.parquet(pos)
+    out = str(tmp_path / "cur_out")
+    r = _run(capsys, [
+        "curate", "--input", src, "--output", out, "--seq-len", "512",
+        "--pii", "--classifier-positive", pos, "--shuffle-partitions", "8",
+    ])
+    assert r["docs_in"] == 501
+    assert "docs_after_classifier" in r
+    assert r["docs_after_classifier"] <= r["docs_after_gate"]
+    assert r["docs_after_dedup"] <= r["docs_after_classifier"]
+    norm_back = spark.read.parquet(out + "/normalized")
+    planted = norm_back.filter("doc_id = 900001").first()["text"]
+    assert "[PHONE]" in planted and "[CARD]" in planted
+
+    # classifier-stage equivalence: the kept set is exactly the Pareto
+    # selection over the gated survivors (raw-as-negative)
+    base = spark.read.parquet(src).select("doc_id", "text")
+    norm = scrub_pii(textops.normalize_text(base))
+    gate_keep = textops.quality_gate(norm).filter("keep").select("doc_id")
+    kept = norm.join(gate_keep, "doc_id", "left_semi")
+    chosen = quality_classifier_select(
+        kept, spark.read.parquet(pos).select("doc_id", "text"), norm,
+        hash_impl="fast",
+    ).select("doc_id")
+    want = {r2["doc_id"] for r2 in kept.join(chosen, "doc_id", "left_semi").collect()}
+    got = {
+        r2["doc_id"]
+        for r2 in spark.read.parquet(out + "/classified").collect()
+    }
+    assert got == want
