@@ -93,6 +93,48 @@ def cluster_assign(
     )
 
 
+def similarity_pack_keys(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iters: int = 1,
+    max_blocks: int = 100_000,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(doc_id, _key, _blk) — the packing order for in-context
+    pretraining (Shi et al., arXiv:2310.10638): documents sorted
+    cluster-major, so topically-related documents are ADJACENT in the
+    token stream and share training sequences.  Feed to
+    ``pack_sequences(..., order="keyed", keys=...)``.
+
+    Key layout: ``(cluster << 44) | md5-44bit(doc_id)`` — the high bits
+    group a topic, the hash bits order documents WITHIN the topic.  The
+    hash (rather than a nearest-neighbor chain) is a documented
+    simplification: the topical-adjacency term is what the paper's
+    ablations attribute the gains to, and uniform within-cluster bits
+    are what make the two-pass prefix sum's blocks (``_blk`` = equal
+    key-space slices over the POPULATED ``n_clusters << 44`` span)
+    balanced without a global sort or a quantile pass.  ``_blk`` is
+    nondecreasing in ``_key`` by construction, as ``order="keyed"``
+    requires.  Assignment is the zero-shuffle matmul UDF; nothing here
+    exceeds ``max_blocks`` driver rows."""
+    assigned, cents = cluster_assign(emb, n_centroids, lloyd_iters, centroids)
+    span = len(cents) << 44
+    blk_width = max(1, span // max_blocks)
+    h44 = (
+        f"cast(conv(substring(md5(concat(cast({id_col} as string), "
+        f"':packkey')), 1, 11), 16, 10) as bigint)"
+    )
+    return (
+        assigned.select(
+            F.col(id_col).alias("doc_id"),
+            (F.shiftleft(F.col("cluster").cast("long"), 44)
+             + F.expr(h44)).alias("_key"),
+        )
+        .withColumn("_blk", F.expr(f"_key div {blk_width}"))
+    )
+
+
 def cluster_balanced_sample(
     emb: DataFrame,
     k: int,

@@ -519,6 +519,7 @@ def _prefix_tokens(
     max_blocks: int,
     order: str = "id",
     seed: int = 0,
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, _before): the exact exclusive prefix sum of token
     counts over the chosen document order — the distributed two-pass
@@ -532,6 +533,13 @@ def _prefix_tokens(
     the shuffled order without any global sort.  ``block_size`` applies to
     the id order only (the shuffle key space is sized from ``max_blocks``
     directly; keys are uniform, so block loads balance by construction).
+    ``order="keyed"`` sums over a CALLER-SUPPLIED order: ``keys`` must
+    carry ``(doc_id, _key, _blk)`` with ``_blk`` nondecreasing in
+    ``_key`` (so block offsets stay contiguous in the global order) and
+    every input doc_id present — e.g.
+    :func:`deidcm_spark.operators.balance.similarity_pack_keys`, whose
+    within-cluster hash bits keep block loads balanced.  Adds ONE
+    equi-join shuffle (attaching the keys) over the other orders.
     """
     count_expr = (
         F.col(token_col).cast("long") if token_col
@@ -557,8 +565,18 @@ def _prefix_tokens(
         toks = df.select(
             "doc_id", count_expr.alias("n_tokens"), key.alias("_key")
         ).withColumn("_blk", F.expr(f"_key div {blk_width}"))
+    elif order == "keyed":
+        if keys is None:
+            raise ValueError("order='keyed' needs a keys DataFrame "
+                             "(doc_id, _key, _blk)")
+        key_cols = [F.col("_key"), F.col("doc_id")]
+        toks = df.select("doc_id", count_expr.alias("n_tokens")).join(
+            keys.select("doc_id", "_key", "_blk"), "doc_id"
+        )
     else:
-        raise ValueError(f"order must be 'id' or 'shuffle', got {order!r}")
+        raise ValueError(
+            f"order must be 'id', 'shuffle', or 'keyed', got {order!r}"
+        )
     totals = sorted(
         (r["_blk"], r["t"])
         for r in toks.groupBy("_blk").agg(F.sum("n_tokens").alias("t")).collect()
@@ -595,6 +613,7 @@ def pack_sequences(
     token_col: str | None = None,
     order: str = "id",
     seed: int = 0,
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-length training-sequence packing (concat-and-chunk with
     document boundaries) — the final layout step of an LLM pretraining
@@ -631,8 +650,16 @@ def pack_sequences(
     blocks become equal slices of the key space (see
     :func:`_prefix_tokens`).  Same machinery, same invariants; retries
     and re-runs reproduce the identical layout (no RNG).
+
+    ``order="keyed"`` packs a caller-supplied order (``keys`` from e.g.
+    :func:`deidcm_spark.operators.balance.similarity_pack_keys`) — the
+    in-context-pretraining layout (Shi et al., arXiv:2310.10638):
+    topically-related documents land adjacent in the stream, so they
+    share training sequences.
     """
-    pre = _prefix_tokens(df, token_col, block_size, max_blocks, order, seed)
+    pre = _prefix_tokens(
+        df, token_col, block_size, max_blocks, order, seed, keys
+    )
     pieces = (
         # sequence(a, b) DESCENDS when b < a, so empty docs are filtered
         pre.filter(F.col("n_tokens") > 0)
