@@ -254,3 +254,42 @@ def test_scrub_pii_spark_matches_python(spark):
     # zero-shuffle scan -> project plan
     plan = scrub.scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_scrub_pii_constructive_recall():
+    """Constructive recall check: SYNTHESIZED valid PII is always caught
+    — cards built digit-by-digit with a computed Luhn check digit and
+    random single separators, phones composed from +CC/(area)/group
+    grammars — across deterministic pseudo-random trials."""
+    import random
+
+    rng = random.Random(20260819)
+    for _ in range(200):
+        # card: 12-18 random digits + Luhn check digit, random separators
+        body = [rng.randrange(10) for _ in range(rng.randrange(12, 19))]
+        total = 0
+        for i, d in enumerate(reversed(body)):
+            dd = d * 2 if i % 2 == 0 else d  # check digit will sit at i=0
+            total += dd - 9 if dd > 9 else dd
+        digits = body + [(10 - total % 10) % 10]
+        assert scrub.luhn_valid("".join(map(str, digits)))
+        sep = rng.choice(["", " ", "-"])
+        txt = sep.join(
+            "".join(map(str, digits[i:i + 4])) for i in range(0, len(digits), 4)
+        )
+        out = scrub.scrub_pii_text(f"pay {txt} now")
+        assert "[CARD]" in out, txt
+
+    for _ in range(200):
+        cc = rng.choice(["", f"+{rng.randrange(1, 100)} "])
+        area = rng.choice(["", f"({rng.randrange(100, 1000)}) "])
+        sep = rng.choice([" ", "-"])
+        n_groups = rng.randrange(3, 5)
+        groups = [str(rng.randrange(100, 1000)) for _ in range(n_groups)]
+        txt = cc + area + sep.join(groups)
+        ndigits = sum(c.isdigit() for c in txt)
+        out = scrub.scrub_pii_text(f"call {txt} ok")
+        if 9 <= ndigits <= 15:
+            # a 13+-digit phone whose digits happen to pass Luhn is taken
+            # by the card stage first — either marker means it was caught
+            assert "[PHONE]" in out or "[CARD]" in out, txt
