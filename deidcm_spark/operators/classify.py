@@ -115,6 +115,37 @@ def nb_train(
     return weights, meta
 
 
+_META_SCHEMA = ("bias double, w_unseen double, n_pos long, n_neg long, "
+                "n_buckets long, ngram long, hash_impl string")
+
+
+def save_model(weights: DataFrame, meta: dict, path: str) -> None:
+    """Persist the trained model: the weights table as parquet (it IS the
+    model — ≤ n_buckets rows) plus a one-row meta table.  A saved model
+    survives sessions and ships to a streaming job or another cluster;
+    training is associative (bucket counts re-aggregate), so shard models
+    can also be rebuilt from merged count tables at any time."""
+    weights.write.mode("overwrite").parquet(f"{path}/weights")
+    weights.sparkSession.createDataFrame(
+        [(float(meta["bias"]), float(meta["w_unseen"]), int(meta["n_pos"]),
+          int(meta["n_neg"]), int(meta["n_buckets"]), int(meta["ngram"]),
+          str(meta["hash_impl"]))],
+        _META_SCHEMA,
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_model(spark, path: str) -> tuple[DataFrame, dict]:
+    """(weights, meta) — inverse of :func:`save_model`; the pair feeds
+    :func:`nb_score` unchanged."""
+    r = spark.read.parquet(f"{path}/meta").first()
+    meta = {
+        "bias": r["bias"], "w_unseen": r["w_unseen"], "n_pos": r["n_pos"],
+        "n_neg": r["n_neg"], "n_buckets": int(r["n_buckets"]),
+        "ngram": int(r["ngram"]), "hash_impl": r["hash_impl"],
+    }
+    return spark.read.parquet(f"{path}/weights"), meta
+
+
 def nb_score(
     docs: DataFrame,
     weights: DataFrame,

@@ -814,3 +814,59 @@ def read_cdf(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("bucket_idx")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def stream_quality_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    model_dir: str,
+    alpha: float = 9.0,
+    normalize: bool = False,
+    schema: str = "doc_id long, text string, lang string, source string",
+    available_now: bool = True,
+):
+    """Continuous-crawl ingest gated by the classifier quality filter
+    (operators/classify.py): documents landing in ``in_dir`` are scored
+    against a PERSISTED model (``classify.save_model`` output — trained
+    offline on seed corpora, like the reference filter a GPT-3-style
+    pipeline ships to its crawlers) and only Pareto-gate survivors reach
+    ``out_dir``, with prob/pareto_draw attached for downstream
+    thresholding.  Completes the crawl front-door trio: Bloom gate =
+    exact dedup, LSH gate = near dedup, this = quality.
+
+    Unlike those two, the gate is STATELESS (the model is frozen; the
+    draw is a pure hash of the doc_id), so there is no partial log and
+    replay is idempotent by construction — the batch-partitioned sink
+    alone gives exactly-once.  The model's weights table loads once at
+    stream start and broadcasts into every micro-batch's score join."""
+    from deidcm_spark.operators.classify import (
+        load_model,
+        nb_score,
+        pareto_select,
+    )
+
+    weights, meta = load_model(spark, model_dir)
+    weights = weights.cache()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = pareto_select(
+            nb_score(batch_df.select("doc_id", "text"), weights, meta,
+                     normalize=normalize),
+            alpha=alpha,
+        ).select("doc_id", "prob", "pareto_draw")
+        _idempotent_write(batch_df.join(kept, "doc_id"), batch_id, out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()

@@ -190,3 +190,70 @@ def test_fast_hash_path_runs_and_separates(spark, frames):
         ).collect()
     }
     assert probs[21] > probs[22]  # separation holds under xxhash64 too
+
+
+def test_model_save_load_roundtrip(spark, frames, tmp_path):
+    from deidcm_spark.operators.classify import load_model, save_model
+
+    pos, neg, docs = frames
+    weights, meta = nb_train(pos, neg, n_buckets=N_BUCKETS)
+    save_model(weights, meta, str(tmp_path / "model"))
+    w2, m2 = load_model(spark, str(tmp_path / "model"))
+    assert m2 == meta
+    a = {r["doc_id"]: r for r in nb_score(docs, weights, meta).collect()}
+    b = {r["doc_id"]: r for r in nb_score(docs, w2, m2).collect()}
+    assert a == b
+
+
+def test_stream_quality_ingest_two_drops_and_replay(spark, tmp_path, frames):
+    """The streaming gate over two drops equals the batch gate over the
+    union (stateless model ⇒ per-doc decisions are drop-invariant), and
+    a checkpoint-wiped replay rewrites the same partitions (idempotent
+    sink) without duplicating rows."""
+    from deidcm_spark.operators.classify import save_model
+    from deidcm_spark.streaming import stream_quality_ingest
+
+    pos, neg, docs = frames
+    weights, meta = nb_train(pos, neg, n_buckets=N_BUCKETS)
+    model = str(tmp_path / "model")
+    save_model(weights, meta, model)
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    full = spark.createDataFrame(
+        [(d, t, "en", "s") for d, t in DOCS],
+        "doc_id long, text string, lang string, source string",
+    )
+    drop1 = full.filter("doc_id < 25")
+    drop2 = full.filter("doc_id >= 25")
+    drop1.coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_quality_ingest(spark, in_dir, out, ckpt, model)
+    q.awaitTermination(120)
+    drop2.coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_quality_ingest(spark, in_dir, out, ckpt, model)
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r["prob"] for r in spark.read.parquet(out).collect()}
+    want = {
+        r["doc_id"]: r["prob"]
+        for r in pareto_select(nb_score(full, weights, meta)).collect()
+    }
+    assert got == want
+    assert 423 in got and 21 in got  # both keep classes flow through
+
+    # restart contract: same checkpoint, no new input → a no-op (the
+    # commit log already covers every file); output unchanged
+    q = stream_quality_ingest(spark, in_dir, out, ckpt, model)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == len(want)
+    assert {r["doc_id"] for r in rows} == set(want)
+
+    # and a clean fresh run (new checkpoint AND sink) over the same
+    # input reproduces the batch result exactly — the gate is stateless
+    out2 = str(tmp_path / "out2")
+    q = stream_quality_ingest(spark, in_dir, out2, str(tmp_path / "ck2"), model)
+    q.awaitTermination(120)
+    got2 = {r["doc_id"]: r["prob"] for r in spark.read.parquet(out2).collect()}
+    assert got2 == want
