@@ -224,7 +224,12 @@ def cmd_qualityfilter(args) -> dict:
     corpora, score --input, keep docs through the deterministic Pareto
     acceptance gate."""
     spark = _spark("deidcm_qualityfilter", args.shuffle_partitions)
-    from deidcm_spark.operators.classify import quality_classifier_select
+    from deidcm_spark.operators.classify import (
+        nb_score,
+        nb_train,
+        pareto_select,
+        save_model,
+    )
 
     docs = spark.read.parquet(args.input).select("doc_id", "text")
     pos = spark.read.parquet(args.positive).select("doc_id", "text")
@@ -232,12 +237,18 @@ def cmd_qualityfilter(args) -> dict:
         spark.read.parquet(args.negative).select("doc_id", "text")
         if args.negative else docs
     )
-    quality_classifier_select(
-        docs, pos, neg, n_buckets=args.buckets, alpha=args.alpha,
-        normalize=args.normalize,
+    weights, meta = nb_train(pos, neg, n_buckets=args.buckets)
+    if args.save_model:
+        save_model(weights, meta, args.save_model)
+    pareto_select(
+        nb_score(docs, weights, meta, normalize=args.normalize),
+        alpha=args.alpha,
     ).write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
-    return {"docs": docs.count(), "kept": out.count(), "alpha": args.alpha}
+    res = {"docs": docs.count(), "kept": out.count(), "alpha": args.alpha}
+    if args.save_model:
+        res["model"] = args.save_model
+    return res
 
 
 def cmd_balance(args) -> dict:
@@ -1233,6 +1244,9 @@ def build_parser() -> argparse.ArgumentParser:
     qf.add_argument("--alpha", type=float, default=9.0)
     qf.add_argument("--normalize", action="store_true",
                     help="fastText-style per-gram mean head")
+    qf.add_argument("--save-model", default="",
+                    help="persist the trained weights+meta here (feeds "
+                         "streaming.stream_quality_ingest)")
     qf.set_defaults(fn=cmd_qualityfilter)
 
     pp = sub.add_parser("ppl")

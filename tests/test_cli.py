@@ -290,15 +290,28 @@ def test_cli_qualityfilter(tmp_path, capsys, spark):
         .filter("doc_id % 7 = 0").select("doc_id", "text")
         .write.parquet(pos)
     )
+    model = str(tmp_path / "qf_model")
     r = _run(capsys, [
         "qualityfilter", "--input", f"{SF}/documents.parquet",
         "--positive", pos, "--output", out, "--normalize",
-        "--buckets", "512", "--shuffle-partitions", "8",
+        "--buckets", "512", "--save-model", model,
+        "--shuffle-partitions", "8",
     ])
     assert r["docs"] == 500 and 0 <= r["kept"] <= 500
     back = spark.read.parquet(out)
     assert {"doc_id", "prob", "pareto_draw"} <= set(back.columns)
     assert back.filter("prob > 1.0 - pareto_draw").count() == back.count()
+    # the persisted model reloads and reproduces the scores
+    from deidcm_spark.operators.classify import load_model, nb_score
+
+    w2, m2 = load_model(spark, model)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    rescored = nb_score(docs, w2, m2, normalize=True)
+    kept2 = {r2["doc_id"] for r2 in back.collect()}
+    probs = {r2["doc_id"]: r2["prob"] for r2 in rescored.collect()}
+    for r2 in back.collect():
+        assert probs[r2["doc_id"]] == r2["prob"]
+    assert m2["n_buckets"] == 512 and len(kept2) == r["kept"]
 
 
 def test_cli_balance(tmp_path, capsys, spark):
