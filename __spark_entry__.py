@@ -944,12 +944,17 @@ def q_quality_gate(spark, sf_dir):
     model-free curation DECISION: which rules each document violates
     (``reasons`` in fixed rule order) and whether it survives.  The
     signals were already driver-oracled via text_stats /
-    gopher_repetition; this entry oracle-checks the cascade itself."""
+    gopher_repetition; this entry oracle-checks the cascade itself.
+
+    The ``reasons`` array is projected through ``array_join(.., '|')``:
+    the driver's pandas canonicalizer sorts cell values and cannot hash
+    list-typed cells (r4's one red row), so every contract column must be
+    scalar-typed — see CLAUDE.md "Driver canonicalizer contract"."""
     out = textops.quality_gate(_load(spark, sf_dir, "documents"))
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        "reasons",
+        F.array_join("reasons", "|").alias("reasons"),
         "keep",
     )
 
@@ -1818,7 +1823,9 @@ j AS (
   SELECT s.*, coalesce(a2.top2_frac, 0) AS top2_frac, coalesce(a3.dup3_frac, 0) AS dup3_frac
   FROM s LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
 )
-SELECT doc_id, n_tokens, {reasons} AS reasons, len({reasons}) = 0 AS keep
+SELECT doc_id, n_tokens,
+       coalesce(array_to_string({reasons}, '|'), '') AS reasons,
+       len({reasons}) = 0 AS keep
 FROM j
 """
 

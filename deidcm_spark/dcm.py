@@ -54,6 +54,7 @@ from __future__ import annotations
 import base64
 import json
 import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -78,6 +79,12 @@ BYTES_VRS = {"OB", "OW", "OF", "OD", "OL", "OV", "UN"}  # raw payload (b64 in sp
 NUL_PAD_VRS = {"UI"}  # text VRs padded with NUL instead of space
 
 TRANSFER_SYNTAX_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+# PS3.10 §A.5 — Deflated Explicit VR LE: the dataset (everything after the
+# meta group) is one raw-deflate stream (RFC 1951, no zlib header) of an
+# ordinary Explicit VR LE dataset.  The reference reads it via pydicom's
+# TransferSyntaxUID dispatch (df2dicom.py:162-183); here it is one
+# zlib.decompress(wbits=-15) away from the explicit parser.
+TRANSFER_SYNTAX_DEFLATED_LE = "1.2.840.10008.1.2.1.99"
 SECONDARY_CAPTURE_SOP_CLASS = "1.2.840.10008.5.1.4.1.1.7"
 # deterministic implementation UID under the UUID-derived root (PS3.5 §B.2)
 IMPLEMENTATION_CLASS_UID = "2.25.31415926535897932384626433832795"
@@ -346,8 +353,15 @@ def encode_part10(spans: list[dict], media_payload: dict | None = None,
     meta_body = _encode_dataset(meta, binary_vr)
     group_len = _encode_element(0x0002, 0x0000, "UL",
                                 struct.pack("<I", len(meta_body)))
-    return (b"\x00" * 128 + b"DICM" + group_len + meta_body
-            + _encode_dataset(root, binary_vr, explicit))
+    dataset = _encode_dataset(root, binary_vr, explicit)
+    if declared == TRANSFER_SYNTAX_DEFLATED_LE:
+        # keep meta and body consistent: a deflated UID means the dataset
+        # IS a raw-deflate stream (PS3.10 §A.5).  zlib at a fixed level is
+        # deterministic for a given build; round-trip tests compare spans,
+        # not bytes, so this stays retry-safe either way.
+        co = zlib.compressobj(level=6, wbits=-15)
+        dataset = co.compress(dataset) + co.flush()
+    return (b"\x00" * 128 + b"DICM" + group_len + meta_body + dataset)
 
 
 # ---------------------------------------------------------------------------
@@ -364,10 +378,13 @@ def encode_part10(spans: list[dict], media_payload: dict | None = None,
 
 TRANSFER_SYNTAX_IMPLICIT_LE = "1.2.840.10008.1.2"
 # syntaxes that exist but are not readable/writable here — clear error
-# instead of misparsing (big endian, deflated, every encapsulated family)
+# instead of misparsing (big endian, every encapsulated-pixel family).
+# NOTE r5: Deflated Explicit VR LE (1.2.840.10008.1.2.1.99) moved OUT of
+# this list and is now fully supported (it was also listed under a wrong
+# UID, 1.2.840.10008.1.2.99, which meant a real deflated stream fell to
+# the implicit default branch and misparsed instead of erroring).
 _UNREADABLE_SYNTAX_PREFIXES = (
     "1.2.840.10008.1.2.2",   # Explicit VR Big Endian (retired)
-    "1.2.840.10008.1.2.99",  # Deflated Explicit VR LE
     "1.2.840.10008.1.2.4",   # JPEG* encapsulated families
     "1.2.840.10008.1.2.5",   # RLE Lossless
 )
@@ -376,16 +393,31 @@ _UNREADABLE_SYNTAX_PREFIXES = (
 def _syntax_explicit(uid: str) -> bool:
     """Declared transfer syntax → is the dataset Explicit VR LE?  Mirrors
     the reference's mapping (df2dicom.py:173-181): explicit-LE → explicit,
-    BE/deflated/encapsulated → error, everything else → implicit (the
+    deflated-LE → explicit after inflation (PS3.10 §A.5),
+    BE/encapsulated → error, everything else → implicit (the
     reference's default branch — pydicom then writes implicit LE)."""
-    if uid == TRANSFER_SYNTAX_EXPLICIT_LE:
+    if uid in (TRANSFER_SYNTAX_EXPLICIT_LE, TRANSFER_SYNTAX_DEFLATED_LE):
         return True
     if any(uid.startswith(p) for p in _UNREADABLE_SYNTAX_PREFIXES):
         raise ValueError(
             f"unsupported transfer syntax {uid!r} — only the native "
             f"little-endian syntaxes (explicit {TRANSFER_SYNTAX_EXPLICIT_LE}"
+            f", deflated {TRANSFER_SYNTAX_DEFLATED_LE}"
             f", implicit-or-default {TRANSFER_SYNTAX_IMPLICIT_LE}) are handled")
     return False
+
+
+def _inflate_dataset(body: bytes, uid: str) -> bytes:
+    """Raw-deflate (RFC 1951) inflate of a Deflated-LE dataset body.  Some
+    real-world writers wrap it in a zlib header despite PS3.10 §A.5; accept
+    both, and turn zlib's errors into the parser's clear per-file error."""
+    for wbits in (-15, 15):
+        try:
+            return zlib.decompress(body, wbits=wbits)
+        except zlib.error:
+            continue
+    raise ValueError(
+        f"transfer syntax {uid!r}: dataset is not a valid deflate stream")
 
 
 SEQ_DELIM_TAG = (0xFFFE, 0xE0DD)
@@ -546,9 +578,17 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
             syntax = s["text"].split("=", 1)[1]
             break
     explicit = _syntax_explicit(syntax)
-    _parse_dataset(data, pos + meta_len, None, keywords, "", spans, media,
-                   binary_vr, explicit=explicit,
-                   vrs=None if explicit else vr_map())
+    if syntax == TRANSFER_SYNTAX_DEFLATED_LE:
+        # PS3.10 §A.5: everything after the meta group is ONE deflate
+        # stream of an Explicit VR LE dataset — inflate, then parse as
+        # a plain explicit dataset from offset 0.
+        body = _inflate_dataset(data[pos + meta_len:], syntax)
+        _parse_dataset(body, 0, None, keywords, "", spans, media,
+                       binary_vr, explicit=True)
+    else:
+        _parse_dataset(data, pos + meta_len, None, keywords, "", spans, media,
+                       binary_vr, explicit=explicit,
+                       vrs=None if explicit else vr_map())
     if include_meta:
         spans = meta_spans + spans
     for i, s in enumerate(spans):

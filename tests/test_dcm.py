@@ -361,6 +361,82 @@ def test_parse_rejects_unreadable_syntaxes():
             parse_part10(_implicit_stream(uid))
 
 
+def _deflated_stream(body_transform=None, ts_uid: str = "1.2.840.10008.1.2.1.99") -> bytes:
+    """Hand-assembled Deflated Explicit VR LE file (PS3.10 §A.5): explicit
+    meta group declaring the deflated UID, then ONE raw-deflate stream of
+    an ordinary Explicit VR LE dataset — assembled independently of the
+    writer so the parser is tested against the standard, not itself."""
+    import zlib
+
+    ts = ts_uid.encode()
+    if len(ts) % 2:
+        ts += b"\x00"
+    meta_body = struct.pack("<HH", 2, 0x10) + b"UI" + struct.pack("<H", len(ts)) + ts
+    meta = (
+        struct.pack("<HH", 2, 0) + b"UL" + struct.pack("<H", 4)
+        + struct.pack("<I", len(meta_body)) + meta_body
+    )
+    ds = (struct.pack("<HH", 0x0008, 0x0018) + b"UI" + struct.pack("<H", 6)
+          + b"1.2.3\x00"
+          + struct.pack("<HH", 0x0028, 0x0010) + b"US" + struct.pack("<H", 2)
+          + struct.pack("<H", 123))
+    if body_transform is None:
+        co = zlib.compressobj(wbits=-15)      # raw deflate per the standard
+        body = co.compress(ds) + co.flush()
+    else:
+        body = body_transform(ds)
+    return b"\x00" * 128 + b"DICM" + meta + body
+
+
+def test_parse_deflated_explicit_le():
+    """Deflated Explicit VR LE (1.2.840.10008.1.2.1.99) parses: the body
+    inflates to a plain explicit dataset.  Reference parity: pydicom reads
+    it transparently via the TransferSyntaxUID dispatch the reference
+    relies on (df2dicom.py:162-183)."""
+    out = parse_part10(_deflated_stream())
+    texts = _text_set(out["spans"])
+    assert "SOPInstanceUID_0x00080018_UI_1____=1.2.3" in texts
+    assert "Rows_0x00280010_US_1____=123" in texts
+
+
+def test_parse_deflated_accepts_zlib_wrapped_body():
+    """Some real-world writers emit a zlib header despite PS3.10 §A.5
+    specifying raw deflate; both variants must parse identically."""
+    import zlib
+
+    out = parse_part10(_deflated_stream(lambda ds: zlib.compress(ds)))
+    assert "SOPInstanceUID_0x00080018_UI_1____=1.2.3" in _text_set(out["spans"])
+
+
+def test_parse_deflated_invalid_body_is_clear_error():
+    """A deflated UID over a non-deflate body must raise the parser's
+    per-file ValueError, never a cryptic zlib traceback or a misparse."""
+    with pytest.raises(ValueError, match="not a valid deflate stream"):
+        parse_part10(_deflated_stream(lambda ds: b"\xff\xfe" + ds))
+
+
+def test_writer_deflated_roundtrip():
+    """Spans declaring the deflated UID: the writer deflates the dataset
+    (meta and body stay consistent) and the result round-trips."""
+    spans = [
+        {"kind": "text",
+         "text": "TransferSyntaxUID_0x00020010_UI_1____=1.2.840.10008.1.2.1.99",
+         "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "SOPInstanceUID_0x00080018_UI_1____=1.2.3",
+         "media_ref": "", "offset": 1},
+        {"kind": "text", "text": "PatientName_0x00100010_PN_1____=DOE^JANE",
+         "media_ref": "", "offset": 2},
+    ]
+    blob = encode_part10(spans)
+    # the dataset is compressed: the raw element bytes must NOT appear
+    assert b"DOE^JANE" not in blob
+    out = parse_part10(blob, include_meta=True)
+    texts = _text_set(out["spans"])
+    assert "SOPInstanceUID_0x00080018_UI_1____=1.2.3" in texts
+    assert "PatientName_0x00100010_PN_1____=DOE^JANE" in texts
+    assert any("_0x00020010_UI_1____=1.2.840.10008.1.2.1.99" in t for t in texts)
+
+
 def test_meta_group_honors_text_mode():
     """binary_vr='text' must reach the group-0002 encoder too: a private
     meta element with a binary VR holding an opaque-text cell round-trips

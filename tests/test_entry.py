@@ -82,3 +82,51 @@ def test_oracle_subset_matches(spark, duck, name):
     sm = _multiset(sdf.columns, [[r[c] for c in sdf.columns] for r in srows])
     om = _multiset(ocols, orows)
     assert sm == om
+
+
+# --- driver canonicalizer contract (r4 regression: quality_gate red row) ---
+#
+# The driver canonicalizes each queries() output with pandas
+# ``df.sort_values(by=<all columns>)`` before hashing; list/dict-typed cells
+# are unhashable there, so EVERY contract output column must be scalar-typed.
+# tools/check_oracle.assert_scalar_schema is the local gate; these tests pin
+# (a) that the gate rejects non-scalar schemas loudly, and (b) that every
+# current contract entry passes a faithful simulation of the driver's canon.
+
+def test_scalar_schema_gate_rejects_arrays(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.check_oracle import assert_scalar_schema
+
+    import pyspark.sql.functions as F
+
+    bad = spark.range(3).select("id", F.array(F.lit("a"), F.lit("b")).alias("reasons"))
+    with pytest.raises(TypeError, match="non-scalar"):
+        assert_scalar_schema("bad_query", bad)
+
+    good = spark.range(3).select("id", F.lit("a|b").alias("reasons"))
+    assert assert_scalar_schema("good_query", good) == []
+
+
+def test_all_contract_queries_scalar_schema(spark):
+    """Every queries() entry must produce only scalar-typed columns (schema
+    analysis only — no execution), so no future promotion can repeat the r4
+    array<string> driver failure."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.check_oracle import assert_scalar_schema
+
+    for name, fn in entry_mod.queries().items():
+        assert_scalar_schema(name, fn(spark, SF))
+
+
+def test_quality_gate_survives_driver_canonicalizer(spark):
+    """Faithful replica of the driver-side pandas canonicalization that broke
+    in r4 (sort_values over all columns → Categorical factorize → hash)."""
+    sdf = entry_mod.queries()["quality_gate"](spark, SF)
+    pdf = sdf.toPandas()
+    canon = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    assert len(canon) == len(pdf)
+    assert canon["reasons"].map(type).eq(str).all()

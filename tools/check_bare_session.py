@@ -18,9 +18,13 @@ def main() -> None:
     spark = SparkSession.builder.master("local[4]").appName("bare").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     failed = []
+    from tools.check_oracle import assert_scalar_schema
+
     for name, fn in e.queries().items():  # EVERY contract entry
         try:
-            print(f"bare {name}: {len(fn(spark, sf_dir).collect())} rows", flush=True)
+            df = fn(spark, sf_dir)
+            assert_scalar_schema(name, df)  # driver canonicalizer contract
+            print(f"bare {name}: {len(df.collect())} rows", flush=True)
         except Exception as ex:  # noqa: BLE001 — report all, then fail
             failed.append(name)
             print(f"bare {name}: FAILED {str(ex)[:200]}", flush=True)

@@ -17,6 +17,26 @@ import duckdb
 import __spark_entry__ as entry_mod
 from deidcm_spark.session import get_spark
 
+from pyspark.sql import types as T
+
+
+def assert_scalar_schema(name: str, sdf) -> list[str]:
+    """The driver's pandas canonicalizer sorts cell values and cannot hash
+    list/dict-typed cells (r4: quality_gate red on array<string>).  Every
+    contract output column MUST be scalar-typed; fail loudly otherwise."""
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        raise TypeError(
+            f"{name}: non-scalar output column(s) {bad} — the driver's "
+            "canonicalizer rejects Array/Map/Struct cells; project through "
+            "array_join()/to_json() to a scalar (see CLAUDE.md)"
+        )
+    return bad
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -61,6 +81,7 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
+            assert_scalar_schema(name, sdf)
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:
