@@ -974,6 +974,12 @@ def cmd_export(args) -> dict:
             spark.read.parquet(args.media) if args.media else None
         )
         export_dcm(docs, args.output, payloads, binary_vr=args.binary_vr)
+    elif args.format == "png":
+        # real .png sink (dicom2png.py:77-80 parity, pure-Python codec);
+        # input here is the 6-column media-payload table, not spans
+        from deidcm_spark.png import export_png
+
+        export_png(spark.read.parquet(args.media or args.input), args.output)
     else:
         from deidcm_spark.export import export_corpus
 
@@ -1282,7 +1288,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     x = sub.add_parser("export")
     common(x)
-    x.add_argument("--format", default="json", choices=["json", "dcm"])
+    x.add_argument("--format", default="json", choices=["json", "dcm", "png"])
     x.add_argument("--media", default="",
                    help="media_payloads parquet (for --format dcm pixel data)")
     x.add_argument("--binary-vr", default="strict", choices=["strict", "text"],

@@ -1,0 +1,191 @@
+"""Pure-Python PNG codec + distributed ``.png`` sink (SURVEY §2 S7).
+
+Reference parity: deidcm writes the redacted image as a real ``.png`` via
+PIL (``deidcm/dicom2png.py:77-80`` — ``img.save(f"{output_path}.png")``;
+``deidcm/deid_mammogram.py:71-80`` saves the OCR-redacted array the same
+way).  PIL is absent from this container, so the writer is implemented
+directly from the public PNG specification (W3C PNG / RFC 2083): the
+8-byte signature, IHDR/IDAT/IEND chunks with CRC-32, zlib-compressed
+scanlines, filter type 0.  Supported pixel shapes — exactly the ones the
+media pipeline produces (``operators/media.py`` payload schema):
+
+  * 8-bit  grayscale  — 2-D uint8            (PNG color type 0, depth 8)
+  * 16-bit grayscale  — 2-D uint16           (color type 0, depth 16,
+    big-endian sample order per the spec)
+  * 8-bit  RGB        — 3-D (h, w, 3) uint8  (color type 2, depth 8)
+
+``decode_png`` exists so tests can assert decode-back pixel equality
+without PIL; it implements the full filter set (None/Sub/Up/Average/
+Paeth) so it also reads PNGs produced by ordinary encoders.
+
+Everything is deterministic: zlib at a fixed level, no timestamps, no
+ancillary chunks.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """ndarray → complete PNG byte stream (signature + IHDR + IDAT + IEND)."""
+    arr = np.asarray(pixels)
+    if arr.ndim == 2:
+        color_type = 0  # grayscale
+        if arr.dtype == np.uint8:
+            depth = 8
+        elif arr.dtype == np.uint16:
+            depth = 16
+        else:
+            raise TypeError(f"grayscale PNG needs uint8/uint16, got {arr.dtype}")
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        if arr.dtype != np.uint8:
+            raise TypeError(f"RGB PNG needs uint8, got {arr.dtype}")
+        color_type, depth = 2, 8
+    else:
+        raise TypeError(f"unsupported pixel shape {arr.shape}")
+    h, w = arr.shape[0], arr.shape[1]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    if depth == 16:
+        arr = arr.astype(">u2")  # network byte order per the spec
+    rows = arr.reshape(h, -1).view(np.uint8).reshape(h, -1)
+    # filter byte 0 (None) prepended to every scanline
+    raster = np.empty((h, rows.shape[1] + 1), dtype=np.uint8)
+    raster[:, 0] = 0
+    raster[:, 1:] = rows
+    idat = zlib.compress(raster.tobytes(), 6)
+    return (_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering (spec §9: None/Sub/Up/Average/Paeth)."""
+    lines = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need the running row
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    rec[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (cur[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f} on line {y}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG byte stream → ndarray (color types 0 and 2, depths 8 and 16)."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG stream (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,), tag = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        crc = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG stream missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp or filt or interlace:
+        raise ValueError("unsupported PNG compression/filter/interlace method")
+    if color_type not in (0, 2) or depth not in (8, 16):
+        raise ValueError(f"unsupported PNG color type {color_type}/depth {depth}")
+    channels = 3 if color_type == 2 else 1
+    bpp = channels * depth // 8
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    flat = _unfilter(raw, h, stride, bpp)
+    if depth == 16:
+        arr = flat.reshape(h, -1).view(">u2").astype(np.uint16)
+    else:
+        arr = flat
+    arr = arr.reshape((h, w) if channels == 1 else (h, w, channels))
+    return arr
+
+
+def render_png(payloads: DataFrame) -> DataFrame:
+    """payload table (``media_ref width height channels bits pixels``) →
+    ``(media_ref, png binary)``: encode executor-side, one Arrow batch at a
+    time — the distributed analogue of dicom2png's per-file ``img.save``."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("media_ref", StringType()),
+        StructField("png", BinaryType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for ref, w_, h_, ch, bits, px in zip(
+                pdf["media_ref"], pdf["width"], pdf["height"],
+                pdf["channels"], pdf["bits"], pdf["pixels"],
+            ):
+                dtype = np.uint16 if bits == 16 else np.uint8
+                arr = np.frombuffer(px, dtype=dtype)
+                shape = (h_, w_) if ch == 1 else (h_, w_, ch)
+                out.append({"media_ref": ref,
+                            "png": encode_png(arr.reshape(shape))})
+            yield pd.DataFrame(out, columns=["media_ref", "png"])
+
+    return payloads.mapInPandas(run, schema)
+
+
+def export_png(payloads: DataFrame, out_dir: str) -> None:
+    """Write one ``{media_ref}.png`` per payload row, executor-side
+    (foreachPartition, no driver collect — the same sink discipline as
+    ``dcm.export_dcm``; on a cluster ``out_dir`` is the shared filesystem,
+    exactly how dicom2png writes its output tree)."""
+    import os
+    from urllib.parse import quote
+
+    rendered = render_png(payloads)
+
+    def write_partition(rows) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        for row in rows:
+            safe = quote(row["media_ref"], safe="")
+            with open(os.path.join(out_dir, f"{safe}.png"), "wb") as f:
+                f.write(bytes(row["png"]))
+
+    rendered.foreachPartition(write_partition)
