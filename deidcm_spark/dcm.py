@@ -180,6 +180,10 @@ def _parse_value(vr: str, raw: bytes, binary_vr: str = "strict") -> tuple[str, s
     if vr in BINARY_VRS and binary_vr == "strict":
         fmt = BINARY_VRS[vr]
         width = struct.calcsize(fmt)
+        if len(raw) % width:
+            raise ValueError(
+                f"VR {vr} body of {len(raw)} bytes is not a multiple of "
+                f"its {width}-byte element width")
         vals = [struct.unpack(fmt, raw[i:i + width])[0]
                 for i in range(0, len(raw), width)]
         strs = [str(v) for v in vals]
@@ -563,6 +567,8 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
     group, elem, vr, glen, pos = _read_header(data, 132, True, None)
     if (group, elem, vr) != (0x0002, 0x0000, "UL"):
         raise ValueError("FileMetaInformationGroupLength missing")
+    if glen < 4 or pos + 4 > len(data):
+        raise ValueError("truncated FileMetaInformationGroupLength value")
     (meta_len,) = struct.unpack_from("<I", data, pos)
     pos += glen
     spans: list[dict] = []
