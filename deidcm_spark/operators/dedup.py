@@ -138,7 +138,8 @@ def lsh_bands(df: DataFrame, hash_impl: str = "portable") -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, max_band_size: int = 100, hash_impl: str = "portable"
+    df: DataFrame, max_band_size: int = 100, hash_impl: str = "portable",
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
 
@@ -149,8 +150,15 @@ def lsh_candidate_pairs(
     out.  Such buckets are dropped before the join (standard LSH banding
     practice); true near-dups still meet in their other, sharper bands.
     The DuckDB oracle applies the identical cap.
+
+    ``bands`` lets callers hand in a MATERIALIZED (persisted / table-backed)
+    band frame: the hot-band count, the join's left side, and its right side
+    all consume the band subtree, and Catalyst only reuses exchanges whose
+    subtrees canonicalize identically — join-derived IsNotNull pushdown
+    makes them differ, so an unmaterialized subtree is planned (and the
+    minhash aggregation executed) up to twice (r5 plan pruning).
     """
-    b = lsh_bands(df, hash_impl=hash_impl)
+    b = lsh_bands(df, hash_impl=hash_impl) if bands is None else bands
     small = (
         b.groupBy("band_idx", "band_key")
         .agg(F.count("*").alias("_n"))
@@ -294,22 +302,29 @@ def ngram_jaccard_pairs(
         if candidates is None
         else candidates
     )
-    sizes = df.select("doc_id", F.expr(f"size({SHINGLES})").alias("n_sh"))
-    sh = shingle_rows(df)
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    bsh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(a, "doc_a").join(bsh, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    # |A∩B| via array_intersect on the per-doc shingle SETS (SHINGLES is
+    # already array_distinct), not explode+join+groupBy: two joins instead
+    # of three and no intersection-count shuffle — the whole Jaccard is one
+    # JVM codegen expression per candidate pair (r5 plan pruning; values
+    # bit-identical: same round(n_common/(n_a+n_b-n_common), 4)).  The
+    # n_common > 0 filter preserves the old shape's row membership (a pair
+    # with no common shingle never produced an inter row) and keeps the
+    # ANSI-mode division away from an all-empty 0/0.  Shingle arrays ride
+    # through the joins; candidate fan-out is hot-band-capped, so the
+    # carried payload stays bounded at corpus scale.
+    sets = df.select("doc_id", F.expr(SHINGLES).alias("sh_set"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    bset = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        cands.join(a, "doc_a").join(bset, "doc_b")
+        .withColumn("n_common", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .filter(F.col("n_common") > 0)
         .select(
             "doc_a",
             "doc_b",
-            F.expr("round(n_common / (n_a + n_b - n_common), 4)").alias("jaccard"),
+            F.expr(
+                "round(n_common / (size(sh_a) + size(sh_b) - n_common), 4)"
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -453,8 +468,14 @@ def dedup_decisions(df: DataFrame, threshold: float = 0.8) -> DataFrame:
     RDD is pinned for the session: DataFrame.unpersist is a silent no-op on
     it).  A 100 TB pipeline persists the pair stages to real tables instead
     (the CLI ``dedup`` subcommand does) — same shape, durable.
+
+    The BAND frame is persisted too (~4 short rows/doc): the hot-band
+    count and both self-join sides read it, and without materialization
+    the minhash aggregation is planned — and run — twice (pushdown-divergent
+    subtrees defeat exchange reuse; see :func:`lsh_candidate_pairs`).
     """
-    cands = lsh_candidate_pairs(df).persist()
+    bands = lsh_bands(df).persist()
+    cands = lsh_candidate_pairs(df, bands=bands).persist()
     return dedup_decisions_from_pairs(
         df, ngram_jaccard_pairs(df, threshold=threshold, candidates=cands)
     )
@@ -582,11 +603,20 @@ def neardup_components(
 
 def dedup_decisions_from_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """KEEP/DROP assembly shared by the one-shot operator and the CLI's
-    materialized-pairs path: drop every doc_b of a verified pair."""
+    materialized-pairs path: drop every doc_b of a verified pair.
+
+    ONE left join, not anti-join ∪ drops: the earlier two-branch union
+    evaluated the ``drops`` subtree — and with it the whole shingle/verify
+    pipeline upstream of ``pairs`` — once per branch (r4 PLANS.md measured
+    the composed plan at 15 steady-state exchanges; Catalyst reuses only
+    identical exchanges, and the two branches shuffle different columns).
+    ``doc_b`` values always come from ``docs`` (pairs are emitted over it),
+    so a left join + coalesce yields the identical keep/drop multiset with
+    the verify subtree planned exactly once."""
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return docs.select("doc_id").join(drops, "doc_id", "left_anti").select(
-        "doc_id", F.lit(1).alias("keep")
-    ).unionByName(drops.select("doc_id", F.lit(0).alias("keep")))
+    return docs.select("doc_id").join(
+        drops.withColumn("keep", F.lit(0)), "doc_id", "left"
+    ).select("doc_id", F.coalesce("keep", F.lit(1)).alias("keep"))
 
 
 def embedding_neardup_pairs_brute(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
