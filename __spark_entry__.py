@@ -32,7 +32,7 @@ from deidcm_spark import duck_oracle as dk
 from deidcm_spark.config import load_authorized_words, load_general_rules
 from deidcm_spark.corpus import case_documents_df, synth_documents
 from deidcm_spark.ingest import documents_to_spans
-from deidcm_spark.operators import dedup, extract, scrub, similarity, textops
+from deidcm_spark.operators import classify, dedup, extract, scrub, similarity, textops
 from deidcm_spark.operators.deidentify import deidentify_attributes
 from deidcm_spark.operators.media import redaction_plan
 
@@ -845,17 +845,30 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.simhash(_load(spark, sf_dir, "documents"))
-
-
-def q_simhash_neardup(spark, sf_dir):
-    """Pigeonhole band-blocked simhash near-dup pairs (hamming <= 3).
-
-    32-bit simhash: at 16 bits a shared-vocabulary corpus saturates the
-    hash space (measured ~340k pairs from 1k docs); 32 bits keeps the
-    candidate set to the true near-dup neighborhood."""
-    return dedup.simhash_neardup_pairs(
+    """Tagged union of the two simhash lanes (r5 slot merge — the 50-entry
+    driver cap): ``tag='sig'`` rows carry the 16-bit simhash per document
+    (``doc_a``=doc_id, ``doc_b``=-1, ``val``=simhash); ``tag='pair'`` rows
+    the pigeonhole band-blocked near-dup pairs over the doubled corpus
+    (``val``=hamming, <= 3).  32-bit simhash for the pair lane: at 16 bits
+    a shared-vocabulary corpus saturates the hash space (measured ~340k
+    pairs from 1k docs); 32 bits keeps the candidate set to the true
+    near-dup neighborhood."""
+    sims = dedup.simhash(_load(spark, sf_dir, "documents"))
+    pairs = dedup.simhash_neardup_pairs(
         _doubled_docs(spark, sf_dir), max_hamming=3, bits=32
+    )
+    return sims.select(
+        F.lit("sig").alias("tag"),
+        F.col("doc_id").alias("doc_a"),
+        F.lit(-1).cast("long").alias("doc_b"),
+        F.col("simhash").cast("long").alias("val"),
+    ).unionByName(
+        pairs.select(
+            F.lit("pair").alias("tag"),
+            "doc_a",
+            "doc_b",
+            F.col("hamming").cast("long").alias("val"),
+        )
     )
 
 
@@ -955,6 +968,34 @@ def q_quality_gate(spark, sf_dir):
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.array_join("reasons", "|").alias("reasons"),
+        "keep",
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """GPT-3-style classifier quality filter, driver-oracled end to end
+    (r4 VERDICT item 8 — the last major curation decision-maker without a
+    driver-checked row): train the hashed-2-gram Naive Bayes on a
+    deterministic class split (doc_id % 3 = 0 → positive, % 3 = 1 →
+    negative), score EVERY document, and flag the Pareto gate's keep
+    decision.  The DuckDB oracle re-derives weights, bias, w_unseen,
+    per-doc logit/prob, the Lomax draw, and keep from the same constants
+    (n_buckets=256, ngram=2, portable md5 hash, alpha=9, salt='pareto').
+
+    logit/prob/pareto_draw are rounded by the operators themselves (6 dp)
+    before they feed the driver hash; every column is scalar-typed."""
+    docs = _load(spark, sf_dir, "documents")
+    weights, meta = classify.nb_train(
+        docs.filter("doc_id % 3 = 0"), docs.filter("doc_id % 3 = 1"),
+        n_buckets=256, ngram=2, hash_impl="portable",
+    )
+    scored = classify.nb_score(docs, weights, meta)
+    return classify.pareto_flag(scored, alpha=9.0, salt="pareto").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "logit",
+        "prob",
+        "pareto_draw",
         "keep",
     )
 
@@ -1533,7 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
-        "simhash_neardup": q_simhash_neardup,
+        "quality_classifier": q_quality_classifier,
         "embedding_neardup": q_embedding_neardup,
         "ann_threshold": q_ann_threshold,
         "html_signals": q_html_signals,
@@ -1610,39 +1651,39 @@ bands AS (SELECT bands_all.* FROM bands_all JOIN small USING (band_idx, band_key
 """
 
 
-def _simhash_core(source_sql: str, bits: int = 16) -> str:
+def _simhash_core(source_sql: str, bits: int = 16, p: str = "") -> str:
+    """Prefixed CTE chain (no leading WITH) so two simhash derivations —
+    the 16-bit signature lane and the 32-bit pair lane — compose into the
+    one merged-entry statement (r5 slot merge)."""
     h = "CAST(concat('0x', substr(md5(t), 1, 8)) AS bigint)"
     bit_sums = ", ".join(
         f"sum((({h} >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(bits)
     )
     total = " + ".join(f"(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(bits))
     return f"""
-WITH src AS ({source_sql}),
-toks AS (SELECT doc_id, unnest(list_distinct({_DT})) AS t FROM src),
-bitsums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
-alldocs AS (SELECT doc_id FROM src),
-sims AS (
-  SELECT alldocs.doc_id, CAST(coalesce({total}, 0) AS bigint) AS simhash
-  FROM alldocs LEFT JOIN bitsums ON alldocs.doc_id = bitsums.doc_id
+{p}src AS ({source_sql}),
+{p}toks AS (SELECT doc_id, unnest(list_distinct({_DT})) AS t FROM {p}src),
+{p}bitsums AS (SELECT doc_id, {bit_sums} FROM {p}toks GROUP BY doc_id),
+{p}alldocs AS (SELECT doc_id FROM {p}src),
+{p}sims AS (
+  SELECT {p}alldocs.doc_id, CAST(coalesce({total}, 0) AS bigint) AS simhash
+  FROM {p}alldocs LEFT JOIN {p}bitsums ON {p}alldocs.doc_id = {p}bitsums.doc_id
 )"""
 
 
 def _simhash_sql() -> str:
-    return _simhash_core("SELECT doc_id, text FROM documents") + """
-SELECT doc_id, simhash FROM sims
-"""
-
-
-def _simhash_neardup_sql() -> str:
-    """Band blocking: 4 bands x 8 bits (32-bit simhash); pairs sharing a
-    band, exact
-    hamming via bit_count(xor()) <= 3 — mirrors dedup.simhash_neardup_pairs."""
+    """Tagged union mirroring q_simhash: 'sig' rows = 16-bit simhash per
+    document; 'pair' rows = pigeonhole-banded 32-bit near-dup pairs
+    (4 bands x 8 bits; pairs sharing a band, exact hamming via
+    bit_count(xor()) <= 3 — mirrors dedup.simhash_neardup_pairs)."""
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band_idx, "
-        f"(simhash >> {b * 8}) & 255 AS band_key FROM sims"
+        f"(simhash >> {b * 8}) & 255 AS band_key FROM p_sims"
         for b in range(4)
     )
-    return _simhash_core(_DOUBLED_SQL, bits=32) + f""",
+    return f"""
+WITH {_simhash_core("SELECT doc_id, text FROM documents", 16, "s_")},
+{_simhash_core(_DOUBLED_SQL, 32, "p_")},
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
@@ -1651,8 +1692,71 @@ cand AS (
     ON l.band_idx = r.band_idx AND l.band_key = r.band_key
    AND l.doc_id < r.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS int) AS hamming
+SELECT 'sig' AS tag, doc_id AS doc_a, CAST(-1 AS bigint) AS doc_b,
+       simhash AS val
+FROM s_sims
+UNION ALL
+SELECT 'pair' AS tag, doc_a, doc_b,
+       CAST(bit_count(xor(sa, sb)) AS bigint) AS val
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+def _quality_classifier_sql() -> str:
+    """Full re-derivation of the hashed-2-gram NB + Pareto gate from the
+    published constants (classify.nb_train/nb_score/pareto_flag mirror):
+    bucket = first-8-hex-md5(gram) % 256, Laplace(+1) weights rounded to
+    9 dp, bias = ln(n_pos/n_neg), logit = bias + Σ w(bucket) rounded 6 dp,
+    prob = sigmoid, draw = Lomax(9) inverse-CDF of the doc_id hash."""
+    b = 256
+    grams = "[dt[i] || ' ' || dt[i + 1] for i in range(1, len(dt))]"
+    h32 = "CAST(concat('0x', substr(md5({v}), 1, 8)) AS bigint)"
+    u = ("(" + h32.format(v="CAST(doc_id AS varchar) || ':pareto'")
+         + " + 0.5) / 4294967296.0")
+    return f"""
+WITH g2 AS (
+  SELECT doc_id, unnest({grams}) AS g
+  FROM (SELECT doc_id, {_DT} AS dt FROM documents)
+),
+gb AS (SELECT doc_id, {h32.format(v='g')} % {b} AS bucket FROM g2),
+cp AS (SELECT bucket, count(*) AS n_pos FROM gb WHERE doc_id % 3 = 0 GROUP BY bucket),
+cn AS (SELECT bucket, count(*) AS n_neg FROM gb WHERE doc_id % 3 = 1 GROUP BY bucket),
+tot AS (
+  SELECT (SELECT coalesce(sum(n_pos), 0) FROM cp) AS t_pos,
+         (SELECT coalesce(sum(n_neg), 0) FROM cn) AS t_neg,
+         (SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS nd_pos,
+         (SELECT count(*) FROM documents WHERE doc_id % 3 = 1) AS nd_neg
+),
+w AS (
+  SELECT coalesce(cp.bucket, cn.bucket) AS bucket,
+         round(ln((coalesce(n_pos, 0) + 1) / (t_pos + {b}.0))
+               - ln((coalesce(n_neg, 0) + 1) / (t_neg + {b}.0)), 9) AS w
+  FROM cp FULL OUTER JOIN cn ON cp.bucket = cn.bucket, tot
+),
+meta AS (
+  SELECT round(ln(nd_pos) - ln(nd_neg), 9) AS bias,
+         round(ln(1.0 / (t_pos + {b})) - ln(1.0 / (t_neg + {b})), 9) AS w_unseen
+  FROM tot
+),
+ds AS (
+  SELECT gb.doc_id, count(*) AS n_grams,
+         sum(coalesce(w.w, (SELECT w_unseen FROM meta))) AS wsum
+  FROM gb LEFT JOIN w USING (bucket) GROUP BY gb.doc_id
+),
+sc AS (
+  SELECT d.doc_id, CAST(coalesce(ds.n_grams, 0) AS bigint) AS n_grams,
+         round((SELECT bias FROM meta) + coalesce(ds.wsum, 0.0), 6) AS logit
+  FROM documents d LEFT JOIN ds USING (doc_id)
+),
+fin AS (
+  SELECT doc_id, n_grams, logit,
+         round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+         round(power(1.0 - ({u}), {-1.0 / 9.0!r}) - 1.0, 6) AS pareto_draw
+  FROM sc
+)
+SELECT doc_id, n_grams, logit, prob, pareto_draw,
+       (prob > 1.0 - pareto_draw) AS keep
+FROM fin
 """
 
 
@@ -2009,7 +2113,7 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
 WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
 """,
         "simhash": _simhash_sql(),
-        "simhash_neardup": _simhash_neardup_sql(),
+        "quality_classifier": _quality_classifier_sql(),
         "html_signals": _html_signals_sql(),
         "line_dedup": _line_dedup_sql(),
         "quality_gate": _quality_gate_sql(),

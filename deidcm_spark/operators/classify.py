@@ -211,6 +211,21 @@ def _pareto_draw_expr(alpha: float, salt: str) -> str:
     return f"round(power(1.0 - ({u}), {-1.0 / alpha!r}) - 1.0, 6)"
 
 
+def pareto_flag(
+    scored: DataFrame,
+    alpha: float = 9.0,
+    salt: str = "pareto",
+) -> DataFrame:
+    """Every scored row + ``pareto_draw`` + boolean ``keep`` — the
+    non-filtering form of :func:`pareto_select` (audit tables, the driver
+    contract entry, keep-rate monitoring).  Same row-local zero-shuffle
+    profile; ``pareto_select`` is exactly this with the drops filtered."""
+    draw = _pareto_draw_expr(alpha, salt)
+    return scored.withColumn("pareto_draw", F.expr(draw)).withColumn(
+        "keep", F.col("prob") > F.lit(1.0) - F.col("pareto_draw")
+    )
+
+
 def pareto_select(
     scored: DataFrame,
     alpha: float = 9.0,
@@ -229,10 +244,9 @@ def pareto_select(
     :func:`nb_score`, the draw here) so no engine-ulp tie flips a keep
     decision.  Deterministic: the draw is a hash of the doc_id.
     """
-    draw = _pareto_draw_expr(alpha, salt)
-    return scored.withColumn("pareto_draw", F.expr(draw)).filter(
-        F.col("prob") > F.lit(1.0) - F.col("pareto_draw")
-    )
+    return pareto_flag(scored, alpha=alpha, salt=salt).filter(
+        F.col("keep")
+    ).drop("keep")
 
 
 def quality_classifier_select(

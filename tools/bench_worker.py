@@ -80,7 +80,21 @@ def _lane_html_strip_tags(spark, sf_dir):
     )
 
 
-LOCAL_LANES = {"html_strip_tags": _lane_html_strip_tags}
+def _lane_simhash(spark, sf_dir):
+    # r5: the simhash contract entry became a tagged union (signatures +
+    # banded near-dup pairs over the doubled corpus); the bench lane keeps
+    # timing the historical signature operator alone
+    from deidcm_spark.operators import dedup
+
+    return dedup.simhash(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+
+
+LOCAL_LANES = {
+    "html_strip_tags": _lane_html_strip_tags,
+    "simhash": _lane_simhash,
+}
 
 
 def _sf(sf_dir: str) -> float:
