@@ -150,6 +150,12 @@ def zorder_rewrite(
         *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(cols)],
         *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(cols)],
     ).collect()[0]
+    for i, c in enumerate(cols):
+        if stats[f"_lo{i}"] is None or stats[f"_hi{i}"] is None:
+            raise ValueError(
+                f"z-order column {c!r} has no non-NULL values — no layout "
+                f"coordinate can be derived; drop it from cols or fill it"
+            )
     coords: list[Column] = []
     work = df
     if method == "minmax":
@@ -184,15 +190,26 @@ def zorder_rewrite(
                     ).alias(f"_zc{i}"),
                 )
             )
-            # bucket of this row under the SAME spec as cdf_build
+            # bucket of this row under the SAME spec as cdf_build; a NULL
+            # value maps to the TOP bucket explicitly (previously it got
+            # there only via Spark's null-skipping greatest/least — a
+            # non-obvious invariant row preservation must not ride on)
             span = hi - lo
             raw = F.floor(
                 (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * cdf_m
             )
-            bkt = F.greatest(F.lit(0), F.least(raw, F.lit(cdf_m - 1))).cast("int")
+            bkt = F.when(F.col(c).isNull(), F.lit(cdf_m - 1)).otherwise(
+                F.greatest(F.lit(0), F.least(raw, F.lit(cdf_m - 1)))
+            ).cast("int")
+            # LEFT join + explicit absent-bucket coordinate (grid-1): the
+            # rewrite must preserve every row even if a bucket is missing
+            # from the sketch — never an incidental inner-join property
             work = (
                 work.withColumn(f"_zb{i}", bkt)
-                .join(F.broadcast(ranks), f"_zb{i}")
+                .join(F.broadcast(ranks), f"_zb{i}", "left")
+                .withColumn(
+                    f"_zc{i}", F.coalesce(F.col(f"_zc{i}"), F.lit(grid - 1))
+                )
                 .drop(f"_zb{i}")
             )
             coords.append(F.col(f"_zc{i}"))

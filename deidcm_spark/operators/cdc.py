@@ -41,6 +41,15 @@ changed document silently classified unchanged and dropped from the
 reprocess slice.  A bare marker can't be confused with a prefixed
 value (prefixes start with a digit), and the offset field is all
 digits, so the string parses back unambiguously left to right.
+
+FORMAT VERSION: ``v2`` (:data:`FP_SPEC`).  v1 (pre-r4) used unprefixed
+fields and a plain-NULL kind — sound-looking but non-injective; the
+r4 fix CHANGED every fingerprint value.  The break is silent at the
+byte level (both are 32-hex md5), so persisted fingerprint tables MUST
+carry their spec tag: :func:`snapshot_fingerprint` stamps an ``fp_spec``
+column, and :func:`snapshot_diff` refuses to diff snapshots whose specs
+differ — a mixed-version diff would otherwise flag ~100 % of the corpus
+as changed and silently reprocess all of it.
 """
 
 from __future__ import annotations
@@ -74,17 +83,46 @@ def span_fingerprint_expr(spans_col: str = "spans") -> str:
     )
 
 
+# canonical-string spec version stamped into every fingerprint table; bump
+# whenever the encoding changes (v1 = unprefixed/non-injective, pre-r4)
+FP_SPEC = "v2"
+
+
 def snapshot_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, fp): one md5 per document, computed in-row.
+    """(doc_id, fp, fp_spec): one md5 per document, computed in-row.
 
     Corpus frames (a ``spans`` column) fingerprint the full ordered span
     sequence; flat corpora fingerprint ``text_col`` (NULL text gets the
-    ``\\x1d`` marker so NULL ≠ '')."""
+    ``\\x1d`` marker so NULL ≠ '').  ``fp_spec`` tags the canonical-string
+    version so PERSISTED fingerprint tables from different builds can never
+    be silently diffed across an encoding change (see module docstring)."""
     if "spans" in df.columns:
         fp = F.expr(span_fingerprint_expr("spans"))
     else:
         fp = F.expr(f"md5({_nullsafe(text_col)})")
-    return df.select("doc_id", fp.alias("fp"))
+    return df.select("doc_id", fp.alias("fp"), F.lit(FP_SPEC).alias("fp_spec"))
+
+
+def _as_fingerprints(df: DataFrame, text_col: str, side: str) -> DataFrame:
+    """Raw snapshot → fingerprint it; pre-fingerprinted table → verify its
+    spec tag matches this build's encoding (one ``first()`` probe — tables
+    are written by a single build, so a per-row sweep adds nothing)."""
+    if "fp" not in df.columns:
+        return snapshot_fingerprint(df, text_col)
+    if "fp_spec" not in df.columns:
+        raise ValueError(
+            f"{side} snapshot is a fingerprint table without an fp_spec "
+            f"column (pre-v2 build?) — re-fingerprint it; a mixed-version "
+            f"diff would flag the whole corpus as changed"
+        )
+    head = df.select("fp_spec").first()
+    if head is not None and head["fp_spec"] != FP_SPEC:
+        raise ValueError(
+            f"{side} snapshot fingerprints are spec {head['fp_spec']!r} but "
+            f"this build computes {FP_SPEC!r} — re-fingerprint before "
+            f"diffing (values are not comparable across encodings)"
+        )
+    return df.select("doc_id", "fp", "fp_spec")
 
 
 def snapshot_diff(
@@ -95,11 +133,18 @@ def snapshot_diff(
 ) -> DataFrame:
     """Two snapshots → ``(doc_id, change, fp_old, fp_new)``.
 
+    Each side may be a RAW snapshot (fingerprinted here) or an already
+    persisted :func:`snapshot_fingerprint` table — the latter must carry a
+    matching ``fp_spec`` tag (guard against silently diffing across the
+    v1→v2 encoding change; see module docstring).
+
     change ∈ {'added', 'removed', 'changed'} (plus 'unchanged' when
     ``include_unchanged`` — off by default: at snapshot cadence the
     unchanged mass IS the corpus and must not leave this operator)."""
-    o = snapshot_fingerprint(old, text_col).withColumnRenamed("fp", "fp_old")
-    n = snapshot_fingerprint(new, text_col).withColumnRenamed("fp", "fp_new")
+    o = _as_fingerprints(old, text_col, "old").withColumnRenamed(
+        "fp", "fp_old").drop("fp_spec")
+    n = _as_fingerprints(new, text_col, "new").withColumnRenamed(
+        "fp", "fp_new").drop("fp_spec")
     j = o.join(n, "doc_id", "full_outer")
     change = (
         F.when(F.col("fp_old").isNull(), F.lit("added"))

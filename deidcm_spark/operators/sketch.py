@@ -280,8 +280,12 @@ def heavy_hitters(
 
     ``sketch``: pass a pre-built (typically parquet-persisted)
     ``cms_build`` table over the same grams/width/depth/hash to skip the
-    build pass; otherwise one is built and cached here (two corpus scans
-    total — sketch + gated count).
+    build pass; otherwise one is built here and its ``min_count``-pruned
+    counters are COLLECTED into a local relation (bounded: ≤ depth×width
+    rows by construction) — one build action inside this call, no
+    ``persist`` left behind in the session cache (r4 ADVICE: the old
+    persist-and-never-unpersist leaked cached blocks per call).  Two
+    corpus scans total — sketch + gated count.
 
     ``unit="line"`` mines whole LINES instead of word n-grams (``n`` is
     ignored), with ``line_dedup``'s split spec — ``split(text, '\\n')``,
@@ -308,13 +312,16 @@ def heavy_hitters(
     else:
         grams_expr = {1: TOKENS, 2: twograms_all_expr(), 3: shingles_all_expr()}[n]
     grams = df.select(F.explode(F.expr(grams_expr)).alias("gram"))
-    if sketch is None:
-        sketch = cms_build(grams, "gram", width, depth, hash_impl=hash_impl)
-        sketch = sketch.persist()
-        sketch.count()  # materialize once — each probe join reuses it
     # counters below min_count can never admit a gram (min over positions):
     # pruning them first shrinks every broadcast side
-    hot = sketch.filter(F.col("cnt") >= min_count)
+    if sketch is None:
+        built = cms_build(grams, "gram", width, depth, hash_impl=hash_impl)
+        hot = df.sparkSession.createDataFrame(
+            built.filter(F.col("cnt") >= min_count).collect(),
+            schema="row_idx int, col_idx int, cnt bigint",
+        )
+    else:
+        hot = sketch.filter(F.col("cnt") >= min_count)
     probe = grams
     est_terms = []
     for j in range(depth):

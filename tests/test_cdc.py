@@ -159,3 +159,26 @@ def test_fingerprint_zero_exchange_plan(spark, old_frame):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_fingerprint_spec_tag_and_mixed_version_guard(spark, old_frame):
+    """Persisted fingerprint tables carry fp_spec; snapshot_diff refuses a
+    spec mismatch and a tag-less pre-v2 table (r4 ADVICE: the v1->v2
+    canonical-string change must fail loudly, not reprocess the corpus)."""
+    from deidcm_spark.operators.cdc import FP_SPEC
+
+    fp = snapshot_fingerprint(old_frame)
+    assert fp.columns == ["doc_id", "fp", "fp_spec"]
+    assert {r["fp_spec"] for r in fp.collect()} == {FP_SPEC}
+
+    # fingerprint tables diff directly (both sides tagged, same spec)
+    same = snapshot_diff(fp, fp, include_unchanged=True)
+    assert {r["change"] for r in same.collect()} == {"unchanged"}
+
+    # spec mismatch → loud error
+    v1 = fp.withColumn("fp_spec", F.lit("v1"))
+    with pytest.raises(ValueError, match="spec 'v1'"):
+        snapshot_diff(v1, fp).collect()
+    # tag-less pre-v2 table → loud error
+    with pytest.raises(ValueError, match="without an fp_spec"):
+        snapshot_diff(fp.drop("fp_spec"), fp).collect()

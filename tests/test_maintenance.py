@@ -188,3 +188,35 @@ def test_zorder_validation(spark, tmp_path):
         zorder_rewrite(spark, src, str(tmp_path / "o2"), ["x", "y"], method="hilbert")
     with pytest.raises(ValueError):
         zorder_value([F.col("x")] * 4, 16)  # 64 bits > 62
+
+
+def test_zorder_cdf_preserves_rows_with_nulls(spark, tmp_path):
+    """Row preservation is explicit, not incidental (r4 ADVICE): NULL
+    z-column values ride the left join's absent-bucket coordinate and
+    every row survives the rewrite, byte-identical id set."""
+    rows = [(i, None if i % 7 == 0 else float(i % 97), i % 50)
+            for i in range(5000)]
+    src = str(tmp_path / "null_src")
+    spark.createDataFrame(rows, "doc_id long, x double, y long").repartition(
+        4
+    ).write.parquet(src)
+    out = str(tmp_path / "z_null")
+    zorder_rewrite(spark, src, out, ["x", "y"], n_files=8, method="cdf")
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(5000))
+
+
+def test_zorder_all_null_column_is_clear_error(spark, tmp_path):
+    """An all-NULL z-column raises the descriptive ValueError, never
+    float(None) (r4 ADVICE)."""
+    src = str(tmp_path / "allnull_src")
+    spark.range(100).selectExpr(
+        "id as doc_id", "cast(NULL as double) as x", "id % 10 as y"
+    ).write.parquet(src)
+    for method in ("minmax", "cdf"):
+        with pytest.raises(ValueError, match="no non-NULL"):
+            zorder_rewrite(
+                spark, src, str(tmp_path / f"z_{method}_nn"), ["x", "y"],
+                method=method,
+            )

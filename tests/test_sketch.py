@@ -438,3 +438,14 @@ def test_cdf_grouped_equals_per_group_builds(spark):
     )
     as_rows = lambda d: sorted(tuple(r) for r in d.collect())
     assert as_rows(merged) == as_rows(grouped)
+
+
+def test_heavy_hitters_leaves_no_cache_residue(spark, hh_docs):
+    """The internally built CMS is localized (bounded collect), not
+    persisted (r4 ADVICE: the old persist was never released and leaked
+    cached blocks into the session per call)."""
+    spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    heavy_hitters(hh_docs, min_count=3, n=1).collect()
+    after = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(after) == len(before) == 0
