@@ -159,6 +159,15 @@ def lsh_candidate_pairs(
     minhash aggregation executed) up to twice (r5 plan pruning).
     """
     b = lsh_bands(df, hash_impl=hash_impl) if bands is None else bands
+    # semantically a no-op (band cols are md5/posexplode outputs, never
+    # NULL) but load-bearing for plan reuse: the join sides acquire
+    # IsNotNull constraints the hot-band count subtree lacks, making the
+    # three band-subtree uses canonicalize DIFFERENTLY and defeating
+    # AQE exchange reuse — with the explicit filter on all of them the
+    # minhash aggregation is planned (and run) once, not twice
+    b = b.filter(
+        "band_idx IS NOT NULL AND band_key IS NOT NULL AND doc_id IS NOT NULL"
+    )
     small = (
         b.groupBy("band_idx", "band_key")
         .agg(F.count("*").alias("_n"))

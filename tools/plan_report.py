@@ -26,7 +26,7 @@ INTERESTING = [
     "anti_join_customers_without_orders", "rule_classification",
     "minhash_signatures", "lsh_candidate_pairs", "dedup_exact",
     "events_range_join",
-    "simhash_neardup", "embedding_neardup", "ann_threshold", "ann_lsh",
+    "simhash", "quality_classifier", "embedding_neardup", "ann_threshold", "ann_lsh",
     "ann_ivf", "tfidf_top_term", "vocab_top_terms", "dedup_decisions",
     "media_redaction", "ocr_word_recognition", "html_signals",
     "extract_main_content", "phi_scrub", "phi_scrub_uids",
