@@ -85,6 +85,11 @@ TRANSFER_SYNTAX_EXPLICIT_LE = "1.2.840.10008.1.2.1"
 # TransferSyntaxUID dispatch (df2dicom.py:162-183); here it is one
 # zlib.decompress(wbits=-15) away from the explicit parser.
 TRANSFER_SYNTAX_DEFLATED_LE = "1.2.840.10008.1.2.1.99"
+# PS3.5 Annex G — RLE Lossless: the dataset is ordinary Explicit VR LE;
+# PixelData is ENCAPSULATED (undefined length, one fragment per frame),
+# each frame a 64-byte segment-offset header + PackBits byte segments
+# (Composite Pixel Code stripped into per-byte planes, MSB segment first).
+TRANSFER_SYNTAX_RLE = "1.2.840.10008.1.2.5"
 SECONDARY_CAPTURE_SOP_CLASS = "1.2.840.10008.5.1.4.1.1.7"
 # deterministic implementation UID under the UUID-derived root (PS3.5 §B.2)
 IMPLEMENTATION_CLASS_UID = "2.25.31415926535897932384626433832795"
@@ -357,7 +362,38 @@ def encode_part10(spans: list[dict], media_payload: dict | None = None,
     meta_body = _encode_dataset(meta, binary_vr)
     group_len = _encode_element(0x0002, 0x0000, "UL",
                                 struct.pack("<I", len(meta_body)))
-    dataset = _encode_dataset(root, binary_vr, explicit)
+    encap = b""
+    if declared == TRANSFER_SYNTAX_RLE and (0x7FE0, 0x0010) in root:
+        # PS3.5 A.4 + Annex G: pop PixelData out of the flat encoding and
+        # append it encapsulated — undefined-length OB, empty Basic Offset
+        # Table item, ONE RLE fragment (single-frame documents)
+        _, b64 = root.pop((0x7FE0, 0x0010))
+        raw = base64.b64decode(b64)
+
+        def _int_cell(tag: tuple[int, int], what: str) -> int:
+            cell = root.get(tag)
+            if cell is None:
+                raise ValueError(f"RLE write needs {what} (tag {tag})")
+            try:
+                return int(float(cell[1]))
+            except ValueError:
+                raise ValueError(
+                    f"RLE write: {what} cell {cell[1]!r} is not numeric "
+                    f"(text-mode corpora cannot re-encode RLE)") from None
+
+        bits = _int_cell((0x0028, 0x0100), "BitsAllocated")
+        samples = _int_cell((0x0028, 0x0002), "SamplesPerPixel")
+        frame = _rle_encode_frame(raw, (2 if bits > 8 else 1) * samples)
+        if len(frame) % 2:
+            frame += b"\x00"  # item bodies must be even-length
+        encap = (
+            struct.pack("<HHI", 0xFFFE, 0xE000, 0)          # empty BOT
+            + struct.pack("<HHI", 0xFFFE, 0xE000, len(frame)) + frame
+            + struct.pack("<HHI", *SEQ_DELIM_TAG, 0)
+        )
+        encap = (struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+                 + struct.pack("<I", UNDEFINED) + encap)
+    dataset = _encode_dataset(root, binary_vr, explicit) + encap
     if declared == TRANSFER_SYNTAX_DEFLATED_LE:
         # keep meta and body consistent: a deflated UID means the dataset
         # IS a raw-deflate stream (PS3.10 §A.5).  zlib at a fixed level is
@@ -390,23 +426,25 @@ TRANSFER_SYNTAX_IMPLICIT_LE = "1.2.840.10008.1.2"
 _UNREADABLE_SYNTAX_PREFIXES = (
     "1.2.840.10008.1.2.2",   # Explicit VR Big Endian (retired)
     "1.2.840.10008.1.2.4",   # JPEG* encapsulated families
-    "1.2.840.10008.1.2.5",   # RLE Lossless
 )
 
 
 def _syntax_explicit(uid: str) -> bool:
     """Declared transfer syntax → is the dataset Explicit VR LE?  Mirrors
     the reference's mapping (df2dicom.py:173-181): explicit-LE → explicit,
-    deflated-LE → explicit after inflation (PS3.10 §A.5),
-    BE/encapsulated → error, everything else → implicit (the
+    deflated-LE → explicit after inflation (PS3.10 §A.5), RLE Lossless →
+    explicit with encapsulated PixelData (PS3.5 Annex G),
+    BE/JPEG-encapsulated → error, everything else → implicit (the
     reference's default branch — pydicom then writes implicit LE)."""
-    if uid in (TRANSFER_SYNTAX_EXPLICIT_LE, TRANSFER_SYNTAX_DEFLATED_LE):
+    if uid in (TRANSFER_SYNTAX_EXPLICIT_LE, TRANSFER_SYNTAX_DEFLATED_LE,
+               TRANSFER_SYNTAX_RLE):
         return True
     if any(uid.startswith(p) for p in _UNREADABLE_SYNTAX_PREFIXES):
         raise ValueError(
-            f"unsupported transfer syntax {uid!r} — only the native "
+            f"unsupported transfer syntax {uid!r} — only the "
             f"little-endian syntaxes (explicit {TRANSFER_SYNTAX_EXPLICIT_LE}"
             f", deflated {TRANSFER_SYNTAX_DEFLATED_LE}"
+            f", RLE {TRANSFER_SYNTAX_RLE}"
             f", implicit-or-default {TRANSFER_SYNTAX_IMPLICIT_LE}) are handled")
     return False
 
@@ -422,6 +460,146 @@ def _inflate_dataset(body: bytes, uid: str) -> bytes:
             continue
     raise ValueError(
         f"transfer syntax {uid!r}: dataset is not a valid deflate stream")
+
+
+# --- RLE Lossless codec (PS3.5 Annex G) ------------------------------------
+#
+# A frame = 64-byte header (16 little-endian uint32: segment count + 15
+# segment offsets from frame start) + PackBits-coded byte segments.  The
+# Composite Pixel Code is stripped into per-byte segments, most significant
+# byte FIRST (G.2): 8-bit gray → 1 segment; 16-bit gray (LE storage) →
+# [high bytes, low bytes]; 8-bit RGB → [R, G, B].
+
+
+def _packbits_encode(seg: bytes) -> bytes:
+    """Deterministic PackBits (G.3.1): replicate runs of >= 3, literals
+    otherwise, both capped at 128; output padded to even length."""
+    out = bytearray()
+    i, n = 0, len(seg)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and seg[i + run] == seg[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)  # -(run-1) as unsigned byte
+            out.append(seg[i])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and seg[i + nxt] == seg[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        chunk = seg[lit_start:min(i, lit_start + 128)]
+        i = lit_start + len(chunk)
+        out.append(len(chunk) - 1)
+        out.extend(chunk)
+    if len(out) % 2:
+        out.append(0x80)  # noop filler — 0x00 would claim a literal byte
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """Inverse of :func:`_packbits_encode`; bounds-checked (fuzz contract:
+    malformed input is a ValueError, never an overrun)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b == 128:  # noop per the spec
+            continue
+        if b < 128:
+            end = i + b + 1
+            if end > n:
+                raise ValueError("RLE literal run overruns the segment")
+            out.extend(data[i:end])
+            i = end
+        else:
+            if i >= n:
+                raise ValueError("RLE replicate run missing its byte")
+            out.extend(bytes([data[i]]) * (257 - b))
+            i += 1
+    return bytes(out)
+
+
+def _rle_encode_frame(raw: bytes, n_segments: int) -> bytes:
+    """Pixel bytes → one RLE frame (header + segments).  ``n_segments`` =
+    bytes-per-sample × samples-per-pixel; byte planes interleave per G.2
+    (MSB segment first for 16-bit, R/G/B order for color)."""
+    if n_segments not in (1, 2, 3):
+        raise ValueError(
+            f"RLE: {n_segments} byte segments unsupported (8/16-bit gray "
+            f"and 8-bit RGB only)")
+    if len(raw) % n_segments:
+        raise ValueError("RLE: pixel byte count not divisible by segments")
+    if n_segments == 2:  # 16-bit LE storage → MSB plane first
+        planes = [raw[1::2], raw[0::2]]
+    else:
+        planes = [raw[i::n_segments] for i in range(n_segments)]
+    encoded = [_packbits_encode(p) for p in planes]
+    offsets = [0] * 15
+    pos = 64
+    for j, e in enumerate(encoded):
+        offsets[j] = pos
+        pos += len(e)
+    header = struct.pack("<16I", n_segments, *offsets)
+    return header + b"".join(encoded)
+
+
+def _rle_decode_frame(frame: bytes, expected_len: int | None = None) -> bytes:
+    """One RLE frame → pixel bytes (LE storage order); every header field
+    validated so a mutated stream raises, never misindexes."""
+    if len(frame) < 64:
+        raise ValueError("RLE frame shorter than its 64-byte header")
+    vals = struct.unpack("<16I", frame[:64])
+    n_segments, offsets = vals[0], list(vals[1:])
+    if not 1 <= n_segments <= 15:
+        raise ValueError(f"RLE segment count {n_segments} out of range")
+    if n_segments not in (1, 2, 3):
+        raise ValueError(
+            f"RLE: {n_segments} byte segments unsupported (8/16-bit gray "
+            f"and 8-bit RGB only)")
+    bounds = []
+    for j in range(n_segments):
+        off = offsets[j]
+        if not 64 <= off <= len(frame):
+            raise ValueError(f"RLE segment {j} offset {off} out of bounds")
+        bounds.append(off)
+    bounds.append(len(frame))
+    for a, b in zip(bounds, bounds[1:]):
+        if b < a:
+            raise ValueError("RLE segment offsets not ascending")
+    planes = [
+        _packbits_decode(frame[bounds[j]:bounds[j + 1]])
+        for j in range(n_segments)
+    ]
+    plane_len = len(planes[0])
+    if any(len(p) != plane_len for p in planes):
+        raise ValueError("RLE segments decode to unequal plane lengths")
+    if n_segments == 1:
+        raw = planes[0]
+    else:
+        raw = bytearray(plane_len * n_segments)
+        if n_segments == 2:  # MSB plane first → LE byte order on output
+            raw[1::2], raw[0::2] = planes[0], planes[1]
+        else:
+            for j in range(3):
+                raw[j::3] = planes[j]
+        raw = bytes(raw)
+    if expected_len is not None and len(raw) != expected_len:
+        # even-padding of an odd plane adds at most one trailing byte
+        if expected_len < len(raw) <= expected_len + n_segments:
+            raw = raw[:expected_len]
+        else:
+            raise ValueError(
+                f"RLE frame decodes to {len(raw)} bytes, expected "
+                f"{expected_len}")
+    return raw
 
 
 SEQ_DELIM_TAG = (0xFFFE, 0xE0DD)
@@ -498,10 +676,18 @@ def _parse_dataset(data: bytes, pos: int, end: int | None,
                               "media_ref": "", "offset": 0})
             continue
         if length == UNDEFINED:
+            if (group, elem) == (0x7FE0, 0x0010):
+                # encapsulated PixelData (PS3.5 A.4): collect the fragment
+                # items; whether the declared syntax can DECODE them is
+                # decided by parse_part10 (RLE yes, JPEG* already rejected
+                # at the syntax gate, native syntaxes → clear error there)
+                frags, pos = _parse_encapsulated(data, body_at)
+                media.append({"fragments": frags, "vr": vr})
+                continue
             raise ValueError(
                 f"element ({group:04x},{elem:04x}) VR {vr} has undefined "
-                f"length — encapsulated (compressed) pixel data is not "
-                f"supported; transcode to a native syntax first")
+                f"length — encapsulated (compressed) data is only handled "
+                f"for PixelData; transcode to a native syntax first")
         if body_at + length > len(data):
             raise ValueError(
                 f"element ({group:04x},{elem:04x}) body overruns the stream")
@@ -514,6 +700,33 @@ def _parse_dataset(data: bytes, pos: int, end: int | None,
             spans.append({"kind": "text", "text": f"{key}_{vm}____={value}",
                           "media_ref": "", "offset": 0})
     return pos
+
+
+def _parse_encapsulated(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Walk an encapsulated PixelData body (PS3.5 A.4): Item fragments
+    until the sequence delimiter.  Returns (fragments incl. the Basic
+    Offset Table as fragment 0, position after the delimiter).  Every
+    header and body is bounds-checked — malformed streams raise the
+    parser's ValueError contract."""
+    frags: list[bytes] = []
+    while True:
+        if pos + 8 > len(data):
+            raise ValueError("truncated encapsulated PixelData item header")
+        group, elem = struct.unpack_from("<HH", data, pos)
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        pos += 8
+        if (group, elem) == SEQ_DELIM_TAG:
+            return frags, pos
+        if (group, elem) != ITEM_TAG:
+            raise ValueError(
+                f"expected fragment item in encapsulated PixelData, got "
+                f"({group:04x},{elem:04x})")
+        if length == UNDEFINED:
+            raise ValueError("encapsulated fragment with undefined length")
+        if pos + length > len(data):
+            raise ValueError("encapsulated fragment overruns the stream")
+        frags.append(data[pos:pos + length])
+        pos += length
 
 
 def _parse_sq(data: bytes, pos: int, length: int,
@@ -605,7 +818,7 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
         # STAY in the span list (they are ordinary dataset elements; the
         # engine's media tables also carry them out-of-row as ints)
         payload = {"width": None, "height": None, "channels": None,
-                   "bits": None, "pixels": media[0]["pixels"]}
+                   "bits": None, "pixels": None}
         fold = {"00280002": "channels", "00280010": "height",
                 "00280011": "width", "00280100": "bits"}
         for s in spans:
@@ -616,6 +829,26 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
                     payload[fold[tag]] = int(float(s["text"].split("=", 1)[1]))
                 except ValueError:
                     pass  # opaque-string cell (text mode): dims unknown
+        if "fragments" in media[0]:
+            if syntax != TRANSFER_SYNTAX_RLE:
+                raise ValueError(
+                    f"encapsulated PixelData under transfer syntax "
+                    f"{syntax!r} is not supported — only RLE Lossless "
+                    f"({TRANSFER_SYNTAX_RLE}) decodes here")
+            frames = media[0]["fragments"][1:]  # fragment 0 = offset table
+            if len(frames) != 1:
+                raise ValueError(
+                    f"RLE PixelData with {len(frames)} frames — only "
+                    f"single-frame documents are handled")
+            expected = None
+            if all(payload[k] is not None
+                   for k in ("width", "height", "channels", "bits")):
+                expected = (payload["width"] * payload["height"]
+                            * payload["channels"]
+                            * (2 if payload["bits"] > 8 else 1))
+            payload["pixels"] = _rle_decode_frame(frames[0], expected)
+        else:
+            payload["pixels"] = media[0]["pixels"]
     return {"spans": spans, "media": payload}
 
 

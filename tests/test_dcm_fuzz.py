@@ -47,10 +47,24 @@ def _stream(ts_uid: str) -> bytes:
     return encode_part10(spans)
 
 
+def _rle_stream() -> bytes:
+    """Golden RLE Lossless stream: text spans + one encapsulated frame, so
+    the sweep hammers the item-framing walk and the PackBits decoder."""
+    spans = [{"kind": "text",
+              "text": "TransferSyntaxUID_0x00020010_UI_1____=1.2.840.10008.1.2.5",
+              "media_ref": "", "offset": 0}] + _BASE_SPANS + [
+        {"kind": "media", "text": "", "media_ref": "m/0", "offset": 9},
+    ]
+    pixels = bytes([7] * 40 + list(range(48)) + [9] * 40)
+    return encode_part10(spans, {"width": 16, "height": 8, "channels": 1,
+                                 "bits": 8, "pixels": pixels})
+
+
 STREAMS = {
     "explicit": _stream("1.2.840.10008.1.2.1"),
     "implicit": _stream("1.2.840.10008.1.2"),
     "deflated": _stream("1.2.840.10008.1.2.1.99"),
+    "rle": _rle_stream(),
 }
 
 
@@ -93,14 +107,26 @@ def test_every_single_byte_mutation_is_clean(name):
 
 
 def test_undefined_length_pixel_data_is_clear_error():
-    """An encapsulated-style undefined-length OB element must raise the
-    descriptive not-supported error, never parse garbage."""
+    """Undefined-length PixelData under a NATIVE syntax (r5: fragments are
+    collected for RLE, so the error moved from the element to the syntax
+    check) and undefined-length NON-pixel elements both stay descriptive
+    ValueErrors, never a misparse."""
     blob = STREAMS["explicit"]
-    # splice an undefined-length (7FE0,0010) OB element onto the tail
+    # truncated item framing → clear encapsulation error
     tail = (struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
             + struct.pack("<I", 0xFFFFFFFF))
-    with pytest.raises(ValueError, match="undefined"):
+    with pytest.raises(ValueError, match="encapsulated"):
         parse_part10(blob + tail)
+    # well-formed framing but a native declared syntax → clear error too
+    tail2 = (tail + struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+             + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    with pytest.raises(ValueError, match="encapsulated PixelData under"):
+        parse_part10(blob + tail2)
+    # undefined length on a non-pixel binary element is still rejected
+    tail3 = (struct.pack("<HH", 0x0008, 0x0000) + b"OB\x00\x00"
+             + struct.pack("<I", 0xFFFFFFFF))
+    with pytest.raises(ValueError, match="undefined"):
+        parse_part10(blob + tail3)
 
 
 def test_deflated_zip_bomb_shape_is_bounded():
