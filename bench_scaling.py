@@ -47,6 +47,52 @@ HTML_CORPUS = "/tmp/scaling_html_corpus.parquet"
 FP_CORPUS = "/tmp/scaling_fp.parquet"
 FP_TABLE_LOC = "/tmp/scaling_fp_bucketed"
 FP_ROWS = int(os.environ.get("SCALING_FP_ROWS", "20480000"))
+
+# Static evidence sections: BASELINE.md is regenerated WHOLE by this
+# script, so curated one-off analyses must live here (an r5 regeneration
+# silently erased the winner-agg diagnosis before this constant existed).
+WINNER_DIAG_SECTION = """\
+### Bucketed winner-agg at 8→32: diagnosis (r4 VERDICT item 7)
+
+The r4 SCALING_HISTORY rows showed the BUCKETED winner-agg lane scaling
+0.243–0.35 at 8→32 while the shuffled variant held 0.447–0.459 — an
+apparent inversion worth attributing before claiming "bucketed wins at
+4N".  A controlled grid (r5, `tools/winner_diag_worker.py`: one FRESH
+pinned spark-submit process per cell, the same 20.48M-row fingerprint
+table in three layouts, two interleaved rounds) settles it:
+
+| layout | scan tasks | 8c rows/s (best of 2) | 32c rows/s | 8→32 eff |
+|---|---|---|---|---|
+| plain parquet (shuffled agg) | 32 splits | 3.51M | 7.30M | 0.52 |
+| bucketed, 64 buckets (zero-exchange) | 65 | 5.29M | 10.71M | 0.51 |
+| bucketed, 256 buckets (zero-exchange) | 256 | 3.56M | 5.30M | 0.37 |
+
+Findings:
+
+1. **The absolute claim stands, with numbers**: at 32 cores the
+   64-bucket zero-exchange aggregation runs 1.912 s vs the shuffled
+   2.807 s — **1.47× faster at 4N** (and 1.51× at 8 cores).  Bucketed
+   ingest remains the scale path.
+2. **The inversion does not reproduce under process isolation**: in the
+   same-invocation fresh-process grid, bucketed-64 scales 8→32 at
+   0.50–0.51 — statistically identical to shuffled (0.49–0.52;
+   both sit at the documented shared-kernel 32-worker ceiling).  The r4
+   inversion is therefore a MEASUREMENT artifact of the shared harness
+   JVM, not a property of the layout: in `tools/scaling_worker.py` the
+   winner-agg A/B runs LAST, after ~20 heavy lanes in the same process,
+   where heap pressure and GC tail penalize whichever lane runs latest —
+   hardest at 32 workers — compounded by that day's host-steal phase
+   (the same invocations logged deid 0.636 once; see
+   SCALING_HISTORY.jsonl).
+3. **The bucket-count cap is NOT the bottleneck** — the hypothesis that
+   64 buckets (→ exactly 65 scan tasks, bucketed scans are never split)
+   starves 32 cores is refuted: RAISING to 256 buckets makes every cell
+   WORSE (smaller sorted runs per task, 4× the per-task open/decode
+   overhead) and its 8→32 efficiency lower, not higher.  65 tasks over
+   32 cores is two full waves — ample.  The 64-bucket layout is the
+   tuned one; at genuine cluster scale the analogue is "buckets ≈ 2× max
+   executor slots you'll aggregate with", not "as many as possible".
+"""
 FP_DUP = 8          # corpus-wide duplication factor (C4-scale post-crawl)
 FP_HOT = 200_000    # one boilerplate/crawler-trap fingerprint at ~1% mass
 FP_BUCKETS = 64
@@ -377,6 +423,7 @@ so the winner/loser machinery carries real volume at each level.
 * criterion ≥ 0.8 on the N→4N pair (2→8): **{'PASS' if result['pass'] else 'FAIL'}**
 
 {history_section}
+{WINNER_DIAG_SECTION}
 ### Why 2→8 is the representative pair
 
 The north rule's criterion is N vs 4N *executors* — separate hosts, each
