@@ -40,12 +40,16 @@ recursion over an empty item emits no columns (dicom2df.py:105-113),
 so the rebuilt SQ drops it and later item indices shift; documented
 parity, not an engine deviation.
 
-The parser reads BOTH native little-endian syntaxes — Explicit VR and
-Implicit VR (``1.2.840.10008.1.2``, the DICOM default; VRs resolve via
-the rule table, unknown tags → UN) — including undefined-length
-sequences/items via the delimitation items.  Big-endian and compressed
-(encapsulated) syntaxes raise a clear per-file error.  The writer
-always emits Explicit VR LE with defined lengths, pydicom
+The parser reads FIVE transfer syntaxes — Explicit VR LE, Implicit VR
+(``1.2.840.10008.1.2``, the DICOM default; VRs resolve via the rule
+table, unknown tags → UN), Deflated Explicit VR LE, RLE Lossless
+(encapsulated PixelData, PS3.5 Annex G), and the retired Explicit VR
+Big Endian (every multi-byte field swapped; span values canonicalize
+to the LE form so both endiannesses parse to identical spans) —
+including undefined-length sequences/items via the delimitation items.
+Remaining encapsulated families (JPEG*) raise a clear per-file error.
+The writer emits whichever of those five the document's declared
+(0002,0010) selects, with defined lengths — pydicom
 ``write_like_original=False`` behavior.
 """
 
@@ -85,6 +89,14 @@ TRANSFER_SYNTAX_EXPLICIT_LE = "1.2.840.10008.1.2.1"
 # TransferSyntaxUID dispatch (df2dicom.py:162-183); here it is one
 # zlib.decompress(wbits=-15) away from the explicit parser.
 TRANSFER_SYNTAX_DEFLATED_LE = "1.2.840.10008.1.2.1.99"
+# PS3.5 §7.3 (2016 and earlier; retired but present in real archives) —
+# Explicit VR Big Endian: identical structure to Explicit VR LE with every
+# multi-byte integer (tags, lengths, binary VR values, OW/OF/OD word data)
+# byte-swapped.  Span values are canonicalized to the LE representation on
+# read (and swapped back on write), so a dataset parses to IDENTICAL spans
+# under either endianness.  The reference reads BE transparently via
+# pydicom's TransferSyntaxUID dispatch (df2dicom.py:162-183).
+TRANSFER_SYNTAX_EXPLICIT_BE = "1.2.840.10008.1.2.2"
 # PS3.5 Annex G — RLE Lossless: the dataset is ordinary Explicit VR LE;
 # PixelData is ENCAPSULATED (undefined length, one fragment per frame),
 # each frame a 64-byte segment-offset header + PackBits byte segments
@@ -150,12 +162,35 @@ def _tag_str(group: int, elem: int) -> str:
 # value codec (PS3.5 §6.2)
 # ---------------------------------------------------------------------------
 
-def _encode_value(vr: str, value: str, binary_vr: str = "strict") -> bytes:
+# word width of the "other" VRs whose payload is endian-sensitive (PS3.5
+# §7.3: OW/OF/OD/OL/OV swap under Big Endian; OB/UN are plain bytes)
+_WORD_WIDTHS = {"OW": 2, "OF": 4, "OL": 4, "OD": 8, "OV": 8}
+
+
+def _byteswap(raw: bytes, width: int) -> bytes:
+    """Reverse the byte order inside each ``width``-byte word (LE↔BE)."""
+    if width == 1 or not raw:
+        return raw
+    if len(raw) % width:
+        raise ValueError(
+            f"{len(raw)}-byte word payload is not a multiple of its "
+            f"{width}-byte word width")
+    out = bytearray(len(raw))
+    for off in range(width):
+        out[off::width] = raw[width - 1 - off::width]
+    return bytes(out)
+
+
+def _encode_value(vr: str, value: str, binary_vr: str = "strict",
+                  bo: str = "<") -> bytes:
     if value in ("", "None"):
         return b""
     if vr in BYTES_VRS:
         raw = base64.b64decode(value)
-        return raw + b"\x00" if len(raw) % 2 else raw
+        if len(raw) % 2:
+            raw += b"\x00"
+        # span values hold the LE (canonical) word order; swap on BE write
+        return _byteswap(raw, _WORD_WIDTHS.get(vr, 1)) if bo == ">" else raw
     # VM>1 text values arrive as JSON lists (encode_unit contract) —
     # DICOM multiplicity is backslash-delimited (PS3.5 §6.4)
     parts: list[str]
@@ -167,7 +202,7 @@ def _encode_value(vr: str, value: str, binary_vr: str = "strict") -> bytes:
     if vr in BINARY_VRS and binary_vr == "strict":
         # parity: the reference's decode_unit also int()s these and raises
         # on non-numeric cells (df2dicom.py:244-263 → save_as ValueError)
-        fmt = BINARY_VRS[vr]
+        fmt = bo + BINARY_VRS[vr][1:]
         conv = float if fmt[1] in "fd" else int
         return b"".join(struct.pack(fmt, conv(p)) for p in parts)
     raw = "\\".join(parts).encode("latin-1")
@@ -176,14 +211,20 @@ def _encode_value(vr: str, value: str, binary_vr: str = "strict") -> bytes:
     return raw
 
 
-def _parse_value(vr: str, raw: bytes, binary_vr: str = "strict") -> tuple[str, str]:
-    """raw element bytes → (encoded span value, vm)."""
+def _parse_value(vr: str, raw: bytes, binary_vr: str = "strict",
+                 bo: str = "<") -> tuple[str, str]:
+    """raw element bytes → (encoded span value, vm).  ``bo`` is the stream's
+    byte order; span values are always the LE-canonical form, so a BE body
+    is swapped before encoding and the resulting spans are
+    endianness-independent."""
     if not raw:
         return "", "1"
     if vr in BYTES_VRS:
+        if bo == ">":
+            raw = _byteswap(raw, _WORD_WIDTHS.get(vr, 1))
         return base64.b64encode(raw).decode(), "1"
     if vr in BINARY_VRS and binary_vr == "strict":
-        fmt = BINARY_VRS[vr]
+        fmt = bo + BINARY_VRS[vr][1:]
         width = struct.calcsize(fmt)
         if len(raw) % width:
             raise ValueError(
@@ -237,21 +278,21 @@ def canonical_spans(spans: list[dict], binary_vr: str = "strict") -> list[dict]:
 # ---------------------------------------------------------------------------
 
 def _encode_element(group: int, elem: int, vr: str, body: bytes,
-                    explicit: bool = True) -> bytes:
+                    explicit: bool = True, bo: str = "<") -> bytes:
     if not explicit:
         # Implicit VR LE (PS3.5 §7.1.3): tag + 32-bit length, no VR bytes
         if len(body) > 0xFFFFFFFE:
             raise ValueError(f"element ({group:04x},{elem:04x}) too large")
         return struct.pack("<HHI", group, elem, len(body)) + body
-    head = struct.pack("<HH", group, elem) + vr.encode("ascii")
+    head = struct.pack(bo + "HH", group, elem) + vr.encode("ascii")
     if vr in LONG_VRS:
         if len(body) > 0xFFFFFFFE:
             raise ValueError(f"element ({group:04x},{elem:04x}) too large")
-        return head + b"\x00\x00" + struct.pack("<I", len(body)) + body
+        return head + b"\x00\x00" + struct.pack(bo + "I", len(body)) + body
     if len(body) > 0xFFFE:
         raise ValueError(
             f"element ({group:04x},{elem:04x}) VR {vr} exceeds 16-bit length")
-    return head + struct.pack("<H", len(body)) + body
+    return head + struct.pack(bo + "H", len(body)) + body
 
 
 class _Node(dict):
@@ -290,21 +331,22 @@ def _build_dataset(spans: list[dict]) -> tuple[dict, list[str]]:
 
 
 def _encode_dataset(node: dict, binary_vr: str = "strict",
-                    explicit: bool = True) -> bytes:
+                    explicit: bool = True, bo: str = "<") -> bytes:
     out = b""
     for (group, elem) in sorted(node):
         vr, payload = node[(group, elem)]
         if vr == "SQ":
             body = b""
             for item in sorted(payload, key=lambda i: (len(i), i)):
-                item_body = _encode_dataset(payload[item], binary_vr, explicit)
-                body += (struct.pack("<HH", *ITEM_TAG)
-                         + struct.pack("<I", len(item_body)) + item_body)
-            out += _encode_element(group, elem, "SQ", body, explicit)
+                item_body = _encode_dataset(payload[item], binary_vr,
+                                            explicit, bo)
+                body += (struct.pack(bo + "HH", *ITEM_TAG)
+                         + struct.pack(bo + "I", len(item_body)) + item_body)
+            out += _encode_element(group, elem, "SQ", body, explicit, bo)
         else:
             out += _encode_element(group, elem, vr,
-                                   _encode_value(vr, payload, binary_vr),
-                                   explicit)
+                                   _encode_value(vr, payload, binary_vr, bo),
+                                   explicit, bo)
     return out
 
 
@@ -352,13 +394,15 @@ def encode_part10(spans: list[dict], media_payload: dict | None = None,
     meta.pop((0x0002, 0x0000), None)  # group length is always recomputed
     # the DECLARED (0002,0010) drives the dataset encoding, mirroring the
     # reference's add_file_meta flag mapping (df2dicom.py:173-181):
-    # explicit-LE UID → explicit; big-endian/deflated → unwritable here
-    # (pydicom would write BE; declared scope); ANYTHING ELSE — including
-    # the synthetic corpus's pseudonymized UIDs — → Implicit VR LE, the
-    # reference's else-branch default.  The meta group itself is always
-    # Explicit VR LE (PS3.10 §7.1).
+    # explicit-LE UID → explicit; big-endian → explicit with every
+    # multi-byte field swapped (PS3.5 §7.3, what pydicom writes for the
+    # retired BE UID); deflated → explicit then raw-deflate; ANYTHING
+    # ELSE — including the synthetic corpus's pseudonymized UIDs — →
+    # Implicit VR LE, the reference's else-branch default.  The meta group
+    # itself is always Explicit VR LE (PS3.10 §7.1).
     declared = meta[(0x0002, 0x0010)][1]
     explicit = _syntax_explicit(declared)
+    bo = ">" if declared == TRANSFER_SYNTAX_EXPLICIT_BE else "<"
     meta_body = _encode_dataset(meta, binary_vr)
     group_len = _encode_element(0x0002, 0x0000, "UL",
                                 struct.pack("<I", len(meta_body)))
@@ -393,7 +437,7 @@ def encode_part10(spans: list[dict], media_payload: dict | None = None,
         )
         encap = (struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
                  + struct.pack("<I", UNDEFINED) + encap)
-    dataset = _encode_dataset(root, binary_vr, explicit) + encap
+    dataset = _encode_dataset(root, binary_vr, explicit, bo) + encap
     if declared == TRANSFER_SYNTAX_DEFLATED_LE:
         # keep meta and body consistent: a deflated UID means the dataset
         # IS a raw-deflate stream (PS3.10 §A.5).  zlib at a fixed level is
@@ -407,44 +451,50 @@ def encode_part10(spans: list[dict], media_payload: dict | None = None,
 # ---------------------------------------------------------------------------
 # parser (inverse, for round-trip verification + binary .dcm ingest)
 # ---------------------------------------------------------------------------
-# Supports BOTH native little-endian syntaxes: Explicit VR (what the writer
-# emits) and Implicit VR (1.2.840.10008.1.2 — the DICOM *default*, common
-# in real archives; pydicom's reader handles it transparently, so the
-# dicom2df-analogue source must too).  Implicit VRs resolve through the
-# same rule table the flatten uses (tag → VR; unknown tags → UN), and
-# undefined lengths (0xFFFFFFFF) are walked via the delimitation items
-# (FFFE,E0DD / FFFE,E00D) per PS3.5 §7.5.  Big-endian and compressed
-# (encapsulated-pixel) syntaxes raise a clear per-file error.
+# Supports both native little-endian syntaxes — Explicit VR (what the
+# writer emits by default) and Implicit VR (1.2.840.10008.1.2 — the DICOM
+# *default*, common in real archives; pydicom's reader handles it
+# transparently, so the dicom2df-analogue source must too) — plus Deflated
+# Explicit VR LE, RLE Lossless, and the retired Explicit VR Big Endian
+# (bo=">" threads through header and value decoding; span values
+# canonicalize to LE).  Implicit VRs resolve through the same rule table
+# the flatten uses (tag → VR; unknown tags → UN), and undefined lengths
+# (0xFFFFFFFF) are walked via the delimitation items (FFFE,E0DD /
+# FFFE,E00D) per PS3.5 §7.5.  JPEG-encapsulated syntaxes raise a clear
+# per-file error.
 
 TRANSFER_SYNTAX_IMPLICIT_LE = "1.2.840.10008.1.2"
 # syntaxes that exist but are not readable/writable here — clear error
-# instead of misparsing (big endian, every encapsulated-pixel family).
+# instead of misparsing (every non-RLE encapsulated-pixel family).
 # NOTE r5: Deflated Explicit VR LE (1.2.840.10008.1.2.1.99) moved OUT of
 # this list and is now fully supported (it was also listed under a wrong
 # UID, 1.2.840.10008.1.2.99, which meant a real deflated stream fell to
-# the implicit default branch and misparsed instead of erroring).
+# the implicit default branch and misparsed instead of erroring); Explicit
+# VR Big Endian (1.2.840.10008.1.2.2) moved out later the same round —
+# it parses/writes natively with every multi-byte field swapped.
 _UNREADABLE_SYNTAX_PREFIXES = (
-    "1.2.840.10008.1.2.2",   # Explicit VR Big Endian (retired)
     "1.2.840.10008.1.2.4",   # JPEG* encapsulated families
 )
 
 
 def _syntax_explicit(uid: str) -> bool:
-    """Declared transfer syntax → is the dataset Explicit VR LE?  Mirrors
+    """Declared transfer syntax → is the dataset Explicit VR?  Mirrors
     the reference's mapping (df2dicom.py:173-181): explicit-LE → explicit,
     deflated-LE → explicit after inflation (PS3.10 §A.5), RLE Lossless →
-    explicit with encapsulated PixelData (PS3.5 Annex G),
-    BE/JPEG-encapsulated → error, everything else → implicit (the
+    explicit with encapsulated PixelData (PS3.5 Annex G), explicit-BE →
+    explicit with swapped multi-byte fields (PS3.5 §7.3),
+    JPEG-encapsulated → error, everything else → implicit (the
     reference's default branch — pydicom then writes implicit LE)."""
     if uid in (TRANSFER_SYNTAX_EXPLICIT_LE, TRANSFER_SYNTAX_DEFLATED_LE,
-               TRANSFER_SYNTAX_RLE):
+               TRANSFER_SYNTAX_RLE, TRANSFER_SYNTAX_EXPLICIT_BE):
         return True
     if any(uid.startswith(p) for p in _UNREADABLE_SYNTAX_PREFIXES):
         raise ValueError(
-            f"unsupported transfer syntax {uid!r} — only the "
-            f"little-endian syntaxes (explicit {TRANSFER_SYNTAX_EXPLICIT_LE}"
+            f"unsupported transfer syntax {uid!r} — only the native "
+            f"syntaxes (explicit-LE {TRANSFER_SYNTAX_EXPLICIT_LE}"
             f", deflated {TRANSFER_SYNTAX_DEFLATED_LE}"
             f", RLE {TRANSFER_SYNTAX_RLE}"
+            f", explicit-BE {TRANSFER_SYNTAX_EXPLICIT_BE}"
             f", implicit-or-default {TRANSFER_SYNTAX_IMPLICIT_LE}) are handled")
     return False
 
@@ -622,14 +672,16 @@ def vr_map() -> dict[str, str]:
 
 def _read_header(
     data: bytes, pos: int, explicit: bool, vrs: dict[str, str] | None,
+    bo: str = "<",
 ) -> tuple[int, int, str, int, int]:
     """-> (group, elem, vr, length, body_at).  Delimiter-group (FFFE)
-    tags carry no VR in either syntax."""
+    tags carry no VR in either syntax.  ``bo`` is the dataset byte order
+    ("<" LE, ">" BE — tags and lengths swap together, PS3.5 §7.3)."""
     if pos + 8 > len(data):
         raise ValueError(f"truncated element header at byte {pos}")
-    group, elem = struct.unpack_from("<HH", data, pos)
+    group, elem = struct.unpack_from(bo + "HH", data, pos)
     if group == 0xFFFE:
-        (length,) = struct.unpack_from("<I", data, pos + 4)
+        (length,) = struct.unpack_from(bo + "I", data, pos + 4)
         return group, elem, "", length, pos + 8
     if explicit:
         raw_vr = data[pos + 4:pos + 6]
@@ -639,9 +691,9 @@ def _read_header(
         if vr in LONG_VRS:
             if pos + 12 > len(data):
                 raise ValueError(f"truncated long-form header at byte {pos}")
-            (length,) = struct.unpack_from("<I", data, pos + 8)
+            (length,) = struct.unpack_from(bo + "I", data, pos + 8)
             return group, elem, vr, length, pos + 12
-        (length,) = struct.unpack_from("<H", data, pos + 6)
+        (length,) = struct.unpack_from(bo + "H", data, pos + 6)
         return group, elem, vr, length, pos + 8
     (length,) = struct.unpack_from("<I", data, pos + 4)
     vr = (vrs or {}).get(_tag_str(group, elem), "UN")
@@ -655,13 +707,14 @@ def _parse_dataset(data: bytes, pos: int, end: int | None,
                    spans: list[dict], media: list[dict],
                    binary_vr: str = "strict", explicit: bool = True,
                    vrs: dict[str, str] | None = None,
-                   stop_tag: tuple[int, int] | None = None) -> int:
+                   stop_tag: tuple[int, int] | None = None,
+                   bo: str = "<") -> int:
     """Parse elements from ``pos`` until ``end`` (or until ``stop_tag`` is
     consumed, for undefined-length items); returns the new position."""
     limit = len(data) if end is None else end
     while pos < limit:
         group, elem, vr, length, body_at = _read_header(
-            data, pos, explicit, vrs)
+            data, pos, explicit, vrs, bo)
         if stop_tag is not None and (group, elem) == stop_tag:
             return body_at  # delimiter consumed (its length is 0)
         tag = _tag_str(group, elem)
@@ -670,7 +723,7 @@ def _parse_dataset(data: bytes, pos: int, end: int | None,
         if vr == "SQ":
             pos, item_no = _parse_sq(
                 data, body_at, length, keywords, key, spans, media,
-                binary_vr, explicit, vrs, tag)
+                binary_vr, explicit, vrs, tag, bo)
             if item_no == 0:
                 spans.append({"kind": "text", "text": f"{key}_1____@__empty=",
                               "media_ref": "", "offset": 0})
@@ -694,9 +747,9 @@ def _parse_dataset(data: bytes, pos: int, end: int | None,
         body = data[body_at:body_at + length]
         pos = body_at + length
         if (group, elem) == (0x7FE0, 0x0010):
-            media.append({"pixels": body, "vr": vr})
+            media.append({"pixels": body, "vr": vr, "bo": bo})
         else:
-            value, vm = _parse_value(vr, body, binary_vr)
+            value, vm = _parse_value(vr, body, binary_vr, bo)
             spans.append({"kind": "text", "text": f"{key}_{vm}____={value}",
                           "media_ref": "", "offset": 0})
     return pos
@@ -733,7 +786,7 @@ def _parse_sq(data: bytes, pos: int, length: int,
               keywords: dict[str, str], key: str,
               spans: list[dict], media: list[dict], binary_vr: str,
               explicit: bool, vrs: dict[str, str] | None,
-              tag: str) -> tuple[int, int]:
+              tag: str, bo: str = "<") -> tuple[int, int]:
     """Walk a sequence body (defined or undefined length) item by item;
     returns (position after the sequence, number of items parsed)."""
     seq_end = None if length == UNDEFINED else pos + length
@@ -743,7 +796,7 @@ def _parse_sq(data: bytes, pos: int, length: int,
     while True:
         if seq_end is not None and pos >= seq_end:
             return pos, item_no
-        ig, ie, _, ilen, ibody = _read_header(data, pos, explicit, vrs)
+        ig, ie, _, ilen, ibody = _read_header(data, pos, explicit, vrs, bo)
         if (ig, ie) == SEQ_DELIM_TAG:
             if seq_end is None:
                 return ibody, item_no
@@ -755,12 +808,12 @@ def _parse_sq(data: bytes, pos: int, length: int,
         if ilen == UNDEFINED:
             pos = _parse_dataset(
                 data, ibody, None, keywords, item_prefix, spans, media,
-                binary_vr, explicit, vrs, stop_tag=ITEM_DELIM_TAG)
+                binary_vr, explicit, vrs, stop_tag=ITEM_DELIM_TAG, bo=bo)
         else:
             if ibody + ilen > len(data):
                 raise ValueError(f"item in SQ {tag} overruns the sequence")
             _parse_dataset(data, ibody, ibody + ilen, keywords, item_prefix,
-                           spans, media, binary_vr, explicit, vrs)
+                           spans, media, binary_vr, explicit, vrs, bo=bo)
             pos = ibody + ilen
 
 
@@ -797,6 +850,7 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
             syntax = s["text"].split("=", 1)[1]
             break
     explicit = _syntax_explicit(syntax)
+    bo = ">" if syntax == TRANSFER_SYNTAX_EXPLICIT_BE else "<"
     if syntax == TRANSFER_SYNTAX_DEFLATED_LE:
         # PS3.10 §A.5: everything after the meta group is ONE deflate
         # stream of an Explicit VR LE dataset — inflate, then parse as
@@ -807,7 +861,7 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
     else:
         _parse_dataset(data, pos + meta_len, None, keywords, "", spans, media,
                        binary_vr, explicit=explicit,
-                       vrs=None if explicit else vr_map())
+                       vrs=None if explicit else vr_map(), bo=bo)
     if include_meta:
         spans = meta_spans + spans
     for i, s in enumerate(spans):
@@ -823,6 +877,11 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
                 "00280011": "width", "00280100": "bits"}
         for s in spans:
             leaf = s["text"].split("=", 1)[0]
+            if "." in leaf:
+                # nested SQ item cell (e.g. a referenced image's Rows) —
+                # only ROOT-level pixel-module elements describe PixelData,
+                # exactly like pydicom's ds.Rows attribute lookup
+                continue
             tag = leaf.rsplit("_0x", 1)[-1][:8] if "_0x" in leaf else ""
             if tag in fold:
                 try:
@@ -848,7 +907,12 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
                             * (2 if payload["bits"] > 8 else 1))
             payload["pixels"] = _rle_decode_frame(frames[0], expected)
         else:
-            payload["pixels"] = media[0]["pixels"]
+            pix = media[0]["pixels"]
+            if media[0].get("bo") == ">":
+                # LE storage is the canonical payload form: swap OW words
+                # so a BE file yields the same payload as its LE twin
+                pix = _byteswap(pix, _WORD_WIDTHS.get(media[0]["vr"], 1))
+            payload["pixels"] = pix
     return {"spans": spans, "media": payload}
 
 

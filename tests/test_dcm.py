@@ -353,10 +353,11 @@ def test_parse_implicit_vr_with_undefined_lengths():
 
 
 def test_parse_rejects_unreadable_syntaxes():
-    """Big-endian / compressed syntaxes fail with a clear per-file error,
-    not a cryptic struct error."""
-    for uid in ("1.2.840.10008.1.2.2",        # Explicit VR Big Endian
-                "1.2.840.10008.1.2.4.70"):    # JPEG Lossless (encapsulated)
+    """JPEG-encapsulated syntaxes fail with a clear per-file error, not a
+    cryptic struct error.  (Explicit VR Big Endian moved out of this list
+    in r5 — it parses natively, tests/test_dcm_bigendian.py.)"""
+    for uid in ("1.2.840.10008.1.2.4.70",     # JPEG Lossless (encapsulated)
+                "1.2.840.10008.1.2.4.50"):    # JPEG Baseline
         with pytest.raises(ValueError, match="unsupported transfer syntax"):
             parse_part10(_implicit_stream(uid))
 

@@ -64,6 +64,7 @@ STREAMS = {
     "explicit": _stream("1.2.840.10008.1.2.1"),
     "implicit": _stream("1.2.840.10008.1.2"),
     "deflated": _stream("1.2.840.10008.1.2.1.99"),
+    "bigendian": _stream("1.2.840.10008.1.2.2"),
     "rle": _rle_stream(),
 }
 
