@@ -72,6 +72,7 @@ from pyspark.sql.types import (
 )
 
 from deidcm_spark.config import load_general_rules
+from deidcm_spark.jpegll import decode_jpegll, encode_jpegll
 
 # PS3.5 §7.1.2 — VRs whose element header uses the 12-byte long form
 LONG_VRS = {"OB", "OW", "OF", "OD", "OL", "OV", "SQ", "UC", "UR", "UT", "UN",
@@ -102,6 +103,14 @@ TRANSFER_SYNTAX_EXPLICIT_BE = "1.2.840.10008.1.2.2"
 # each frame a 64-byte segment-offset header + PackBits byte segments
 # (Composite Pixel Code stripped into per-byte planes, MSB segment first).
 TRANSFER_SYNTAX_RLE = "1.2.840.10008.1.2.5"
+# ITU-T T.81 process 14 — JPEG Lossless, Non-Hierarchical: the dataset is
+# ordinary Explicit VR LE; PixelData is ENCAPSULATED like RLE, each frame
+# one lossless-JPEG stream (codec: deidcm_spark/jpegll.py, implemented
+# from the public standard).  `.70` is first-order prediction (SV1, what
+# archives write); `.57` allows any selection value 1-7 — the decoder
+# handles all seven, the writer emits SV1.
+TRANSFER_SYNTAX_JPEG_LL_SV1 = "1.2.840.10008.1.2.4.70"
+TRANSFER_SYNTAX_JPEG_LL = "1.2.840.10008.1.2.4.57"
 SECONDARY_CAPTURE_SOP_CLASS = "1.2.840.10008.5.1.4.1.1.7"
 # deterministic implementation UID under the UUID-derived root (PS3.5 §B.2)
 IMPLEMENTATION_CLASS_UID = "2.25.31415926535897932384626433832795"
@@ -407,27 +416,37 @@ def encode_part10(spans: list[dict], media_payload: dict | None = None,
     group_len = _encode_element(0x0002, 0x0000, "UL",
                                 struct.pack("<I", len(meta_body)))
     encap = b""
-    if declared == TRANSFER_SYNTAX_RLE and (0x7FE0, 0x0010) in root:
-        # PS3.5 A.4 + Annex G: pop PixelData out of the flat encoding and
-        # append it encapsulated — undefined-length OB, empty Basic Offset
-        # Table item, ONE RLE fragment (single-frame documents)
+    _ENCAP_SYNTAXES = (TRANSFER_SYNTAX_RLE, TRANSFER_SYNTAX_JPEG_LL_SV1,
+                       TRANSFER_SYNTAX_JPEG_LL)
+    if declared in _ENCAP_SYNTAXES and (0x7FE0, 0x0010) in root:
+        # PS3.5 A.4: pop PixelData out of the flat encoding and append it
+        # encapsulated — undefined-length OB, empty Basic Offset Table
+        # item, ONE compressed fragment (single-frame documents).  Frame
+        # codec: Annex G PackBits for RLE, T.81 process-14 SV1 for the
+        # JPEG-lossless UIDs (jpegll.py).
         _, b64 = root.pop((0x7FE0, 0x0010))
         raw = base64.b64decode(b64)
+        what_ts = "RLE" if declared == TRANSFER_SYNTAX_RLE else "JPEG-LL"
 
         def _int_cell(tag: tuple[int, int], what: str) -> int:
             cell = root.get(tag)
             if cell is None:
-                raise ValueError(f"RLE write needs {what} (tag {tag})")
+                raise ValueError(f"{what_ts} write needs {what} (tag {tag})")
             try:
                 return int(float(cell[1]))
             except ValueError:
                 raise ValueError(
-                    f"RLE write: {what} cell {cell[1]!r} is not numeric "
-                    f"(text-mode corpora cannot re-encode RLE)") from None
+                    f"{what_ts} write: {what} cell {cell[1]!r} is not "
+                    f"numeric (text-mode corpora cannot re-encode)") from None
 
         bits = _int_cell((0x0028, 0x0100), "BitsAllocated")
         samples = _int_cell((0x0028, 0x0002), "SamplesPerPixel")
-        frame = _rle_encode_frame(raw, (2 if bits > 8 else 1) * samples)
+        if declared == TRANSFER_SYNTAX_RLE:
+            frame = _rle_encode_frame(raw, (2 if bits > 8 else 1) * samples)
+        else:
+            frame = encode_jpegll(
+                raw, _int_cell((0x0028, 0x0011), "Columns"),
+                _int_cell((0x0028, 0x0010), "Rows"), samples, bits)
         if len(frame) % 2:
             frame += b"\x00"  # item bodies must be even-length
         encap = (
@@ -486,16 +505,19 @@ def _syntax_explicit(uid: str) -> bool:
     JPEG-encapsulated → error, everything else → implicit (the
     reference's default branch — pydicom then writes implicit LE)."""
     if uid in (TRANSFER_SYNTAX_EXPLICIT_LE, TRANSFER_SYNTAX_DEFLATED_LE,
-               TRANSFER_SYNTAX_RLE, TRANSFER_SYNTAX_EXPLICIT_BE):
+               TRANSFER_SYNTAX_RLE, TRANSFER_SYNTAX_EXPLICIT_BE,
+               TRANSFER_SYNTAX_JPEG_LL_SV1, TRANSFER_SYNTAX_JPEG_LL):
         return True
     if any(uid.startswith(p) for p in _UNREADABLE_SYNTAX_PREFIXES):
         raise ValueError(
-            f"unsupported transfer syntax {uid!r} — only the native "
-            f"syntaxes (explicit-LE {TRANSFER_SYNTAX_EXPLICIT_LE}"
+            f"unsupported transfer syntax {uid!r} — only the "
+            f"syntaxes explicit-LE {TRANSFER_SYNTAX_EXPLICIT_LE}"
             f", deflated {TRANSFER_SYNTAX_DEFLATED_LE}"
             f", RLE {TRANSFER_SYNTAX_RLE}"
+            f", JPEG lossless {TRANSFER_SYNTAX_JPEG_LL}/"
+            f"{TRANSFER_SYNTAX_JPEG_LL_SV1}"
             f", explicit-BE {TRANSFER_SYNTAX_EXPLICIT_BE}"
-            f", implicit-or-default {TRANSFER_SYNTAX_IMPLICIT_LE}) are handled")
+            f", implicit-or-default {TRANSFER_SYNTAX_IMPLICIT_LE} are handled")
     return False
 
 
@@ -889,23 +911,40 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
                 except ValueError:
                     pass  # opaque-string cell (text mode): dims unknown
         if "fragments" in media[0]:
-            if syntax != TRANSFER_SYNTAX_RLE:
+            if syntax not in (TRANSFER_SYNTAX_RLE,
+                              TRANSFER_SYNTAX_JPEG_LL_SV1,
+                              TRANSFER_SYNTAX_JPEG_LL):
                 raise ValueError(
                     f"encapsulated PixelData under transfer syntax "
                     f"{syntax!r} is not supported — only RLE Lossless "
-                    f"({TRANSFER_SYNTAX_RLE}) decodes here")
+                    f"({TRANSFER_SYNTAX_RLE}) and JPEG Lossless "
+                    f"({TRANSFER_SYNTAX_JPEG_LL}/"
+                    f"{TRANSFER_SYNTAX_JPEG_LL_SV1}) decode here")
             frames = media[0]["fragments"][1:]  # fragment 0 = offset table
             if len(frames) != 1:
                 raise ValueError(
-                    f"RLE PixelData with {len(frames)} frames — only "
-                    f"single-frame documents are handled")
-            expected = None
-            if all(payload[k] is not None
-                   for k in ("width", "height", "channels", "bits")):
-                expected = (payload["width"] * payload["height"]
-                            * payload["channels"]
-                            * (2 if payload["bits"] > 8 else 1))
-            payload["pixels"] = _rle_decode_frame(frames[0], expected)
+                    f"encapsulated PixelData with {len(frames)} frames — "
+                    f"only single-frame documents are handled")
+            if syntax == TRANSFER_SYNTAX_RLE:
+                expected = None
+                if all(payload[k] is not None
+                       for k in ("width", "height", "channels", "bits")):
+                    expected = (payload["width"] * payload["height"]
+                                * payload["channels"]
+                                * (2 if payload["bits"] > 8 else 1))
+                payload["pixels"] = _rle_decode_frame(frames[0], expected)
+            else:
+                # (a trailing even-pad byte after EOI is ignored by the
+                # decoder — it stops at the EOI marker)
+                decoded = decode_jpegll(frames[0])
+                for k, dk in (("width", "width"), ("height", "height"),
+                              ("channels", "channels"), ("bits", "bits")):
+                    if payload[k] is not None and payload[k] != decoded[dk]:
+                        raise ValueError(
+                            f"JPEG-LL frame {dk}={decoded[dk]} contradicts "
+                            f"the pixel module's {k}={payload[k]}")
+                    payload[k] = decoded[dk]
+                payload["pixels"] = decoded["pixels"]
         else:
             pix = media[0]["pixels"]
             if media[0].get("bo") == ">":

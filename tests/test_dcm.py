@@ -353,11 +353,13 @@ def test_parse_implicit_vr_with_undefined_lengths():
 
 
 def test_parse_rejects_unreadable_syntaxes():
-    """JPEG-encapsulated syntaxes fail with a clear per-file error, not a
-    cryptic struct error.  (Explicit VR Big Endian moved out of this list
-    in r5 — it parses natively, tests/test_dcm_bigendian.py.)"""
-    for uid in ("1.2.840.10008.1.2.4.70",     # JPEG Lossless (encapsulated)
-                "1.2.840.10008.1.2.4.50"):    # JPEG Baseline
+    """Lossy/unsupported JPEG-encapsulated syntaxes fail with a clear
+    per-file error, not a cryptic struct error.  (Explicit VR Big Endian
+    and JPEG Lossless process 14 moved out of this list in r5 — they parse
+    natively, tests/test_dcm_bigendian.py + tests/test_jpegll.py.)"""
+    for uid in ("1.2.840.10008.1.2.4.50",     # JPEG Baseline (lossy)
+                "1.2.840.10008.1.2.4.80",     # JPEG-LS
+                "1.2.840.10008.1.2.4.90"):    # JPEG 2000
         with pytest.raises(ValueError, match="unsupported transfer syntax"):
             parse_part10(_implicit_stream(uid))
 

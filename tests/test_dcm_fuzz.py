@@ -47,13 +47,29 @@ def _stream(ts_uid: str) -> bytes:
     return encode_part10(spans)
 
 
-def _rle_stream() -> bytes:
-    """Golden RLE Lossless stream: text spans + one encapsulated frame, so
-    the sweep hammers the item-framing walk and the PackBits decoder."""
+def _encap_stream(ts_uid: str) -> bytes:
+    """Golden encapsulated-PixelData stream (RLE or JPEG-LL): text spans +
+    one encapsulated frame, so the sweep hammers the item-framing walk and
+    the frame codec (PackBits / T.81 entropy decode)."""
     spans = [{"kind": "text",
-              "text": "TransferSyntaxUID_0x00020010_UI_1____=1.2.840.10008.1.2.5",
-              "media_ref": "", "offset": 0}] + _BASE_SPANS + [
+              "text": f"TransferSyntaxUID_0x00020010_UI_1____={ts_uid}",
+              "media_ref": "", "offset": 0}] + [
+        {"kind": "text", "text": "SamplesPerPixel_0x00280002_US_1____=1",
+         "media_ref": "", "offset": 1},
+        {"kind": "text", "text": "Columns_0x00280011_US_1____=16",
+         "media_ref": "", "offset": 2},
+    ] + _BASE_SPANS + [
         {"kind": "media", "text": "", "media_ref": "m/0", "offset": 9},
+    ]
+    # NOTE: _BASE_SPANS carries a root-level Rows=123; the pixel module
+    # must stay consistent for the JPEG-LL dims cross-check, so override
+    # it (the SQ's NESTED Rows stays — root-only dims folding is itself
+    # under test here)
+    spans = [s for s in spans if not s["text"].startswith("Rows_")] + [
+        {"kind": "text", "text": "Rows_0x00280010_US_1____=8",
+         "media_ref": "", "offset": 10},
+        {"kind": "text", "text": "BitsAllocated_0x00280100_US_1____=8",
+         "media_ref": "", "offset": 11},
     ]
     pixels = bytes([7] * 40 + list(range(48)) + [9] * 40)
     return encode_part10(spans, {"width": 16, "height": 8, "channels": 1,
@@ -65,7 +81,8 @@ STREAMS = {
     "implicit": _stream("1.2.840.10008.1.2"),
     "deflated": _stream("1.2.840.10008.1.2.1.99"),
     "bigendian": _stream("1.2.840.10008.1.2.2"),
-    "rle": _rle_stream(),
+    "rle": _encap_stream("1.2.840.10008.1.2.5"),
+    "jpegll": _encap_stream("1.2.840.10008.1.2.4.70"),
 }
 
 
