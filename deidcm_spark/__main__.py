@@ -973,7 +973,8 @@ def cmd_export(args) -> dict:
         payloads = (
             spark.read.parquet(args.media) if args.media else None
         )
-        export_dcm(docs, args.output, payloads, binary_vr=args.binary_vr)
+        export_dcm(docs, args.output, payloads, binary_vr=args.binary_vr,
+                   transfer_syntax=args.transfer_syntax)
     elif args.format == "png":
         # real .png sink (dicom2png.py:77-80 parity, pure-Python codec);
         # input here is the 6-column media-payload table, not spans
@@ -1294,6 +1295,11 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--binary-vr", default="strict", choices=["strict", "text"],
                    help="US/UL/... cells: strict binary (standard) or "
                         "opaque-text (synthetic corpora)")
+    x.add_argument("--transfer-syntax", default=None,
+                   help="transcode every document to this syntax UID on "
+                        "export (overrides each doc's declared 0002,0010); "
+                        "e.g. 1.2.840.10008.1.2.1 to normalize a mixed "
+                        "RLE/JPEG-LL/BE archive to Explicit VR LE")
     x.set_defaults(fn=cmd_export)
     return p
 

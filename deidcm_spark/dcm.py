@@ -360,12 +360,18 @@ def _encode_dataset(node: dict, binary_vr: str = "strict",
 
 
 def encode_part10(spans: list[dict], media_payload: dict | None = None,
-                  binary_vr: str = "strict") -> bytes:
+                  binary_vr: str = "strict",
+                  transfer_syntax: str | None = None) -> bytes:
     """Span list (one document) → Part-10 ``.dcm`` byte stream.
 
     ``media_payload``: ``{width, height, channels, bits, pixels}`` for the
     document's media span (the out-of-row payload behind ``media_ref``);
     required when the document carries a media span.
+
+    ``transfer_syntax``: override the document's declared (0002,0010) —
+    the TRANSCODE path (pydicom equivalent: rewrite ``file_meta`` before
+    ``save_as``).  The parse→encode round-trip re-encodes under the new
+    syntax because span values are syntax-canonical.
     """
     root, media_refs = _build_dataset(spans)
     if media_refs:
@@ -397,6 +403,8 @@ def encode_part10(spans: list[dict], media_payload: dict | None = None,
     meta.setdefault((0x0002, 0x0001), ("OB", base64.b64encode(b"\x00\x01").decode()))
     meta.setdefault((0x0002, 0x0002), ("UI", sop_class))
     meta.setdefault((0x0002, 0x0003), ("UI", sop_inst))
+    if transfer_syntax is not None:
+        meta[(0x0002, 0x0010)] = ("UI", transfer_syntax)  # transcode
     meta.setdefault((0x0002, 0x0010), ("UI", TRANSFER_SYNTAX_EXPLICIT_LE))
     meta.setdefault((0x0002, 0x0012), ("UI", IMPLEMENTATION_CLASS_UID))
     meta.setdefault((0x0002, 0x0013), ("SH", IMPLEMENTATION_VERSION))
@@ -987,12 +995,15 @@ def _attach_payloads(docs: DataFrame, payloads: DataFrame) -> DataFrame:
 
 
 def render_dcm(docs: DataFrame, payloads: DataFrame | None = None,
-               binary_vr: str = "strict") -> DataFrame:
+               binary_vr: str = "strict",
+               transfer_syntax: str | None = None) -> DataFrame:
     """(doc_id, spans[, payload]) → (doc_id, dcm bytes, n_bytes).
 
     The distributed form of df2dicom's per-row ``save_as`` loop
     (df2dicom.py:51-88): encode executor-side in mapInPandas, emit a binary
-    column any DataFrame sink can write."""
+    column any DataFrame sink can write.  ``transfer_syntax`` transcodes
+    every document to the given syntax regardless of its declared
+    (0002,0010) — the distributed corpus-transcode job."""
     src = _attach_payloads(docs, payloads) if payloads is not None else (
         docs.withColumn("payload", F.lit(None).cast(
             "struct<width:int,height:int,channels:int,bits:int,pixels:binary>"))
@@ -1010,7 +1021,8 @@ def render_dcm(docs: DataFrame, payloads: DataFrame | None = None,
                     mp = dict(zip(_PAYLOAD_COLS, payload))
                 else:
                     mp = dict(payload)
-                blob = encode_part10(list(spans), mp, binary_vr)
+                blob = encode_part10(list(spans), mp, binary_vr,
+                                     transfer_syntax)
                 rows.append({"doc_id": doc_id, "dcm": blob,
                              "n_bytes": len(blob)})
             yield pd.DataFrame(rows, columns=["doc_id", "dcm", "n_bytes"])
@@ -1021,14 +1033,16 @@ def render_dcm(docs: DataFrame, payloads: DataFrame | None = None,
 
 def export_dcm(docs: DataFrame, out_dir: str,
                payloads: DataFrame | None = None,
-               binary_vr: str = "strict") -> None:
+               binary_vr: str = "strict",
+               transfer_syntax: str | None = None) -> None:
     """Write one ``{doc_id}.dcm`` file per document, executor-side
     (foreachPartition — no driver collect; on a cluster ``out_dir`` is the
-    shared filesystem, exactly how df2dicom writes its outdir)."""
+    shared filesystem, exactly how df2dicom writes its outdir).
+    ``transfer_syntax`` transcodes the whole corpus on the way out."""
     import os
     from urllib.parse import quote
 
-    rendered = render_dcm(docs, payloads, binary_vr)
+    rendered = render_dcm(docs, payloads, binary_vr, transfer_syntax)
 
     def write_partition(rows) -> None:
         os.makedirs(out_dir, exist_ok=True)

@@ -100,3 +100,42 @@ def test_every_syntax_ingests_identically(spark, tmp_path):
             if "_0x00020010_" in s["text"]:
                 uids.add(s["text"].split("=", 1)[1])
     assert uids == set(SYNTAXES)
+
+
+def test_transcode_on_export(spark, tmp_path):
+    """The distributed transcode job: ingest a MIXED-syntax archive, export
+    with ``transfer_syntax=`` override → every output file is Explicit VR
+    LE with identical dataset spans and pixels (pydicom equivalent:
+    rewriting ``file_meta.TransferSyntaxUID`` before ``save_as``)."""
+    from deidcm_spark.dcm import export_dcm, parse_part10
+    from deidcm_spark.sources import (
+        documents_view,
+        payloads_view,
+        read_dcm_documents,
+    )
+
+    src_dir = tmp_path / "mixed"
+    src_dir.mkdir()
+    for i, ts in enumerate(SYNTAXES):
+        spans, payload = _doc(ts)
+        (src_dir / f"doc_{i}.dcm").write_bytes(encode_part10(spans, payload))
+
+    flat = read_dcm_documents(spark, str(src_dir))
+    out_dir = str(tmp_path / "transcoded")
+    export_dcm(documents_view(flat), out_dir, payloads_view(flat),
+               transfer_syntax=TRANSFER_SYNTAX_EXPLICIT_LE)
+
+    import os
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == len(SYNTAXES)
+    _, expected_payload = _doc(TRANSFER_SYNTAX_EXPLICIT_LE)
+    for name in files:
+        blob = (tmp_path / "transcoded" / name).read_bytes()
+        out = parse_part10(blob, include_meta=True)
+        texts = {s["text"] for s in out["spans"]}
+        assert (f"TransferSyntaxUID_0x00020010_UI_1____="
+                f"{TRANSFER_SYNTAX_EXPLICIT_LE}") in texts, name
+        assert "PatientName_0x00100010_PN_1____=DOE^JANE" in texts
+        assert out["media"]["pixels"] == expected_payload["pixels"], name
+        # natively encoded now: the LE pixel words appear verbatim
+        assert expected_payload["pixels"] in blob, name
