@@ -27,6 +27,14 @@ Payload convention matches the rest of the media pipeline: samples are
 little-endian storage order, interleaved channels, bits>8 → 2 bytes per
 sample.
 
+Scale note: entropy decode is inherently serial per frame (~1M samples/s
+in CPython), so JPEG-LL ingest costs seconds per large mammogram — paid
+ONCE per file, executor-parallel across the corpus.  At 100-TB scale the
+pattern is: ingest (decode) once, keep payloads out-of-row in parquet,
+and/or normalize the archive with the distributed transcode job
+(``export --format dcm --transfer-syntax 1.2.840.10008.1.2.1``) so
+every later pass reads native-syntax bytes.
+
 Reference parity: deidcm relies on pydicom + its handlers for these
 syntaxes (deidcm/dicom/df2dicom.py:162-183 maps TransferSyntaxUID
 generally); this module is an original implementation from the standard.
