@@ -80,7 +80,11 @@ LONG_VRS = {"OB", "OW", "OF", "OD", "OL", "OV", "SQ", "UC", "UR", "UT", "UN",
 # PS3.5 §6.2 — fixed-width binary VRs (little-endian struct codes)
 BINARY_VRS = {"US": "<H", "UL": "<I", "SS": "<h", "SL": "<i",
               "FL": "<f", "FD": "<d", "SV": "<q", "UV": "<Q"}
-BYTES_VRS = {"OB", "OW", "OF", "OD", "OL", "OV", "UN"}  # raw payload (b64 in spans)
+# raw payload (b64 in spans); AT is a (group,element) uint16 pair — binary
+# and endian-sensitive (PS3.5 §7.3), so it rides the same b64+byteswap path
+# as OW rather than the text path (which would strip pad bytes, split on
+# 0x5C, and miss the BE swap)
+BYTES_VRS = {"OB", "OW", "OF", "OD", "OL", "OV", "UN", "AT"}
 NUL_PAD_VRS = {"UI"}  # text VRs padded with NUL instead of space
 
 TRANSFER_SYNTAX_EXPLICIT_LE = "1.2.840.10008.1.2.1"
@@ -173,7 +177,7 @@ def _tag_str(group: int, elem: int) -> str:
 
 # word width of the "other" VRs whose payload is endian-sensitive (PS3.5
 # §7.3: OW/OF/OD/OL/OV swap under Big Endian; OB/UN are plain bytes)
-_WORD_WIDTHS = {"OW": 2, "OF": 4, "OL": 4, "OD": 8, "OV": 8}
+_WORD_WIDTHS = {"OW": 2, "OF": 4, "OL": 4, "OD": 8, "OV": 8, "AT": 2}
 
 
 def _byteswap(raw: bytes, width: int) -> bytes:
@@ -583,12 +587,18 @@ def _packbits_encode(seg: bytes) -> bytes:
     return bytes(out)
 
 
-def _packbits_decode(data: bytes) -> bytes:
+def _packbits_decode(data: bytes, expected_len: int | None = None) -> bytes:
     """Inverse of :func:`_packbits_encode`; bounds-checked (fuzz contract:
-    malformed input is a ValueError, never an overrun)."""
+    malformed input is a ValueError, never an overrun).
+
+    PS3.5 G.3.1 pads odd-length segments "with zero" — real writers
+    (pydicom included) append 0x00, which is NOT a noop control byte, so
+    decoding must stop once ``expected_len`` output bytes exist rather
+    than interpret the pad as a 1-byte literal header.  Without an
+    expected length, a single trailing 0x00 is still accepted as pad."""
     out = bytearray()
     i, n = 0, len(data)
-    while i < n:
+    while i < n and (expected_len is None or len(out) < expected_len):
         b = data[i]
         i += 1
         if b == 128:  # noop per the spec
@@ -596,6 +606,8 @@ def _packbits_decode(data: bytes) -> bytes:
         if b < 128:
             end = i + b + 1
             if end > n:
+                if b == 0 and i == n:
+                    break  # the G.3.1 even-length zero pad byte
                 raise ValueError("RLE literal run overruns the segment")
             out.extend(data[i:end])
             i = end
@@ -654,8 +666,11 @@ def _rle_decode_frame(frame: bytes, expected_len: int | None = None) -> bytes:
     for a, b in zip(bounds, bounds[1:]):
         if b < a:
             raise ValueError("RLE segment offsets not ascending")
+    plane_expect = (expected_len // n_segments
+                    if expected_len is not None and
+                    expected_len % n_segments == 0 else None)
     planes = [
-        _packbits_decode(frame[bounds[j]:bounds[j + 1]])
+        _packbits_decode(frame[bounds[j]:bounds[j + 1]], plane_expect)
         for j in range(n_segments)
     ]
     plane_len = len(planes[0])
@@ -905,6 +920,12 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
                    "bits": None, "pixels": None}
         fold = {"00280002": "channels", "00280010": "height",
                 "00280011": "width", "00280100": "bits"}
+        # side channel (not payload columns): BitsStored drives the
+        # JPEG-LL precision cross-check (real 12-bit files declare
+        # BitsAllocated=16 / BitsStored=12), NumberOfFrames gates the
+        # single-frame contract for multi-fragment streams
+        side_fold = {"00280101": "bits_stored", "00280008": "n_frames"}
+        side: dict[str, int] = {}
         for s in spans:
             leaf = s["text"].split("=", 1)[0]
             if "." in leaf:
@@ -918,6 +939,11 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
                     payload[fold[tag]] = int(float(s["text"].split("=", 1)[1]))
                 except ValueError:
                     pass  # opaque-string cell (text mode): dims unknown
+            elif tag in side_fold:
+                try:
+                    side[side_fold[tag]] = int(float(s["text"].split("=", 1)[1]))
+                except ValueError:
+                    pass
         if "fragments" in media[0]:
             if syntax not in (TRANSFER_SYNTAX_RLE,
                               TRANSFER_SYNTAX_JPEG_LL_SV1,
@@ -928,30 +954,59 @@ def parse_part10(data: bytes, keywords: dict[str, str] | None = None,
                     f"({TRANSFER_SYNTAX_RLE}) and JPEG Lossless "
                     f"({TRANSFER_SYNTAX_JPEG_LL}/"
                     f"{TRANSFER_SYNTAX_JPEG_LL_SV1}) decode here")
-            frames = media[0]["fragments"][1:]  # fragment 0 = offset table
-            if len(frames) != 1:
+            frags = media[0]["fragments"][1:]  # fragment 0 = offset table
+            if side.get("n_frames", 1) != 1:
                 raise ValueError(
-                    f"encapsulated PixelData with {len(frames)} frames — "
-                    f"only single-frame documents are handled")
+                    f"encapsulated PixelData with NumberOfFrames="
+                    f"{side['n_frames']} — only single-frame documents "
+                    f"are handled")
             if syntax == TRANSFER_SYNTAX_RLE:
+                # RLE: one and only one fragment per frame (PS3.5 G.1)
+                if len(frags) != 1:
+                    raise ValueError(
+                        f"RLE PixelData with {len(frags)} fragments — one "
+                        f"fragment per frame, so only single-frame "
+                        f"documents are handled")
                 expected = None
                 if all(payload[k] is not None
                        for k in ("width", "height", "channels", "bits")):
                     expected = (payload["width"] * payload["height"]
                                 * payload["channels"]
                                 * (2 if payload["bits"] > 8 else 1))
-                payload["pixels"] = _rle_decode_frame(frames[0], expected)
+                payload["pixels"] = _rle_decode_frame(frags[0], expected)
             else:
+                # JPEG family: one frame MAY span several fragments
+                # (PS3.5 A.4) — concatenate; NumberOfFrames above already
+                # pinned the single-frame contract.
                 # (a trailing even-pad byte after EOI is ignored by the
                 # decoder — it stops at the EOI marker)
-                decoded = decode_jpegll(frames[0])
+                if not frags:
+                    raise ValueError(
+                        "encapsulated PixelData has no pixel fragments")
+                decoded = decode_jpegll(b"".join(frags))
+                # the frame's sample precision is authoritative for payload
+                # bits; the pixel module cross-check compares it against
+                # BitsStored (the real-world 12-in-16 shape) when present,
+                # else BitsAllocated
                 for k, dk in (("width", "width"), ("height", "height"),
-                              ("channels", "channels"), ("bits", "bits")):
+                              ("channels", "channels")):
                     if payload[k] is not None and payload[k] != decoded[dk]:
                         raise ValueError(
                             f"JPEG-LL frame {dk}={decoded[dk]} contradicts "
                             f"the pixel module's {k}={payload[k]}")
                     payload[k] = decoded[dk]
+                declared = side.get("bits_stored", payload["bits"])
+                if declared is not None and declared != decoded["bits"]:
+                    raise ValueError(
+                        f"JPEG-LL frame precision={decoded['bits']} "
+                        f"contradicts the pixel module's declared "
+                        f"bits={declared}")
+                if payload["bits"] is not None and \
+                        decoded["bits"] > payload["bits"]:
+                    raise ValueError(
+                        f"JPEG-LL frame precision={decoded['bits']} exceeds "
+                        f"BitsAllocated={payload['bits']}")
+                payload["bits"] = decoded["bits"]
                 payload["pixels"] = decoded["pixels"]
         else:
             pix = media[0]["pixels"]

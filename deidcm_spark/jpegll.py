@@ -102,6 +102,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # stuffing
+        # trim emitted bits: acc must stay <8 bits or every later shift
+        # copies an ever-growing bignum (quadratic in image size)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -145,7 +148,11 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        b = (self.acc >> self.nbits) & 1
+        # drop the consumed bit: without this acc grows without bound and
+        # each shift is O(bits consumed so far) — quadratic decode
+        self.acc &= (1 << self.nbits) - 1
+        return b
 
     def bits(self, n: int) -> int:
         v = 0
@@ -365,12 +372,19 @@ def decode_jpegll(data: bytes) -> dict:
                 if at + 17 > len(seg):
                     raise ValueError("JPEG-LL: DHT truncated")
                 tc_th = seg[at]
+                tc, th = tc_th >> 4, tc_th & 0x0F
+                if tc > 1:
+                    raise ValueError(f"JPEG-LL: DHT table class {tc} invalid")
                 bits_arr = list(seg[at + 1:at + 17])
                 n = sum(bits_arr)
                 if at + 17 + n > len(seg):
                     raise ValueError("JPEG-LL: DHT values truncated")
                 huffval = list(seg[at + 17:at + 17 + n])
-                tables[tc_th & 0x0F] = _HuffDecoder(bits_arr, huffval)
+                # lossless scans use DC-class (Tc=0) tables only; an
+                # AC-class table with the same id is legal to define but
+                # must NOT shadow the DC one (T.81 B.2.4.2 keys by Tc+Th)
+                if tc == 0:
+                    tables[th] = _HuffDecoder(bits_arr, huffval)
                 at += 17 + n
         elif marker == _DRI:
             if len(seg) != 2:
@@ -449,6 +463,12 @@ def decode_jpegll(data: bytes) -> dict:
         raise ValueError("JPEG-LL: EOI missing after entropy data") from None
     if m != _EOI:
         raise ValueError(f"JPEG-LL: expected EOI, found marker 0x{m:02x}")
+    # after EOI only even-length zero padding may follow — anything else
+    # (e.g. a second concatenated frame) must fail loudly, not vanish
+    if any(data[r.pos:]):
+        raise ValueError(
+            f"JPEG-LL: {len(data) - r.pos} trailing bytes after EOI "
+            f"(multi-frame streams are not handled)")
 
     shift = pt
     step = 2 if precision > 8 else 1

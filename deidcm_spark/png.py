@@ -161,7 +161,9 @@ def render_png(payloads: DataFrame) -> DataFrame:
                 pdf["media_ref"], pdf["width"], pdf["height"],
                 pdf["channels"], pdf["bits"], pdf["pixels"],
             ):
-                dtype = np.uint16 if bits == 16 else np.uint8
+                # repo-wide payload convention: bits>8 → 2 bytes/sample
+                # (e.g. 12-bit JPEG-LL frames ride in uint16 storage)
+                dtype = np.uint16 if bits > 8 else np.uint8
                 arr = np.frombuffer(px, dtype=dtype)
                 shape = (h_, w_) if ch == 1 else (h_, w_, ch)
                 out.append({"media_ref": ref,

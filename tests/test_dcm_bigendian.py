@@ -207,3 +207,60 @@ def test_truncated_be_header_is_clean_error():
     stream, _ = _golden_be_stream()
     with pytest.raises(ValueError):
         parse_part10(stream[:-3])
+
+
+# ---------------------------------------------------------------------------
+# review-pass regression: AT (attribute tag) is endian-sensitive word data
+# ---------------------------------------------------------------------------
+
+def test_at_vr_canonicalizes_across_endianness():
+    """AT = (group,element) uint16 pair (PS3.5 §7.3 lists it among the
+    endian-sensitive VRs).  A BE file's AT span must equal its LE twin's,
+    and re-encoding under either endianness must reproduce the original
+    on-disk bytes — previously AT fell to the text path (no swap, pad
+    stripping, 0x5C splitting)."""
+    from deidcm_spark.dcm import _encode_value, _parse_value
+
+    at_le = struct.pack("<HH", 0x0028, 0x0010)
+    at_be = struct.pack(">HH", 0x0028, 0x0010)
+    v_le, vm = _parse_value("AT", at_le, bo="<")
+    v_be, _ = _parse_value("AT", at_be, bo=">")
+    assert v_le == v_be == base64.b64encode(at_le).decode()
+    assert vm == "1"
+    assert _encode_value("AT", v_le, bo="<") == at_le
+    assert _encode_value("AT", v_le, bo=">") == at_be
+    # VM>1 AT (two concatenated pairs) and awkward byte values: a pair
+    # containing 0x5C (backslash) and trailing 0x20 (space) — both were
+    # corrupted by the old text path
+    raw = struct.pack("<HH", 0x005C, 0x2020) + struct.pack("<HH", 0x7FE0, 0x0010)
+    enc, _ = _parse_value("AT", raw, bo="<")
+    assert _encode_value("AT", enc, bo="<") == raw
+    raw_be = struct.pack(">HH", 0x005C, 0x2020) + struct.pack(">HH", 0x7FE0, 0x0010)
+    enc_be, _ = _parse_value("AT", raw_be, bo=">")
+    assert enc_be == enc
+
+
+def test_at_vr_part10_be_le_twins_agree():
+    """Full-stream proof: a BE file holding FrameIncrementPointer
+    (0028,0009) AT parses to the same span as its LE twin, and the BE→LE
+    transcode does not corrupt the referenced tag."""
+    def stream(bo: str) -> bytes:
+        ts = (BE if bo == ">" else TRANSFER_SYNTAX_EXPLICIT_LE).encode()
+        if len(ts) % 2:
+            ts += b"\x00"
+        meta_body = (struct.pack("<HH", 2, 0x10) + b"UI"
+                     + struct.pack("<H", len(ts)) + ts)
+        meta = (struct.pack("<HH", 2, 0) + b"UL" + struct.pack("<H", 4)
+                + struct.pack("<I", len(meta_body)) + meta_body)
+        at_val = struct.pack(bo + "HH", 0x0018, 0x1063)  # -> FrameTime
+        ds = (struct.pack(bo + "HH", 0x0028, 0x0009) + b"AT"
+              + struct.pack(bo + "H", 4) + at_val)
+        return b"\x00" * 128 + b"DICM" + meta + ds
+
+    le_spans = parse_part10(stream("<"))["spans"]
+    be_spans = parse_part10(stream(">"))["spans"]
+    strip = lambda spans: [s["text"] for s in spans
+                           if "0x00280009" in s["text"]]
+    assert strip(le_spans) == strip(be_spans)
+    expected = base64.b64encode(struct.pack("<HH", 0x0018, 0x1063)).decode()
+    assert strip(le_spans) == [f"_0x00280009_AT_1____={expected}"]

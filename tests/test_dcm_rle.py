@@ -124,7 +124,7 @@ def test_parse_rle_multiframe_is_clear_error():
     extra = struct.pack("<HHI", 0xFFFE, 0xE000, 64) + struct.pack(
         "<16I", 1, 64, *([0] * 14))
     assert stream.endswith(delim)
-    with pytest.raises(ValueError, match="frames"):
+    with pytest.raises(ValueError, match="fragments"):
         parse_part10(stream[: -len(delim)] + extra + delim)
 
 
@@ -182,3 +182,27 @@ def test_jpeg_still_rejected_and_native_rejects_encapsulated():
                             b"1.2.840.10008.1.2.1\x00")
     with pytest.raises(ValueError, match="encapsulated PixelData"):
         parse_part10(native)
+
+
+# --- review-pass regressions: the spec's zero pad, fragment-count errors -----
+
+def test_packbits_decode_zero_padded_segment():
+    """PS3.5 G.3.1 pads odd segments 'with zero' — real writers (pydicom
+    included) append 0x00, which is NOT a noop control byte.  Decode must
+    stop at the expected length (or accept a single trailing 0x00 when the
+    length is unknown), not read the pad as a literal header."""
+    data = b"\x02\x10\x20\x30"  # 3-byte literal
+    assert _packbits_decode(data + b"\x00", 3) == b"\x10\x20\x30"
+    assert _packbits_decode(data + b"\x00") == b"\x10\x20\x30"
+    # a genuinely truncated literal still raises
+    with pytest.raises(ValueError, match="overruns"):
+        _packbits_decode(b"\x05ab\x00")
+
+
+def test_frame_with_zero_padded_segments_decodes():
+    pixels = bytes([9, 8, 7, 6, 5])
+    # two literal runs totaling 7 encoded bytes (odd) + the G.3.1 zero pad
+    seg = b"\x00" + pixels[:1] + b"\x03" + pixels[1:]
+    assert len(seg) % 2 == 1
+    frame = struct.pack("<16I", 1, 64, *([0] * 14)) + seg + b"\x00"
+    assert _rle_decode_frame(frame, len(pixels)) == pixels

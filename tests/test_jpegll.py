@@ -223,3 +223,154 @@ def test_part10_text_mode_cells_fail_loudly():
     spans[3]["text"] = "Rows_0x00280010_US_1____=opaque"
     with pytest.raises(ValueError, match="not.*numeric|numeric"):
         encode_part10(spans, payload)
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions: bit-I/O boundedness, DHT table classes,
+# 12-in-16-bit frames, multi-fragment single-frame streams
+# ---------------------------------------------------------------------------
+
+def test_bit_io_acc_stays_bounded():
+    """Consumed bits must be discarded from the accumulator — an unbounded
+    acc makes every shift copy a growing bignum (quadratic codec time,
+    measured 161 s for one 512x512 frame before the fix)."""
+    from deidcm_spark.jpegll import _BitReader, _BitWriter
+
+    w = _BitWriter()
+    for i in range(4096):
+        w.put(i & 0x3FF, 10)
+        assert w.acc.bit_length() <= 8
+    data = w.flush()
+    r = _BitReader(data, 0)
+    for _ in range(4096):
+        r.bits(10)
+        assert r.acc.bit_length() <= 8
+
+
+def test_codec_time_is_linear_not_quadratic():
+    """Coarse wall-clock guard: quadrupling the sample count must not cost
+    ~16x (quadratic); allow generous noise headroom (< 10x)."""
+    import time
+
+    def roundtrip_secs(side: int) -> float:
+        pix = _pack(_gen(side * side, 65536, seed=side), 16)
+        t0 = time.perf_counter()
+        enc = encode_jpegll(pix, side, side, 1, 16)
+        decode_jpegll(enc)
+        return time.perf_counter() - t0
+
+    roundtrip_secs(32)  # warm-up
+    small, big = roundtrip_secs(64), roundtrip_secs(128)
+    assert big < small * 10, (small, big)
+
+
+def test_dht_ac_class_table_does_not_shadow_dc():
+    """T.81 B.2.4.2 keys Huffman tables by (class, id): an AC-class table
+    with the same id — legal, emitted by generic JPEG writers — must not
+    replace the DC table the lossless scan decodes with."""
+    g = _golden(b"\x58")
+    # AC-class (Tc=1) table id 0 with a REVERSED symbol order: if it
+    # shadowed the DC table the decode would produce different samples
+    dht = bytes([0x10, 1, 2] + [0] * 14 + [2, 1, 0])
+    seg = b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    at = g.index(b"\xff\xda")
+    out = decode_jpegll(g[:at] + seg + g[at:])
+    assert out["pixels"] == bytes([128, 129, 127, 127])
+
+
+def test_dht_invalid_table_class_rejected():
+    g = _golden(b"\x58")
+    dht = bytes([0x20, 1, 2] + [0] * 14 + [0, 1, 2])
+    seg = b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    at = g.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="table class"):
+        decode_jpegll(g[:at] + seg + g[at:])
+
+
+def test_trailing_data_after_eoi_rejected_pad_allowed():
+    g = _golden(b"\x58")
+    decode_jpegll(g + b"\x00")          # DICOM even-pad after EOI: fine
+    decode_jpegll(g + b"\x00\x00")
+    with pytest.raises(ValueError, match="trailing"):
+        decode_jpegll(g + g)            # a second concatenated frame
+
+
+def _part10_jll(frag: bytes, extra_us=(), frags=None) -> bytes:
+    """Hand-assembled Part-10 stream (Explicit VR LE dataset) wrapping the
+    given JPEG-LL fragment(s) — independent of encode_part10."""
+    ts = UID_SV1.encode()
+    if len(ts) % 2:
+        ts += b"\x00"
+    meta_body = (struct.pack("<HH", 2, 0x10) + b"UI"
+                 + struct.pack("<H", len(ts)) + ts)
+    meta = (struct.pack("<HH", 2, 0) + b"UL" + struct.pack("<H", 4)
+            + struct.pack("<I", len(meta_body)) + meta_body)
+
+    def us(group, elem, val):
+        return (struct.pack("<HH", group, elem) + b"US"
+                + struct.pack("<H", 2) + struct.pack("<H", val))
+
+    pieces = frags if frags is not None else [frag]
+    enc = b""
+    for p in pieces:
+        if len(p) % 2:
+            p += b"\x00"
+        enc += struct.pack("<HHI", 0xFFFE, 0xE000, len(p)) + p
+    ds = us(0x0028, 0x0002, 1) + us(0x0028, 0x0010, 2) + us(0x0028, 0x0011, 2)
+    for group, elem, val in extra_us:
+        ds += us(group, elem, val)
+    ds += (struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+           + struct.pack("<I", 0xFFFFFFFF)
+           + struct.pack("<HHI", 0xFFFE, 0xE000, 0)   # empty BOT
+           + enc
+           + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    return b"\x00" * 128 + b"DICM" + meta + ds
+
+
+def test_part10_12bit_in_16_parses():
+    """BitsAllocated=16 / BitsStored=12 / frame precision 12 — the common
+    real-world CT/MG shape.  Cross-check is against BitsStored; the frame
+    precision becomes the payload's bits."""
+    frag = _golden(b"\x58", precision=12)
+    stream = _part10_jll(frag, extra_us=[(0x0028, 0x0100, 16),
+                                         (0x0028, 0x0101, 12)])
+    out = parse_part10(stream)
+    assert out["media"]["bits"] == 12
+    assert out["media"]["pixels"] == struct.pack("<4H", 2048, 2049, 2047, 2047)
+
+
+def test_part10_bits_stored_mismatch_is_clean_error():
+    frag = _golden(b"\x58", precision=12)
+    stream = _part10_jll(frag, extra_us=[(0x0028, 0x0100, 16),
+                                         (0x0028, 0x0101, 10)])
+    with pytest.raises(ValueError, match="contradicts"):
+        parse_part10(stream)
+
+
+def test_part10_precision_exceeding_bits_allocated_rejected():
+    frag = _golden(b"\x58", precision=12)
+    stream = _part10_jll(frag, extra_us=[(0x0028, 0x0100, 8),
+                                         (0x0028, 0x0101, 12)])
+    with pytest.raises(ValueError, match="exceeds"):
+        parse_part10(stream)
+
+
+def test_part10_single_frame_spanning_two_fragments():
+    """PS3.5 A.4 allows one frame split across fragments for JPEG-family
+    syntaxes — the fragments concatenate into one stream."""
+    frag = _golden(b"\x58", precision=8)
+    extra = [(0x0028, 0x0100, 8)]
+    cut = (len(frag) // 2) & ~1  # even split point
+    whole = parse_part10(_part10_jll(frag, extra_us=extra))
+    split = parse_part10(_part10_jll(b"", extra_us=extra,
+                                     frags=[frag[:cut], frag[cut:]]))
+    assert split["media"]["pixels"] == whole["media"]["pixels"]
+    assert split["media"]["pixels"] == bytes([128, 129, 127, 127])
+
+
+def test_part10_numberofframes_gt1_is_clean_error():
+    frag = _golden(b"\x58", precision=8)
+    stream = _part10_jll(frag, extra_us=[(0x0028, 0x0008, 2),
+                                         (0x0028, 0x0100, 8)])
+    with pytest.raises(ValueError, match="NumberOfFrames=2"):
+        parse_part10(stream)

@@ -154,3 +154,23 @@ def test_render_png_stays_arrow_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # narrow: encode shuffles nothing
+
+
+def test_render_png_12bit_payload(spark):
+    """bits>8 payloads ride uint16 storage repo-wide (e.g. 12-bit JPEG-LL
+    frames); render_png must pick the 2-byte dtype for ANY bits>8, not
+    just 16 — uint8 misreads the buffer and crashes the reshape."""
+    import pandas as pd
+
+    w, h = 6, 4
+    vals = np.arange(w * h, dtype=np.uint16) * 170 % 4096  # 12-bit range
+    pdf = pd.DataFrame([{
+        "media_ref": "m/12bit", "width": w, "height": h,
+        "channels": 1, "bits": 12, "pixels": vals.tobytes(),
+    }])
+    df = spark.createDataFrame(pdf)
+    rows = render_png(df).collect()
+    assert len(rows) == 1
+    arr = decode_png(bytes(rows[0]["png"]))
+    assert arr.dtype == np.uint16 and arr.shape == (h, w)
+    assert np.array_equal(arr, vals.reshape(h, w))
