@@ -238,7 +238,7 @@ def url_canonicalize(spark, sf_dir):
     return canonicalize_url(urls).select("doc_id", "canonical_url", "host")
 
 
-_URL_PARTS_DUCK = r"'^(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$'"
+_URL_PARTS_DUCK = r"'^((?i:https?))://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$'"
 
 _URL_CANON_SQL = f"""
 WITH u AS (

@@ -41,7 +41,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from deidcm_spark.operators.dedup import _release_local_checkpoint
 
-HOST_RE = r"^https?://([^/:?#]+)"
+# scheme matching is case-insensitive (RFC 3986 §3.1: "HTTP://x" is the
+# same resource) — the scoped (?i:) group behaves identically in
+# java.util.regex, RE2 (DuckDB) and Python re, and does not shift
+# capture-group numbering
+HOST_RE = r"^(?i:https?)://([^/:?#]+)"
 # passed through F.lit (never through SQL text): both quote styles appear
 # in the class, which would terminate any SQL string literal
 HREF_RE = "href\\s*=\\s*[\"']([^\"']+)[\"']"
@@ -206,8 +210,11 @@ def anchor_texts(
 # OR-chain over the list.
 
 # ^(https?)://(authority)(path)[?query][#fragment] — identical semantics in
-# java.util.regex and Python re (shared with the pure-Python test oracle)
-URL_PARTS_RE = "^(https?)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+# java.util.regex, RE2 (the DuckDB oracle mirror) and Python re (the
+# pure-Python test oracle); the scheme matches case-insensitively (RFC
+# 3986 §3.1 — "HTTP://x" would otherwise pass through un-canonicalized
+# and evade url_dedup/domain_filter), lowercasing happens downstream
+URL_PARTS_RE = "^((?i:https?))://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
 
 # query parameters that never change page identity (case-sensitive, like
 # real tracking params); a param matches on its NAME (before '=', or the

@@ -52,6 +52,20 @@ from pyspark.sql import DataFrame, functions as F
 # ---------------------------------------------------------------------------
 
 
+# relative nudge for float rank targets: ceil(q·total) on binary doubles
+# overshoots when the product rounds UP past the true integer (0.07·100
+# computes to 7.000000000000001 — plain ceil says rank 8, the true rank is
+# 7, and the reported bucket can exclude the true quantile).  One part in
+# 1e12 is far above double rounding error at any representable corpus size
+# (2^53 ≈ 9e15 has relative ulp 1.1e-16) and far below any intentional
+# fractional rank, so ceil(x·(1-ε)) is the exact real-number rank.
+_RANK_EPS = 1e-12
+
+
+def _ceil_rank(x: float) -> int:
+    return int(math.ceil(x * (1.0 - _RANK_EPS)))
+
+
 def _check_cdf(lo: float, hi: float, m: int) -> None:
     if not lo < hi:
         raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
@@ -164,7 +178,10 @@ def cdf_quantile(
         F.min_by(
             F.struct("bucket_idx", "cnt", "_cum", "_total"),
             F.when(
-                F.col("_cum") >= F.ceil(F.lit(float(q)) * F.col("_total")),
+                F.col("_cum")
+                >= F.ceil(
+                    F.lit(float(q) * (1.0 - _RANK_EPS)) * F.col("_total")
+                ),
                 F.col("bucket_idx"),
             ),
         ).alias(f"_s{i}")
@@ -328,7 +345,7 @@ def select_top_fraction(
     n = df.filter(F.col(score_col).isNotNull()).count()
     if n == 0:
         return df.limit(0)
-    k = int(math.ceil(frac * n))
+    k = _ceil_rank(frac * n)
     return select_top_k(
         df, k, score_col=score_col, n_buckets=n_buckets,
         refine_levels=refine_levels, seed=seed,

@@ -103,48 +103,63 @@ def parse_robots_body(body: str) -> tuple[list[tuple], list[str]]:
     return rules, sitemaps
 
 
+_PARSED_SCHEMA = (
+    "host string, kind string, agent string, rule string, pattern string, "
+    "pattern_len int, regex string, sitemap string"
+)
+
+
 def parse_robots(df: DataFrame, host_col: str = "host",
                  body_col: str = "body") -> tuple[DataFrame, DataFrame]:
     """(host, body) → (rules_df, sitemaps_df).
 
-    One zero-shuffle ``mapInPandas`` over the robots bodies; the output
-    rules table carries the precompiled anchored regex and the pattern
-    length so the matcher never touches pattern text again.  An empty
-    Disallow becomes a zero-length allow rule (pattern '' matches every
-    path at precedence 0 — exactly the RFC's allow-all)."""
+    ONE zero-shuffle ``mapInPandas`` over the robots bodies emits a
+    tagged union (rules + sitemaps), and the two returned frames are
+    narrow filters of it — each body is state-machined once per consumed
+    frame (persist the parse output if both frames are consumed
+    repeatedly).  The rules table carries the precompiled anchored regex
+    and the pattern length so the matcher never touches pattern text
+    again.  An empty Disallow becomes a zero-length allow rule (pattern
+    '' matches every path at precedence 0 — exactly the RFC's
+    allow-all)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for host, body in zip(pdf[host_col], pdf[body_col]):
-                rules, _ = parse_robots_body(body or "")
+                rules, maps = parse_robots_body(body or "")
                 for agent, rule, pattern in rules:
                     eff_rule = "allow" if (rule == "disallow" and pattern == "") else rule
                     rows.append(
                         {
                             "host": host,
+                            "kind": "rule",
                             "agent": agent,
                             "rule": eff_rule,
                             "pattern": pattern,
                             "pattern_len": len(pattern),
                             "regex": pattern_to_regex(pattern),
+                            "sitemap": None,
                         }
                     )
+                rows.extend(
+                    {"host": host, "kind": "sitemap", "agent": None,
+                     "rule": None, "pattern": None, "pattern_len": None,
+                     "regex": None, "sitemap": s}
+                    for s in maps
+                )
             yield pd.DataFrame(
-                rows, columns=["host", "agent", "rule", "pattern",
-                               "pattern_len", "regex"])
+                rows, columns=["host", "kind", "agent", "rule", "pattern",
+                               "pattern_len", "regex", "sitemap"])
 
-    def run_maps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for host, body in zip(pdf[host_col], pdf[body_col]):
-                _, maps = parse_robots_body(body or "")
-                rows.extend({"host": host, "sitemap": s} for s in maps)
-            yield pd.DataFrame(rows, columns=["host", "sitemap"])
-
-    return df.mapInPandas(run, RULES_SCHEMA), df.mapInPandas(
-        run_maps, SITEMAPS_SCHEMA
+    parsed = df.mapInPandas(run, _PARSED_SCHEMA)
+    rules_df = parsed.filter(F.col("kind") == "rule").select(
+        "host", "agent", "rule", "pattern", "pattern_len", "regex"
     )
+    maps_df = parsed.filter(F.col("kind") == "sitemap").select(
+        "host", "sitemap"
+    )
+    return rules_df, maps_df
 
 
 def _applicable_groups(rules: DataFrame, agent: str) -> DataFrame:
@@ -173,6 +188,19 @@ def _applicable_groups(rules: DataFrame, agent: str) -> DataFrame:
     )
 
 
+def _norm_host(col: F.Column) -> F.Column:
+    """Fold a robots-table host to the same key ``canonicalize_url``
+    derives from a URL: lowercase, leading ``www.`` run stripped, default
+    http/https port run stripped.  Without this, rules keyed by the
+    natural fetch host (``www.Example.com``) never join the canonical URL
+    host (``example.com``) and the gate silently allows everything."""
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(col)), r"^(www\.)+", ""),
+        "(:80|:443)+$",
+        F.lit(""),
+    )
+
+
 def robots_filter(
     urls: DataFrame,
     rules: DataFrame,
@@ -182,37 +210,46 @@ def robots_filter(
 ) -> DataFrame:
     """Gate a URL stream against parsed robots rules for one crawler.
 
-    Plan: canonicalize host+path from the URL (the linkgraph codegen
-    spec), reduce the rules table to this agent's applicable group per
-    host (tiny — done once, broadcast-friendly), LEFT join URLs on host,
-    keep matching rules (``path rlike regex`` — per-row pattern, still
-    JVM-side), then ONE ``max_by`` aggregation per URL implements
-    longest-match-wins with the Allow tie-break (struct ordering:
-    (pattern_len, rule) — 'disallow' > 'allow' lexicographically, so the
-    comparison key uses ``rule = 'allow'`` as the tie bit).  URLs with
-    no matching rule (or no rules for the host) are allowed.
+    Plan: the verdict is computed per DISTINCT url string (the gate is
+    not a dedup — duplicate input rows come back with their multiplicity,
+    and the rules join never fans out full input rows): canonicalize the
+    host (the linkgraph codegen spec; the rules side's host is folded to
+    the same key by :func:`_norm_host`), extract the path+query OF THE
+    URL AS IT WILL BE FETCHED (RFC 9309 matches the literal request
+    target — the dedup-canonical form strips tracking params and re-sorts
+    queries, which would flip verdicts), reduce the rules table to this
+    agent's applicable group per host (tiny — broadcast-friendly), LEFT
+    join on host, keep matching rules (``path rlike regex`` — per-row
+    pattern, still JVM-side), then ONE ``max_by`` per URL implements
+    longest-match-wins with the Allow tie-break.  URLs with no matching
+    rule (or no rules for the host) are allowed; the per-url verdict then
+    joins back onto the input (null-safe, so NULL urls pass through
+    allowed).
 
-    ``mode='remove'`` keeps only allowed rows; ``mode='flag'`` keeps all
-    rows with an ``allowed`` boolean (curation wants drop-mass reports).
+    Output: the input columns plus ``host`` (omitted if the input already
+    carries one — the caller's values are never overwritten) and, in
+    ``mode='flag'``, ``allowed``.  ``mode='remove'`` keeps only allowed
+    rows; ``mode='flag'`` keeps all rows (curation wants drop-mass
+    reports).
     """
     if mode not in ("remove", "flag"):
         raise ValueError(f"unknown mode {mode!r}")
-    from deidcm_spark.operators.linkgraph import canonicalize_url
+    from deidcm_spark.operators.linkgraph import URL_PARTS_RE, canonicalize_url
 
-    grp = _applicable_groups(rules, agent)
-    canon = canonicalize_url(urls, url_col=url_col)
+    grp = _applicable_groups(rules.withColumn("host", _norm_host(F.col("host"))), agent)
+    dist = urls.select(F.col(url_col).alias("_rf_url")).distinct()
+    canon = canonicalize_url(dist, url_col="_rf_url")
+    raw = F.trim(F.col("_rf_url"))
+    raw_path = F.regexp_extract(raw, URL_PARTS_RE, 3)
+    raw_q = F.regexp_extract(raw, URL_PARTS_RE, 4)
     with_path = canon.withColumn(
         "_path",
-        F.when(
-            F.col("host") == "", F.lit(None)
-        ).otherwise(
-            # path+query of the canonical form — robots patterns match the
-            # full local part.  Offset from the '://' separator, NOT from
-            # instr(host): a one-char host like 't' also occurs inside
-            # 'http' and instr would find that first
-            F.expr(
-                "substring(canonical_url, "
-                "instr(canonical_url, '://') + 3 + length(host))"
+        F.when(F.col("host") == "", F.lit(None)).otherwise(
+            F.concat(
+                F.when(raw_path == "", F.lit("/")).otherwise(raw_path),
+                F.when(raw_q == "", F.lit("")).otherwise(
+                    F.concat(F.lit("?"), raw_q)
+                ),
             )
         ),
     )
@@ -221,7 +258,7 @@ def robots_filter(
         "_hit",
         F.col("regex").isNotNull() & F.expr("_path rlike regex"),
     )
-    verdict = matched.groupBy(*[F.col(c) for c in urls.columns], "host").agg(
+    verdict = matched.groupBy("_rf_url", "host").agg(
         F.coalesce(
             F.max_by(
                 F.col("rule") == "allow",
@@ -236,6 +273,11 @@ def robots_filter(
             F.lit(True),  # no matching rule → allowed
         ).alias("allowed")
     )
+    if "host" in urls.columns:
+        verdict = verdict.drop("host")
+    out = urls.join(
+        verdict, F.col(url_col).eqNullSafe(F.col("_rf_url")), "left"
+    ).drop("_rf_url").withColumn("allowed", F.coalesce("allowed", F.lit(True)))
     if mode == "flag":
-        return verdict
-    return verdict.filter("allowed").drop("allowed")
+        return out
+    return out.filter("allowed").drop("allowed")

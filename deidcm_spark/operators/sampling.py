@@ -263,7 +263,14 @@ def perplexity_score(
 
 def gumbel_key_expr(salt: str = "wsample") -> str:
     """Deterministic Gumbel noise from the doc_id hash (see ``_GUMBEL``),
-    salted so independent sampling stages decorrelate."""
+    salted so independent sampling stages decorrelate.  The salt is
+    interpolated into SQL expression text, so it must be identifier-safe
+    (the mix_corpora / stratified_sample quote-injection rule: a quote in
+    the salt would silently change the expression, not error)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9_.-]+", salt):
+        raise ValueError(f"salt must match [A-Za-z0-9_.-]+, got {salt!r}")
     u = _H32.format(v=f"concat(cast(doc_id as string), ':{salt}')")
     return f"-ln(-ln(({u} + 0.5) / 4294967296.0))"
 
@@ -396,8 +403,11 @@ def select_token_budget(
     Ties at bucket resolution resolve by the hash draw, not doc_id order,
     which is what keeps the all-scores-equal degenerate case fully
     distributed instead of one-partition.  NULL scores are never
-    selected.  Deterministic: buckets are a pure function of the score
-    distribution, the draw of ``(doc_id, seed)``.
+    selected, and neither are rows whose token count is NULL (e.g. a
+    left-join miss from ``bpe_token_count``) — an unknown cost cannot be
+    charged against the budget, and a NULL total would crash the
+    driver-side prefix walk.  Deterministic: buckets are a pure function
+    of the score distribution, the draw of ``(doc_id, seed)``.
 
     Returns the selected rows with ``n_tokens`` added (whitespace tokens,
     or ``token_col`` if given — e.g. real BPE counts from
@@ -428,7 +438,15 @@ def select_token_budget(
     # the count lives in an internal column so a token_col literally named
     # "n_tokens" survives the boundary re-count (and any pre-existing
     # n_tokens column is replaced, never duplicated, on return)
-    with_b = scored.withColumn("_bkt", bucket).withColumn("_ntok", count_expr)
+    with_b = (
+        scored.withColumn("_bkt", bucket)
+        .withColumn("_ntok", count_expr)
+        # NULL counts are unselectable (docstring rule): a bucket whose
+        # rows all have NULL counts would sum to a NULL total and crash
+        # the driver-side walk; a selected NULL would corrupt downstream
+        # budget accounting
+        .filter(F.col("_ntok").isNotNull())
+    )
 
     def _finish(d):
         drop = ["_bkt"] + (["n_tokens"] if "n_tokens" in d.columns and "_ntok" in d.columns else [])

@@ -43,6 +43,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import io
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
@@ -195,11 +196,11 @@ def decode_http_body(body: bytes, headers: dict[str, str]) -> bytes:
     if "gzip" in enc:
         try:
             body = gzip.decompress(body)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # truncated members raise EOFError, corrupt deflate inside the
+            # gzip wrapper raises zlib.error — both common in real crawls
             pass
     elif "deflate" in enc:
-        import zlib
-
         try:
             body = zlib.decompress(body)
         except zlib.error:
@@ -325,7 +326,11 @@ def warc_to_documents(warc_df: DataFrame, keep_url: bool = False) -> DataFrame:
         F.col("html").alias("text"),
         F.lit("").alias("lang"),
         F.coalesce(
-            F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1),
+            # scheme matching is case-insensitive (RFC 3986 §3.1) and hosts
+            # compare case-insensitively — without the lower(), Example.COM
+            # and example.com count as two sources in cap_per_source
+            F.lower(F.regexp_extract(
+                "url", r"(?i)^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)),
             F.lit(""),
         ).alias("source"),
     ]

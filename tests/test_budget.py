@@ -150,6 +150,23 @@ def test_budget_null_scores_excluded(spark):
     )
 
 
+def test_budget_null_token_counts_excluded(spark):
+    """Rows with NULL token counts (a left-join miss from a token-count
+    table) are unselectable: previously a bucket whose rows all had NULL
+    counts summed to a NULL total and crashed the driver walk with
+    TypeError, and a selected NULL corrupted downstream accounting."""
+    df = spark.createDataFrame(
+        [(1, 0.9, 10, "a"), (2, 0.9, None, "b"), (3, 0.1, 10, "c"),
+         # a whole score bucket of NULL counts (the crash case)
+         (4, 0.5, None, "d"), (5, 0.5, None, "e")],
+        "doc_id bigint, score double, n_toks bigint, text string",
+    )
+    out = select_token_budget(df, 1000, score_col="score",
+                              token_col="n_toks", n_buckets=B)
+    rows = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert rows == {1: 10, 3: 10}  # NULL-count rows never selected
+
+
 def test_budget_default_tokenizer_and_validation(spark, budget_df):
     out = select_token_budget(budget_df, 200, score_col="score", n_buckets=B)
     # whitespace tokenizer: every "doc N" text is 2 tokens

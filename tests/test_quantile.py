@@ -118,7 +118,10 @@ def test_cdf_quantile_brackets_true_quantile(spark):
     for q in qs:
         r = rows[q]
         assert r["total"] == len(vals)
-        target = math.ceil(q * len(vals))  # 1-based rank
+        # 1-based rank, with the impl's epsilon rule: the product is
+        # nudged down one part in 1e12 so binary-double round-up past the
+        # true integer (0.07*100 -> 7.000…001) cannot overshoot the rank
+        target = math.ceil((q * (1.0 - 1e-12)) * len(vals))
         true_val = vals[target - 1]
         # the true quantile value lies in [value_lo, value_hi)
         # (value_hi itself only when it is the clamped top bucket)
@@ -126,6 +129,20 @@ def test_cdf_quantile_brackets_true_quantile(spark):
         assert true_val < r["value_hi"] or r["bucket_idx"] == m - 1
         # rank bracketing: the bucket's cumulative range contains the target
         assert r["rank_lo"] < target <= r["rank_hi"]
+
+
+def test_cdf_quantile_float_rank_regression(spark):
+    """q=0.07 over 100 one-per-bucket values: 0.07*100 = 7.000…001 in
+    doubles, so a plain ceil targets rank 8 and reports a bucket that
+    EXCLUDES the true 0.07-quantile (rank 7)."""
+    vals = [i + 0.5 for i in range(100)]  # one value per unit bucket
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    lo, hi, m = 0.0, 100.0, 100
+    sk = cdf_build(df, "x", lo, hi, m)
+    r = cdf_quantile(sk, [0.07], lo, hi, m).collect()[0]
+    true_val = vals[7 - 1]  # rank ceil(0.07·100) = 7 → 6.5
+    assert r["bucket_idx"] == 6
+    assert r["value_lo"] <= true_val < r["value_hi"]
 
 
 def test_cdf_quantile_empty_sketch(spark):
@@ -221,6 +238,9 @@ def test_top_fraction(spark, scores_df):
     with pytest.raises(ValueError):
         select_top_fraction(scores_df, 1.5, "score")
     assert select_top_fraction(scores_df, 1.0, "score").count() == 400
+    # float-rank regression: 0.07*400 = 28.000000000000004 in doubles —
+    # a plain ceil over-selects 29 rows; the true k is 28
+    assert select_top_fraction(scores_df, 0.07, "score").count() == 28
 
 
 def test_top_k_no_global_sort_in_plan(spark, scores_df):

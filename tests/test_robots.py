@@ -198,6 +198,75 @@ def test_group_exclusivity_rfc_example(spark):
     assert got["allowed"] is False  # named group Disallow: / wins
 
 
+def test_rules_host_normalized_to_canonical_key(spark):
+    """robots.txt is fetched per natural host — a rules table keyed
+    'www.Example.com' must still gate 'http://example.com/...' (the
+    canonical URL host): without the fold the join misses and the gate
+    silently allows everything."""
+    bodies = spark.createDataFrame(
+        [("www.Example.com", "User-agent: *\nDisallow: /private/")],
+        "host string, body string",
+    )
+    rules, _ = parse_robots(bodies)
+    df = spark.createDataFrame(
+        [(1, "http://example.com/private/x"),
+         (2, "https://WWW.example.com:443/private/y"),
+         (3, "http://example.com/public")],
+        "doc_id bigint, url string",
+    )
+    got = {r["doc_id"]: r["allowed"]
+           for r in robots_filter(df, rules, "anybot", mode="flag").collect()}
+    assert got == {1: False, 2: False, 3: True}
+
+
+def test_match_is_against_url_as_fetched(spark):
+    """RFC 9309 matches the literal request target: a tracking param the
+    dedup canonicalizer strips must still hit 'Disallow: /*?ref=', and
+    param re-sorting must not create matches that the fetched URL
+    wouldn't produce."""
+    bodies = spark.createDataFrame(
+        [("h.example",
+          "User-agent: *\nDisallow: /*?ref=\nDisallow: /search?a=1&b=2")],
+        "host string, body string",
+    )
+    rules, _ = parse_robots(bodies)
+    df = spark.createDataFrame(
+        [(1, "http://h.example/page?ref=spam"),   # canon strips ref= — still disallowed
+         (2, "http://h.example/page"),
+         (3, "http://h.example/search?b=2&a=1"),  # canon re-sorts — literal URL is allowed
+         (4, "http://h.example/search?a=1&b=2")],
+        "doc_id bigint, url string",
+    )
+    got = {r["doc_id"]: r["allowed"]
+           for r in robots_filter(df, rules, "anybot", mode="flag").collect()}
+    assert got == {1: False, 2: True, 3: True, 4: False}
+
+
+def test_duplicate_rows_and_existing_host_column_preserved(spark, rules_df):
+    """The gate is not a dedup: duplicate input rows keep their
+    multiplicity, and a caller-supplied 'host' column is never
+    overwritten or duplicated."""
+    df = spark.createDataFrame(
+        [(1, "https://a.example/public", "keep-me"),
+         (1, "https://a.example/public", "keep-me"),
+         (2, "https://a.example/private/doc", "mine"),
+         (3, None, "null-url")],
+        "doc_id bigint, url string, host string",
+    )
+    out = robots_filter(df, rules_df, "anybot", mode="flag")
+    assert out.columns.count("host") == 1
+    rows = out.collect()
+    assert len(rows) == 4  # the duplicate row survives twice
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["host"], r["allowed"]))
+    assert by_doc[1] == [("keep-me", True), ("keep-me", True)]
+    assert by_doc[2] == [("mine", False)]
+    assert by_doc[3] == [("null-url", True)]  # NULL url passes through allowed
+    kept = robots_filter(df, rules_df, "anybot").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 1, 3]
+
+
 def test_sitemaps_surface(spark):
     bodies = spark.createDataFrame(
         [("a.example", ROBOTS_A), ("b.example", ROBOTS_B)],

@@ -347,6 +347,11 @@ def test_weighted_sample_contracts(spark):
     b = [r.doc_id for r in weighted_sample(big, 20).collect()]
     c = [r.doc_id for r in weighted_sample(big, 20, salt="other").collect()]
     assert a == b and set(a) != set(c)
+    # the salt is interpolated into SQL expression text — a quote must be
+    # a loud ValueError, never a parse error or a silently different
+    # expression (the mix_corpora quote-injection rule)
+    with pytest.raises(ValueError, match="salt"):
+        weighted_sample(big, 5, salt="it's")
 
 
 def test_weighted_sample_plan_is_topk(spark):

@@ -444,8 +444,14 @@ def test_heavy_hitters_leaves_no_cache_residue(spark, hh_docs):
     """The internally built CMS is localized (bounded collect), not
     persisted (r4 ADVICE: the old persist was never released and leaked
     cached blocks into the session per call)."""
+    import gc
+
+    # flush residue other tests may have left in the shared session:
+    # clearCache drops persisted frames, gc releases localCheckpoint RDDs
+    # that are only freed when their DataFrame is collected
     spark.catalog.clearCache()
-    before = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    gc.collect()
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     heavy_hitters(hh_docs, min_count=3, n=1).collect()
-    after = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(after) == len(before) == 0
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before  # heavy_hitters itself adds no cache residue

@@ -18,7 +18,7 @@ from deidcm_spark.operators.linkgraph import (
 
 # ---------- pure-Python oracle of the shared spec ----------
 
-PARTS = re.compile(r"^(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$")
+PARTS = re.compile(r"^((?i:https?))://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$")
 TRACK = re.compile(TRACKING_PARAM_RE)
 
 
@@ -55,6 +55,8 @@ URLS = [
     "https://example.com/a?z=1&a=2&m=3",
     "http://user@example.com:80/b",
     "https://example.com:8443/keep-port",
+    "HTTP://WWW.Example.com:80/up",
+    "HtTpS://example.com/mixed?b=2&a=1",
     None,
 ]
 
@@ -95,6 +97,10 @@ def test_canonicalize_specific_forms(spark, url_df):
     assert got["http://user@example.com:80/b"] == "http://example.com/b"
     # non-http passthrough (trimmed), host empty
     assert got["ftp://files.example.com/a"] == "ftp://files.example.com/a"
+    # schemes are case-insensitive (RFC 3986): an uppercase scheme must
+    # canonicalize (and so dedup / hit the blocklist), not pass through
+    assert got["HTTP://WWW.Example.com:80/up"] == "http://example.com/up"
+    assert got["HtTpS://example.com/mixed?b=2&a=1"] == "https://example.com/mixed?a=1&b=2"
 
 
 def test_canonicalize_plan_is_narrow_and_jvm_side(spark, url_df):

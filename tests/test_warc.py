@@ -176,6 +176,23 @@ def test_warc_to_documents_gates_and_source(spark, warc_dir):
     }
 
 
+def test_warc_to_documents_source_is_case_folded(spark):
+    """Hosts compare case-insensitively: 'Example.COM', 'example.com' and
+    an uppercase-scheme spelling are ONE source for cap_per_source, not
+    three (quota evasion otherwise)."""
+    rows = [
+        ("d1", "http://Example.COM/a", "<html>a</html>", 200, "text/html"),
+        ("d2", "http://example.com/b", "<html>b</html>", 200, "text/html"),
+        ("d3", "HTTP://EXAMPLE.com/c", "<html>c</html>", 200, "text/html"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, url string, html string, "
+              "http_status int, content_type string",
+    )
+    docs = warc_to_documents(df)
+    assert {r.source for r in docs.collect()} == {"example.com"}
+
+
 def test_warc_feeds_extraction_lane(spark, warc_dir):
     from deidcm_spark.operators.extract import extract_main_content
 
@@ -284,6 +301,15 @@ def test_decode_http_body_codings():
     assert decode_http_body(b"nonsense", {"transfer-encoding": "chunked"}) == b"nonsense"
     assert decode_http_body(b"notgzip", {"content-encoding": "gzip"}) == b"notgzip"
     assert decode_http_body(body, {}) == body
+    # truncated gzip member raises EOFError (not OSError) — extremely
+    # common in real crawls; must fall back, not crash the shard's task
+    trunc = gzip.compress(body)[:-5]
+    assert decode_http_body(trunc, {"content-encoding": "gzip"}) == trunc
+    # valid gzip header, corrupt deflate stream inside -> zlib.error
+    corrupt = bytearray(gzip.compress(body))
+    corrupt[14] ^= 0xFF
+    assert decode_http_body(bytes(corrupt), {"content-encoding": "gzip"}) \
+        == bytes(corrupt)
 
 
 def test_read_warc_gzip_encoded_response(spark, tmp_path):
