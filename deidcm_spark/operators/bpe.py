@@ -132,6 +132,10 @@ def train_bpe(
             _release_local_checkpoint(last_ckpt)
             last_ckpt = nxt
         wf = nxt
+    # the function returns only the driver-side merge list — the LAST
+    # checkpoint's blocks (the initial one, if training never crossed a
+    # checkpoint boundary) would otherwise stay pinned for the session
+    _release_local_checkpoint(last_ckpt)
     return merges
 
 

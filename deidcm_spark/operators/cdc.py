@@ -78,8 +78,15 @@ def span_fingerprint_expr(spans_col: str = "spans") -> str:
         f"concat_ws('{_FS}', {_nullsafe('s.kind')}, {_nullsafe('s.text')}, "
         f"{_nullsafe('s.media_ref')}, cast(s.offset as string))"
     )
+    # a NULL spans CELL (nullability metadata is advisory — joins/UDFs and
+    # foreign parquet lose it) must fingerprint to a real value: md5(NULL)
+    # is NULL, and snapshot_diff classifies a NULL fp as 'added' on every
+    # diff forever.  The bare marker cannot collide: every real record
+    # contains a field separator, and an empty array joins to ''.
+    # Spec-compatible with v2 (non-NULL spans hash unchanged).
     return (
-        f"md5(array_join(transform({spans_col}, s -> {rec}), '{_RS}'))"
+        f"md5(CASE WHEN {spans_col} IS NULL THEN '{_NULLMARK}' "
+        f"ELSE array_join(transform({spans_col}, s -> {rec}), '{_RS}') END)"
     )
 
 

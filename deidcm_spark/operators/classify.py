@@ -80,16 +80,34 @@ def nb_train(
     """
     from deidcm_spark.operators.sampling import bucket_counts
 
-    p = bucket_counts(pos, n_buckets, ngram, hash_impl).withColumnRenamed("n", "n_pos")
-    q = bucket_counts(neg, n_buckets, ngram, hash_impl).withColumnRenamed("n", "n_neg")
-    p.persist(), q.persist()
-    t_pos = int(p.agg(F.sum("n_pos")).first()[0] or 0)
-    t_neg = int(q.agg(F.sum("n_neg")).first()[0] or 0)
+    # the count tables are ≤ n_buckets rows by construction — LOCALIZE
+    # them (bounded collect, the heavy_hitters discipline) instead of
+    # persisting: a persist-and-never-unpersist here leaked two cached
+    # block sets per training call into the session, and localizing also
+    # frees every later weights consumer from re-scanning the corpus.
+    # The weight arithmetic stays a Spark expression over the local
+    # relation so log/divide/round are bit-identical to the previous
+    # cluster-side plan (and to the DuckDB oracle twin).
+    pc = {
+        int(r["bucket"]): int(r["n_pos"])
+        for r in bucket_counts(pos, n_buckets, ngram, hash_impl)
+        .withColumnRenamed("n", "n_pos").collect()
+    }
+    qc = {
+        int(r["bucket"]): int(r["n_neg"])
+        for r in bucket_counts(neg, n_buckets, ngram, hash_impl)
+        .withColumnRenamed("n", "n_neg").collect()
+    }
+    t_pos = sum(pc.values())
+    t_neg = sum(qc.values())
     n_pos = pos.count()
     n_neg = neg.count()
 
     weights = (
-        p.join(q, "bucket", "full_outer")
+        pos.sparkSession.createDataFrame(
+            [(b, pc.get(b), qc.get(b)) for b in sorted(set(pc) | set(qc))],
+            "bucket bigint, n_pos bigint, n_neg bigint",
+        )
         .select(
             "bucket",
             F.round(

@@ -235,6 +235,39 @@ def _lut_literal(lut: list[list[float]]):
     return F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in lut])
 
 
+def _exact_l2_topk(rows: DataFrame, q: list[float], k: int,
+                   embedding_col: str, id_col: str) -> DataFrame:
+    """Exact squared-L2 top-k of ``rows`` against an already-normalized
+    query — the ONE copy of the scoring projection shared by
+    :func:`l2_brute_force` and both searchers' rerank stages: the 6-dp
+    rounding and the (dist, id) tie-break feed oracle hashes, so a change
+    here must change all three lanes together."""
+    scored = rows.withColumn(
+        "_q", F.array(*[F.lit(float(v)) for v in q])
+    ).select(
+        id_col,
+        F.expr(
+            "round(" + _SQL2_EXPR.format(x=embedding_col, y="_q") + ", 6)"
+        ).alias("l2_dist"),
+    )
+    return scored.orderBy(F.col("l2_dist").asc(), F.col(id_col)).limit(k)
+
+
+def _exact_rerank(shortlist: DataFrame, emb: DataFrame, q: list[float],
+                  k: int, normalize: bool, embedding_col: str,
+                  id_col: str) -> DataFrame:
+    """Join an ADC shortlist back to the original embeddings (shortlist-
+    sized side — AQE broadcasts it) and return the true top-k — the
+    standard PQ recall repair, shared by pq_search and ivfpq_search."""
+    src = emb
+    if normalize:
+        src = _normalized(src, embedding_col)
+    return _exact_l2_topk(
+        shortlist.select(id_col).join(src.select(id_col, embedding_col), id_col),
+        q, k, embedding_col, id_col,
+    )
+
+
 def pq_search(
     codes: DataFrame,
     codebooks: list[list[list[float]]],
@@ -271,22 +304,8 @@ def pq_search(
     )
     if rerank is None:
         return shortlist
-    src = emb
-    if normalize:
-        src = _normalized(src, embedding_col)
-    q = adc_query_vector(query, normalize)
-    reranked = (
-        shortlist.select(id_col)
-        .join(src.select(id_col, embedding_col), id_col)
-        .withColumn("_q", F.array(*[F.lit(v) for v in q]))
-        .select(
-            id_col,
-            F.expr(
-                "round(" + _SQL2_EXPR.format(x=embedding_col, y="_q") + ", 6)"
-            ).alias("l2_dist"),
-        )
-    )
-    return reranked.orderBy(F.col("l2_dist").asc(), F.col(id_col)).limit(k)
+    return _exact_rerank(shortlist, emb, adc_query_vector(query, normalize),
+                         k, normalize, embedding_col, id_col)
 
 
 def adc_query_vector(query: list[float], normalize: bool) -> list[float]:
@@ -309,14 +328,8 @@ def l2_brute_force(
     src = emb
     if normalize:
         src = _normalized(src, embedding_col)
-    q = adc_query_vector(query, normalize)
-    scored = src.withColumn("_q", F.array(*[F.lit(v) for v in q])).select(
-        id_col,
-        F.expr("round(" + _SQL2_EXPR.format(x=embedding_col, y="_q") + ", 6)").alias(
-            "l2_dist"
-        ),
-    )
-    return scored.orderBy(F.col("l2_dist").asc(), F.col(id_col)).limit(k)
+    return _exact_l2_topk(src, adc_query_vector(query, normalize), k,
+                          embedding_col, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -381,10 +394,19 @@ def ivfpq_train(
     res = assigned.select(
         id_col, _residual(F.col(embedding_col), F.col("_list")).alias("res")
     )
-    books = pq_train(
-        res, m=m, ksub=ksub, lloyd_iters=lloyd_iters,
-        embedding_col="res", id_col=id_col,
-    )
+    # the nested pq_train runs several actions (dim probe, seed collect,
+    # one per Lloyd iteration) — without a persist each one re-executes
+    # the coarse-encode AND residual pandas UDFs over the full corpus;
+    # persist (not localCheckpoint) keeps lineage for executor-loss
+    # recovery and is released as soon as training is done
+    res = res.persist()
+    try:
+        books = pq_train(
+            res, m=m, ksub=ksub, lloyd_iters=lloyd_iters,
+            embedding_col="res", id_col=id_col,
+        )
+    finally:
+        res.unpersist()
     return coarse, books
 
 
@@ -471,19 +493,5 @@ def ivfpq_search(
     )
     if rerank is None:
         return shortlist
-    src = emb
-    if normalize:
-        src = _normalized(src, embedding_col)
-    qv = [float(v) for v in q]
-    reranked = (
-        shortlist.select(id_col)
-        .join(src.select(id_col, embedding_col), id_col)
-        .withColumn("_q", F.array(*[F.lit(v) for v in qv]))
-        .select(
-            id_col,
-            F.expr(
-                "round(" + _SQL2_EXPR.format(x=embedding_col, y="_q") + ", 6)"
-            ).alias("l2_dist"),
-        )
-    )
-    return reranked.orderBy(F.col("l2_dist").asc(), F.col(id_col)).limit(k)
+    return _exact_rerank(shortlist, emb, [float(v) for v in q], k,
+                         normalize, embedding_col, id_col)

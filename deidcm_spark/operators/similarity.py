@@ -86,7 +86,10 @@ def _assign_udf(centroids):
     matrix, one matmul against the normalized centroid matrix, argmax.
     This is the IVF scale path — numpy BLAS per batch, no per-row Python."""
     C = np.asarray(centroids, dtype=np.float64)
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    # zero-norm guard like the batch side below: one all-zero centroid (a
+    # zero seed embedding, or a Lloyd mean landing at zero) would divide
+    # to a NaN row and argmax would send EVERY row to that cluster
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     @F.pandas_udf(IntegerType())
     def assign(embedding: pd.Series) -> pd.Series:
@@ -111,6 +114,10 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16, lloyd_iters: int = 1
         .collect()
     )
     centroids = [list(r["embedding"]) for r in seeds]
+    if not centroids:
+        # downstream would otherwise die on an opaque numpy AxisError
+        # (norm over axis 1 of a (0,) array) deep inside _assign_udf
+        raise ValueError("cannot build IVF centroids on an empty corpus")
     # corpus smaller than n_centroids → fewer seeds; clamp so the
     # empty-cluster fallback below never indexes past the seed list
     n_centroids = len(centroids)
@@ -150,10 +157,12 @@ def ann_ivf(
     in tests (test_training_ops)."""
     C = centroids if centroids is not None else ivf_centroids(emb, n_centroids, lloyd_iters)
     Cn = np.asarray(C, dtype=np.float64)
-    Cn = Cn / np.linalg.norm(Cn, axis=1, keepdims=True)
+    Cn = Cn / np.maximum(np.linalg.norm(Cn, axis=1, keepdims=True), 1e-12)
     q = np.asarray(query, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
-    probe = np.argsort(-(Cn @ q))[:nprobe].tolist()
+    # stable sort: centroid-similarity ties must order identically across
+    # numpy builds (ivfpq_search already does this for the same operation)
+    probe = np.argsort(-(Cn @ q), kind="stable")[:nprobe].tolist()
 
     assigned = emb.withColumn("cluster", _assign_udf(C)(F.col("embedding")))
     in_lists = assigned.filter(F.col("cluster").isin([int(p) for p in probe]))

@@ -188,3 +188,18 @@ def test_nbsp_word_tokenizes_like_training(spark):
     merges = train_bpe(doc, n_merges=3, min_freq=2)
     got = bpe_token_count(doc, merges).first()
     assert got["n_words"] == 3  # NOT 5 — the UDF uses the ASCII \s spec
+
+
+def test_train_bpe_releases_all_checkpoints(spark, docs):
+    """train_bpe returns only a driver-side merge list; every
+    localCheckpoint it makes (including the LAST one, and the initial one
+    when no checkpoint boundary is crossed) must be released."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    train_bpe(docs, n_merges=5, checkpoint_every=2)   # crosses boundaries
+    train_bpe(docs, n_merges=2, checkpoint_every=10)  # never crosses one
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before

@@ -182,3 +182,25 @@ def test_fingerprint_spec_tag_and_mixed_version_guard(spark, old_frame):
     # tag-less pre-v2 table → loud error
     with pytest.raises(ValueError, match="without an fp_spec"):
         snapshot_diff(fp.drop("fp_spec"), fp).collect()
+
+
+def test_null_spans_cell_fingerprints_stably(spark, old_frame):
+    """Nullability metadata is advisory (joins/UDFs/foreign parquet lose
+    it): a NULL spans CELL must fingerprint to a real value — md5(NULL)
+    is NULL, and snapshot_diff classified a NULL fp as 'added' on every
+    diff forever."""
+    nulled = old_frame.withColumn(
+        "spans", F.expr("CASE WHEN doc_id = 'd' THEN NULL ELSE spans END")
+    )
+    fps = {r["doc_id"]: r["fp"] for r in snapshot_fingerprint(nulled).collect()}
+    assert all(fp is not None for fp in fps.values())
+    # NULL spans ≠ empty spans ≠ any real sequence
+    empty = old_frame.withColumn(
+        "spans", F.expr("CASE WHEN doc_id = 'd' THEN array() ELSE spans END")
+    )
+    fps_empty = {r["doc_id"]: r["fp"] for r in snapshot_fingerprint(empty).collect()}
+    assert fps["d"] != fps_empty["d"] != fps["a"]
+    # a frame diffed against itself is 100% unchanged, not 'added'
+    d = snapshot_diff(nulled, nulled, include_unchanged=True)
+    assert {r["change"] for r in d.collect()} == {"unchanged"}
+    assert snapshot_diff(nulled, nulled).count() == 0

@@ -257,3 +257,19 @@ def test_stream_quality_ingest_two_drops_and_replay(spark, tmp_path, frames):
     q.awaitTermination(120)
     got2 = {r["doc_id"]: r["prob"] for r in spark.read.parquet(out2).collect()}
     assert got2 == want
+
+
+def test_nb_train_leaves_no_cache_residue(spark, frames):
+    """The count tables are localized (bounded collect), not persisted —
+    the old persist-and-never-unpersist leaked two cached block sets per
+    training call (the heavy_hitters r4 defect class)."""
+    import gc
+
+    pos, neg, _ = frames
+    spark.catalog.clearCache()
+    gc.collect()
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    weights, _meta = nb_train(pos, neg, n_buckets=N_BUCKETS)
+    weights.collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before

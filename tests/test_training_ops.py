@@ -557,3 +557,33 @@ def test_compression_signals_matches_zlib(spark):
     assert got[5][2] < 0.1 < got[2][2]
     with pytest.raises(ValueError):
         textops.compression_signals(df, level=0)
+
+
+def test_ann_ivf_zero_norm_centroid_guard(spark, emb):
+    """A zero-norm centroid (zero seed embedding, or a Lloyd mean landing
+    at zero) must not poison assignment: unguarded normalization made a
+    NaN row and argmax sent EVERY vector to that cluster."""
+    cents = similarity.ivf_centroids(emb, n_centroids=4)
+    dim = len(cents[0])
+    with_zero = [[0.0] * dim] + [list(c) for c in cents[:3]]
+    q = similarity.query_vector(emb, 0)
+    exact = [r["vec_id"] for r in similarity.ann_brute_force(emb, q, k=5).collect()]
+    # probing ALL lists with the poisoned codebook still recovers brute force
+    got = [
+        r["vec_id"]
+        for r in similarity.ann_ivf(
+            emb, q, k=5, nprobe=4, centroids=with_zero
+        ).collect()
+    ]
+    assert got == exact
+    # and the corpus is NOT piled into the zero cluster
+    assigned = emb.withColumn(
+        "cluster", similarity._assign_udf(with_zero)(F.col("embedding"))
+    )
+    n_zero = assigned.filter("cluster = 0").count()
+    assert n_zero < emb.count()
+
+
+def test_ivf_centroids_empty_corpus_is_clear_error(spark, emb):
+    with pytest.raises(ValueError, match="empty"):
+        similarity.ivf_centroids(emb.limit(0), n_centroids=4)
