@@ -130,7 +130,8 @@ def cmd_scrub(args) -> dict:
     docs = spark.read.parquet(args.input)
     from deidcm_spark.operators import scrub
 
-    names = args.names.split(",") if args.names else []
+    names = [n.strip() for n in args.names.split(",") if n.strip()] \
+        if args.names else []
     out = scrub.scrub_documents(docs, args.org_root, names)
     if args.pii:
         out = scrub.scrub_pii(out)
@@ -143,7 +144,8 @@ def cmd_pipeline(args) -> dict:
     spark = _spark("deidcm_pipeline", args.shuffle_partitions)
     from deidcm_spark import pipeline
 
-    names = args.names.split(",") if args.names else []
+    names = [n.strip() for n in args.names.split(",") if n.strip()] \
+        if args.names else []
     out = pipeline.scrub_extract(
         spark.read.parquet(args.input), args.org_root, names
     )
@@ -277,9 +279,12 @@ def cmd_compact(args) -> dict:
     spark = _spark("deidcm_compact", args.shuffle_partitions)
     from deidcm_spark.maintenance import compact_parquet
 
+    part = [c.strip() for c in args.partition_by.split(",") if c.strip()] \
+        if args.partition_by else None
     return compact_parquet(
         spark, args.input, args.output,
         target_bytes=args.target_mb * 1024 * 1024,
+        partition_by=part,
     )
 
 
@@ -1278,6 +1283,12 @@ def build_parser() -> argparse.ArgumentParser:
     cp = sub.add_parser("compact")
     common(cp)
     cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument(
+        "--partition-by", default=None,
+        help="comma-separated partition columns to preserve in the "
+             "rewrite (REQUIRED for hive-partitioned tables like the "
+             "streaming batch_id logs)",
+    )
     cp.set_defaults(fn=cmd_compact)
 
     i = sub.add_parser("ingest")

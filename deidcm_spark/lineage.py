@@ -39,11 +39,27 @@ def _data_path(out_dir: str) -> str:
     return os.path.join(out_dir, "data")
 
 
-def committed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> set[int]:
-    path = _lineage_path(out_dir)
+def _read_parquet_or_none(spark: SparkSession, path: str):
+    """ONLY the path-not-found case (first run ever) may fall back to
+    'nothing committed yet' — a transient FS/read error on an EXISTING
+    lineage log must fail the attempt: silently restarting reprocesses
+    every bucket and appends duplicate committed rows, which the
+    completion reconciliation then reports as a (false) corpus-coverage
+    error.  Same contract as streaming's Bloom/LSH log reads."""
+    from pyspark.errors import AnalysisException
+
     try:
-        lineage = spark.read.parquet(path)
-    except Exception:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", e.getErrorClass)()
+        if cond != "PATH_NOT_FOUND":
+            raise
+        return None
+
+
+def committed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> set[int]:
+    lineage = _read_parquet_or_none(spark, _lineage_path(out_dir))
+    if lineage is None:
         return set()
     rows = (
         lineage.filter((F.col("run_id") == run_id) & (F.col("status") == "committed"))
@@ -55,10 +71,7 @@ def committed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> set[int
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(_lineage_path(out_dir))
-    except Exception:
-        return None
+    return _read_parquet_or_none(spark, _lineage_path(out_dir))
 
 
 def bucket_expr(salt: str, n_buckets: int):

@@ -45,18 +45,40 @@ def compact_parquet(
     in_dir: str,
     out_dir: str,
     target_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Rewrite ``in_dir`` into ``out_dir`` with ~``target_bytes`` files.
 
     Returns the before/after accounting.  ``out_dir`` must differ from
     ``in_dir`` (never rewrite input in place — a failed job would
-    destroy the table; with Iceberg the directory swap is one commit)."""
+    destroy the table; with Iceberg the directory swap is one commit).
+
+    ``partition_by`` preserves a hive-partitioned layout consumers key
+    on: a table read through ``basePath``-style partition discovery (the
+    streaming Bloom/LSH partial logs partition by ``batch_id``) MUST be
+    rewritten with the same partition columns — a flat rewrite bakes the
+    partition values into root-level data files, and the next
+    micro-batch's partitioned append makes the directory unreadable
+    (mixed layouts) besides breaking replay's per-batch overwrite."""
     if in_dir.rstrip("/") == out_dir.rstrip("/"):
         raise ValueError("compaction must write to a NEW directory")
     files_in, total = dir_stats(spark, in_dir)
     n_out = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(in_dir)
-    df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition_by columns {missing} not in the table "
+                f"(columns: {df.columns})"
+            )
+        # spread within each partition value; repartition by the partition
+        # keys alone would funnel each value through one task
+        df.repartition(n_out).write.mode("overwrite").partitionBy(
+            *partition_by
+        ).parquet(out_dir)
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
     files_out, bytes_out = dir_stats(spark, out_dir)
     return {
         "files_in": files_in,

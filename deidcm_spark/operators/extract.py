@@ -186,9 +186,8 @@ def link_density_cols(html_col: str, dialect: str = "spark") -> dict[str, str]:
         "n_links": f"cast({n_links} as bigint)",
         "link_chars": f"cast({link_chars} as bigint)",
         "text_chars": f"cast({text_len} as bigint)",
-        "link_density": f"round({link_chars} / greatest({text_len}, 1), 4)"
-        if dialect == "spark"
-        else f"round({link_chars} / greatest({text_len}, 1), 4)",
+        # identical text in both dialects (division and round agree)
+        "link_density": f"round({link_chars} / greatest({text_len}, 1), 4)",
     }
 
 
@@ -365,7 +364,13 @@ def extract_spans_from_html(
     html: str, mode: str = "default"
 ) -> list[tuple[str, str, str, int]]:
     """Pure-Python kernel (unit-tested directly): HTML -> ordered
-    (kind, text, media_ref, offset) main-content spans."""
+    (kind, text, media_ref, offset) main-content spans.
+
+    NULL html (a NULL text/lang/source upstream makes ``with_html``'s
+    concat NULL, and pandas delivers it as None/NaN) extracts to zero
+    spans — at 10^12 docs one bad row must never fail the task."""
+    if html is None or not isinstance(html, str):
+        return []
     out: list[tuple[str, str, str, int]] = []
     off = 0
     for block in _segment_blocks(html):

@@ -77,6 +77,11 @@ def scrub_text_expr(col: str, names: list[str], dialect: str = "spark") -> str:
     for pat, spark_rep, duck_rep in _SQL_STEPS:
         rep = spark_rep if dialect == "spark" else duck_rep
         e = f"regexp_replace({e}, '{_pat_sql(pat, dialect)}', '{rep}'{g})"
+    # drop empty/blank names BEFORE building the alternation: '(x|)' has a
+    # zero-width branch that matches at every word boundary and injects
+    # [NAME] between every token of every document (a trailing comma in
+    # CLI --names was enough to trigger it)
+    names = [n for n in (names or []) if n and n.strip()]
     if names:
         # names are user input (CLI --names): regex-escape each one (re.escape
         # emits only the \<punct> forms Java regex and RE2 share for ASCII) and

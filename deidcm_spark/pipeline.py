@@ -103,7 +103,6 @@ def curate(
     from deidcm_spark.operators import dedup, spandedup, textops
 
     base = docs.select("doc_id", "text")
-    n_in = base.count()
 
     norm = textops.normalize_text(base, nfc=nfc)
     if pii:
@@ -112,6 +111,10 @@ def curate(
         norm = scrub_pii(norm)  # row-local: fuses into the same write
     norm.write.mode("overwrite").parquet(f"{out_dir}/normalized")
     norm = spark.read.parquet(f"{out_dir}/normalized")
+    # normalize/scrub are row-preserving, so the input count is free from
+    # the materialized parquet's footers — counting `base` directly would
+    # be one extra full pass over the raw corpus
+    n_in = norm.count()
 
     gate = textops.quality_gate(norm, overrides=gate_overrides)
     kept = norm.join(

@@ -122,7 +122,17 @@ def sessionize_events(
     """Event-time sessionization: ``session_window`` groups a user's events
     separated by < ``gap`` into one session; the watermark closes sessions and
     bounds state.  Append mode — a session row emits once, when it can no
-    longer grow."""
+    longer grow.
+
+    TAIL CONTRACT (standard watermark semantics, easy to miss): a session
+    is emitted only once the watermark passes ``session_end + gap``.  When
+    a drain stops (availableNow or query stop), every user's FINAL session
+    — any session the last events belong to — is still open in state and
+    is NOT in the output; it emits on the next run once newer events
+    advance the watermark.  A one-shot backfill that must include the tail
+    should either append a synthetic max-timestamp sentinel event per user
+    or use the batch twin (``__spark_entry__.events_sessionize``), which
+    has no watermark and emits everything."""
     from pyspark.sql import functions as F
 
     events = (
@@ -310,10 +320,14 @@ def stream_rollup(
 ):
     """Streaming CONTINUOUS-AGGREGATE refresh of the hypertable rollup
     (operators/rollup.py): each micro-batch appends its finest-resolution
-    PARTIALS (count/sum/min/max per bucket — decomposable, so partials of
-    partials re-aggregate exactly) through the idempotent batch-partition
-    sink; :func:`read_rollup` compacts the partial log and derives every
-    requested resolution.  This is how TimescaleDB-style continuous
+    PARTIALS (count/sum/min/max per bucket — decomposable) through the
+    idempotent batch-partition sink; :func:`read_rollup` compacts the
+    partial log and derives every requested resolution.  count/min/max
+    re-aggregate EXACTLY; the double ``sum`` re-aggregates exactly in
+    VALUE-SET terms but float addition is not associative, so a partial-
+    log sum can differ from the single-pass batch sum in the last ulp —
+    round before feeding a sum into any bit-compare (the contract tests
+    use exactly-representable values for this reason).  This is how TimescaleDB-style continuous
     aggregates refresh — the raw stream is touched once per batch, the
     materialization is bucket-cardinality, and a replayed micro-batch
     overwrites its own partition instead of double-counting."""
@@ -461,8 +475,11 @@ def stream_bloom_ingest(
     decomposable-partial pattern as :func:`stream_rollup` — ``bit_or`` of
     partials of partials is exact).  Compact the log with
     :func:`read_bloom_log` (or periodically rewrite it through
-    ``maintenance.compact_parquet``).  Bootstrap from an existing batch
-    filter with :func:`bootstrap_bloom_log`.
+    ``maintenance.compact_parquet`` — MUST pass
+    ``partition_by=["batch_id"]``: the replay overwrite and the
+    partitioned append both key on the batch_id directory layout).
+    Bootstrap from an existing batch filter with
+    :func:`bootstrap_bloom_log`.
 
     Exactly-once: fresh documents and the filter partial both go through
     the batch_id-partitioned idempotent sink, and the probe reads the log

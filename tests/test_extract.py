@@ -329,3 +329,23 @@ def test_pipeline_compositions(spark):
     assert len(de) == 50
     assert all(r["spans"][-1]["text"].endswith("=YES") for r in de)
     assert all(r["n_pseudonymized"] > 0 for r in de)
+
+
+def test_extract_null_html_yields_zero_spans(spark):
+    """One NULL html row (a NULL text/lang/source upstream makes
+    with_html's concat NULL) must extract to zero spans, not fail the
+    task with a TypeError inside mapInPandas."""
+    from deidcm_spark.operators.extract import (
+        extract_main_content,
+        extract_spans_from_html,
+    )
+
+    assert extract_spans_from_html(None) == []
+    df = spark.createDataFrame(
+        [("1", None), ("2", "<html><body><p>real content here that is "
+                            "long enough to keep</p></body></html>")],
+        "doc_id string, html string",
+    )
+    got = {r["doc_id"]: r["spans"] for r in extract_main_content(df).collect()}
+    assert got["1"] == []
+    assert len(got) == 2

@@ -184,3 +184,21 @@ def test_bucketed_crash_resume_and_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="does not"):
         run_deid_job(spark, wrong, str(tmp_path / "x2"), ORG_ROOT, SALT,
                      n_buckets=N_BUCKETS, input_bucketed=True)
+
+
+def test_lineage_read_fallback_only_on_path_not_found(spark, tmp_path):
+    """Only the first-run path-not-found case may fall back to 'nothing
+    committed' — any other read failure must raise: silently restarting
+    reprocesses every bucket AND appends duplicate committed rows that
+    break the completion reconciliation (the streaming Bloom/LSH log
+    contract)."""
+    from deidcm_spark.lineage import committed_buckets
+
+    # genuinely absent -> first run, empty set
+    assert committed_buckets(spark, str(tmp_path / "never"), "r") == set()
+    # existing but unreadable-as-parquet (empty dir: schema inference
+    # fails with a different error class) -> must raise, not restart
+    bad = tmp_path / "exists"
+    (bad / "_lineage").mkdir(parents=True)
+    with pytest.raises(Exception, match="(?i)schema|parquet|infer"):
+        committed_buckets(spark, str(bad), "r")

@@ -220,3 +220,33 @@ def test_zorder_all_null_column_is_clear_error(spark, tmp_path):
                 spark, src, str(tmp_path / f"z_{method}_nn"), ["x", "y"],
                 method=method,
             )
+
+
+def test_compaction_preserves_partition_layout(spark, tmp_path):
+    """A hive-partitioned table (the streaming batch_id logs) must be
+    rewritten WITH its partition columns: a flat rewrite bakes the values
+    into root files and the next partitioned append makes the directory
+    unreadable."""
+    import os
+
+    src = str(tmp_path / "partsrc")
+    dst = str(tmp_path / "partdst")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("batch_id")
+    )
+    df.write.partitionBy("batch_id").parquet(src)
+    out = compact_parquet(spark, src, dst, target_bytes=1 << 30,
+                          partition_by=["batch_id"])
+    assert out["files_out"] >= 1
+    subdirs = {d for d in os.listdir(dst) if d.startswith("batch_id=")}
+    assert subdirs == {"batch_id=0", "batch_id=1", "batch_id=2"}
+    back = spark.read.parquet(dst)
+    assert back.count() == 100
+    # a later partitioned append (the streaming sink) still reads cleanly
+    spark.range(100, 110).select(
+        F.col("id"), F.lit(3).alias("batch_id")
+    ).write.mode("append").partitionBy("batch_id").parquet(dst)
+    assert spark.read.parquet(dst).count() == 110
+    with pytest.raises(ValueError, match="partition_by"):
+        compact_parquet(spark, src, str(tmp_path / "x"),
+                        partition_by=["nope"])

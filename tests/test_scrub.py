@@ -293,3 +293,17 @@ def test_scrub_pii_constructive_recall():
             # a 13+-digit phone whose digits happen to pass Luhn is taken
             # by the card stage first — either marker means it was caught
             assert "[PHONE]" in out or "[CARD]" in out, txt
+
+
+def test_blank_names_never_build_zero_width_alternation(spark):
+    """A trailing comma in CLI --names used to yield names=['alice',''],
+    whose '(alice|)' alternation matched zero-width at EVERY word boundary
+    and injected [NAME] between every token of every document."""
+    df = spark.createDataFrame(
+        [(1, "bob went home with alice today")], "doc_id long, text string"
+    )
+    out = scrub.scrub_text(df, names=["alice", "", "  "]).collect()[0]["text"]
+    assert out == "bob went home with [NAME] today"
+    # all-blank name list = no name step at all
+    out2 = scrub.scrub_text(df, names=["", " "]).collect()[0]["text"]
+    assert out2 == "bob went home with alice today"
