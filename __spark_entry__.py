@@ -1676,9 +1676,13 @@ def _simhash_sql() -> str:
     document; 'pair' rows = pigeonhole-banded 32-bit near-dup pairs
     (4 bands x 8 bits; pairs sharing a band, exact hamming via
     bit_count(xor()) <= 3 — mirrors dedup.simhash_neardup_pairs)."""
+    # token-less docs never band (they all collapse to simhash 0 and
+    # would pair pairwise) — p_bitsums only holds docs with >= 1 token,
+    # mirroring the size(TOKENS) > 0 filter in simhash_neardup_pairs
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band_idx, "
-        f"(simhash >> {b * 8}) & 255 AS band_key FROM p_sims"
+        f"(simhash >> {b * 8}) & 255 AS band_key FROM p_sims "
+        f"WHERE doc_id IN (SELECT doc_id FROM p_bitsums)"
         for b in range(4)
     )
     return f"""
@@ -1849,7 +1853,7 @@ FROM documents
 
 
 def _line_dedup_sql() -> str:
-    fp = "CAST('0x' || substr(md5(line), 1, 15) AS bigint)"
+    fp = "md5(line)"  # full 128-bit hex — mirrors spandedup._fp_expr
     return f"""
 WITH d AS (SELECT doc_id, {_lines_synth_expr("VARCHAR")} AS text FROM documents),
 l AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM d),
@@ -1907,7 +1911,8 @@ def _quality_gate_sql() -> str:
       CASE WHEN n_urls > {g['max_urls']} THEN 'url_heavy' END
     ], x -> x IS NOT NULL)"""
     return f"""
-WITH t AS (SELECT doc_id, text, {_DT} AS toks FROM documents),
+WITH t AS (SELECT doc_id, text, {_DT} AS toks
+           FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
 s AS (
   SELECT doc_id,
     CAST(len(toks) AS bigint) AS n_tokens,
@@ -1973,7 +1978,7 @@ WITH src AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
 ),
-sigs AS (SELECT vec_id, {key_cols} FROM src),
+sigs AS (SELECT vec_id, {key_cols} FROM src WHERE embedding IS NOT NULL),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b

@@ -147,9 +147,16 @@ def cluster_balanced_sample(
 ) -> DataFrame:
     """The ``k`` selected rows ``(vec_id, cluster)`` under the
     cluster-quota policy — deterministic, repartition-stable, identical
-    for every ``n_salts`` (pick it so hot_cluster/n_salts fits a task)."""
+    for every ``n_salts`` (pick it so hot_cluster/n_salts fits a task).
+
+    The assignment frame is persisted internally: the sizes collect AND
+    the returned selection plan both read it, and without the cache the
+    centroid-matmul pandas UDF (the dominant cost) runs over the full
+    corpus twice.  The cache rides the result as ``_persisted_deps`` —
+    release with :func:`deidcm_spark.operators.dedup.release_caches`
+    after materializing."""
     assigned, cents = cluster_assign(emb, n_centroids, lloyd_iters, centroids)
-    assigned = assigned.select("vec_id", "cluster")
+    assigned = assigned.select("vec_id", "cluster").persist()
     sizes = {
         r["cluster"]: r["n"]
         for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
@@ -172,8 +179,10 @@ def cluster_balanced_sample(
             .drop("_rn1")
         )
     w = Window.partitionBy("cluster").orderBy(*order)
-    return (
+    out = (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_q"))
         .drop("_rn", "_q")
     )
+    out._persisted_deps = (assigned,)  # type: ignore[attr-defined]
+    return out

@@ -47,6 +47,22 @@ from pyspark.sql import DataFrame, functions as F
 from deidcm_spark.operators.textops import NORM_FP
 
 
+# NULL fingerprints (NULL text) fold to a sentinel BEFORE hashing, so the
+# filter keeps the documented contract "maybe_seen == dedup_exact would
+# have matched" (dedup_exact groups NULL fps into ONE cluster).  Without
+# it the two hash impls diverge in opposite directions: portable's
+# md5(concat(NULL,...)) is NULL — a junk (NULL, NULL) word row on build
+# and never-matching probes (every null-text doc 'definitely new'
+# forever) — while fast's xxhash64(NULL, j) hashes only j, making every
+# null-text doc collide with the first one.  \x1d cannot equal a real
+# md5-hex fingerprint.
+_NULL_FP = chr(0x1D)
+
+
+def _nullsafe_fp(fp_sql: str) -> str:
+    return f"coalesce(({fp_sql}), '{_NULL_FP}')"
+
+
 def _pos_expr(j: int, n_bits: int, hash_impl: str) -> str:
     if hash_impl == "portable":
         return (
@@ -88,7 +104,7 @@ def bloom_build(
     with ``bloom_merge``; or just run bloom_build over the new shard and
     merge — the historical corpus is never re-read.
     """
-    fps = df.select(F.expr(fp_sql).alias("fp"))
+    fps = df.select(F.expr(_nullsafe_fp(fp_sql)).alias("fp"))
     return (
         _positions(fps, n_bits, n_hashes, hash_impl)
         .groupBy("word_idx")
@@ -127,7 +143,7 @@ def bloom_probe(
     """
     probe_side = bloom if not broadcast_filter else F.broadcast(bloom)
     hits = (
-        _positions(df.select("doc_id", F.expr(fp_sql).alias("fp")), n_bits, n_hashes, hash_impl)
+        _positions(df.select("doc_id", F.expr(_nullsafe_fp(fp_sql)).alias("fp")), n_bits, n_hashes, hash_impl)
         .join(probe_side, "word_idx", "left")
         .select(
             "doc_id",

@@ -378,7 +378,15 @@ def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
     Shape: explode(distinct tokens) → hash the token ONCE → 16 per-bit sums
     in one hash aggregate (same rationale as minhash_signatures — an
     aggregate() lambda per bit would re-tokenize and re-md5 16×).
+
+    ``bits`` is capped at 32: the token hash carries 32 bits of signal,
+    so bits beyond it would be silently constant (every doc voting -1) —
+    degenerate band keys downstream, not extra resolution.
     """
+    if not 1 <= bits <= 32:
+        raise ValueError(
+            f"bits must be in [1, 32] (the token hash is 32-bit), got {bits}"
+        )
     rows = df.select(
         "doc_id", F.explode_outer(F.expr(f"array_distinct({TOKENS})")).alias("t")
     ).withColumn(
@@ -393,13 +401,23 @@ def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
     with_bits = rows.groupBy("doc_id").agg(*bit_sums)
     sim = None
     for j in range(bits):
-        term = (F.when(F.col(f"b{j}") > 0, 1).otherwise(0) * (1 << j))
+        # shiftleft, not a Python (1 << j) literal: at bits=64 the j=63
+        # term (2^63) does not fit a signed long literal; the shifted
+        # form sets the sign bit instead, which is fine — band extraction
+        # masks after the shift and hamming works on the bit pattern
+        term = F.shiftleft(
+            F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            j,
+        )
         sim = term if sim is None else sim + term
     return with_bits.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, max_hamming: int = 3, bits: int = 16
+    df: DataFrame, max_hamming: int = 3, bits: int = 32,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with pigeonhole band blocking.
 
@@ -409,12 +427,27 @@ def simhash_neardup_pairs(
     ``(band_idx, band_key)`` — an equi-join, never an O(n²) cross join —
     then the exact Hamming distance (``bit_count(a ^ b)``) filters.
     100% recall at the guaranteed radius, unlike probabilistic LSH.
+
+    Token-less documents (empty or NULL text) never pair: they all
+    collapse to simhash 0, so including them emits every pair of them as
+    a hamming-0 "near-duplicate" — O(m²) rows through one hot band
+    bucket (the minhash lane excludes no-shingle docs the same way; use
+    exact dedup for empties).
+
+    Scale: band keys carry ``bits / (max_hamming+1)`` bits, so ``bits``
+    IS the blocking resolution — the 32-bit default gives 8-bit keys
+    (256 buckets per band; 16 bits saturates on any shared-vocabulary
+    corpus — measured ~340k candidate pairs from 1k docs; 32 is the max
+    the 32-bit token hash supports).
+    ``max_band_size`` additionally drops band buckets holding more
+    members than the cap (the lsh_candidate_pairs hot-band guard) at the
+    cost of the recall guarantee for documents inside dropped buckets.
     """
     n_bands = max_hamming + 1
     assert bits % n_bands == 0, "bits must split evenly into bands"
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sim = simhash(df, bits)
+    sim = simhash(df.filter(F.expr(f"size({TOKENS}) > 0")), bits)
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -430,6 +463,15 @@ def simhash_neardup_pairs(
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band_idx", "bk.band_key")
+    if max_band_size is not None:
+        sizes = bands.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("_bsz")
+        )
+        bands = (
+            bands.join(sizes, ["band_idx", "band_key"])
+            .filter(F.col("_bsz") <= max_band_size)
+            .drop("_bsz")
+        )
     left = bands.alias("l")
     right = bands.alias("r")
     cand = (
@@ -482,12 +524,31 @@ def dedup_decisions(df: DataFrame, threshold: float = 0.8) -> DataFrame:
     count and both self-join sides read it, and without materialization
     the minhash aggregation is planned — and run — twice (pushdown-divergent
     subtrees defeat exchange reuse; see :func:`lsh_candidate_pairs`).
-    """
+
+    Cache lifetime: the two persisted frames are INTERNAL (calling
+    ``.unpersist()`` on the returned frame is a no-op — it was never
+    cached), so they ride the returned frame as ``_persisted_deps``;
+    release them with :func:`release_caches` once the decisions are
+    materialized.  Unreleased they stay evictable-under-pressure but
+    occupy storage for the session (a per-shard driver loop should
+    release each iteration)."""
     bands = lsh_bands(df).persist()
     cands = lsh_candidate_pairs(df, bands=bands).persist()
-    return dedup_decisions_from_pairs(
+    out = dedup_decisions_from_pairs(
         df, ngram_jaccard_pairs(df, threshold=threshold, candidates=cands)
     )
+    out._persisted_deps = (bands, cands)  # type: ignore[attr-defined]
+    return out
+
+
+def release_caches(df: DataFrame) -> int:
+    """Unpersist the internal frames an operator attached to its result
+    (``_persisted_deps``) — call AFTER materializing the result.  Returns
+    the number of frames released; 0 when the frame carries none."""
+    deps = getattr(df, "_persisted_deps", ())
+    for d in deps:
+        d.unpersist()
+    return len(deps)
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:
@@ -676,7 +737,12 @@ def embedding_neardup_pairs(
 
     assert n_planes % n_bands == 0, "planes must split evenly into bands"
     per_band = n_planes // n_bands
-    head = emb.select("embedding").head()
+    # dim probe skips NULL embeddings (len(None) was a TypeError whenever
+    # the first-scanned row's embedding was NULL; NULL rows elsewhere
+    # contribute no band keys because their sign bits are NULL)
+    head = (
+        emb.filter(F.col("embedding").isNotNull()).select("embedding").head()
+    )
     if head is None:  # empty corpus → empty pair table, not a crash
         return emb.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
@@ -689,7 +755,10 @@ def embedding_neardup_pairs(
         ) + ")"
         for b in range(n_bands)
     ]
-    bandrows = emb.select(
+    bandrows = emb.filter(F.col("embedding").isNotNull()).select(
+        # NULL embeddings never band: their sign bits fold to the all-zero
+        # key (case-when over a NULL dot product), which would pair every
+        # NULL row with every other — the simhash empty-doc failure shape
         F.col("vec_id").alias("bid"),
         F.posexplode(F.array(*[F.expr(k) for k in band_keys])).alias(
             "band_idx", "band_key"

@@ -186,9 +186,17 @@ def gap_fill(
         "left",
     ).withColumn("filled", F.col("_present").isNull())
     if method == "zero":
+        # fill ONLY the synthesized rows: a REAL bucket may legitimately
+        # carry NULL aggregates (every event's value NULL that hour) and
+        # coalescing those to 0 made them indistinguishable from an
+        # observed zero — exactly the distinction the _present marker
+        # exists to keep
         filled = joined.select(
             *key_cols, "bucket", "filled",
-            *[F.coalesce(c, F.lit(0)).alias(c) for c in fill_cols],
+            *[
+                F.when(F.col("filled"), F.lit(0)).otherwise(F.col(c)).alias(c)
+                for c in fill_cols
+            ],
         )
     elif method == "null":
         filled = joined.select(*key_cols, "bucket", "filled", *fill_cols)
@@ -198,10 +206,17 @@ def gap_fill(
             .orderBy("bucket")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+        # LOCF carries the last REAL row's value — NULL included: the
+        # struct wrapper is non-null for every present row, so a real
+        # NULL aggregate is carried as NULL instead of being skipped
+        # for an older non-null value
         filled = joined.select(
             *key_cols, "bucket", "filled",
             *[
-                F.last(c, ignorenulls=True).over(w).alias(c)
+                F.last(
+                    F.when(F.col("_present"), F.struct(F.col(c).alias("v"))),
+                    ignorenulls=True,
+                ).over(w)["v"].alias(c)
                 for c in fill_cols
             ],
         )

@@ -64,12 +64,29 @@ RAW_TOKENS = "filter(split(coalesce(text, ''), '\\\\s+'), x -> x != '')"
 
 
 def _fp_expr(value_sql: str, hash_impl: str) -> str:
-    """Bounded-int fingerprint of a string expression, both impls."""
+    """128-bit fingerprint of a string expression, both impls.
+
+    Width matters at the module's design scale: a 60-bit fingerprint
+    (the old 15-hex-char truncation) over ~10^12 distinct corpus lines
+    expects n²/2^61 ≈ hundreds of thousands of birthday collisions, each
+    silently DELETING a unique line as a "duplicate" of unrelated text.
+    portable = full md5 hex (the NORM_FP discipline); fast = two
+    independent xxhash64 lanes concatenated (JVM integer mix, no hex
+    round-trip, 128 bits)."""
     if hash_impl == "portable":
-        return f"cast(conv(substring(md5({value_sql}), 1, 15), 16, 10) as bigint)"
+        return f"md5({value_sql})"
     if hash_impl == "fast":
-        return f"xxhash64({value_sql})"
+        return _fast128(value_sql)
     raise ValueError(f"hash_impl must be 'portable' or 'fast', got {hash_impl!r}")
+
+
+def _fast128(value_sql: str) -> str:
+    """Two-lane xxhash64 (the second lane mixes a literal into the hashed
+    row) — 128 bits for ANY input type, arrays included."""
+    return (
+        f"concat(cast(xxhash64({value_sql}) as string), ':', "
+        f"cast(xxhash64({value_sql}, 1) as string))"
+    )
 
 
 def _salted_winners(
@@ -176,7 +193,7 @@ def _window_hashes(df: DataFrame, window: int, hash_impl: str) -> DataFrame:
     """
     tok = df.select("doc_id", F.expr(RAW_TOKENS).alias("toks"))
     if hash_impl == "fast":
-        fp_sql = f"xxhash64(slice(toks, i, {window}))"
+        fp_sql = _fast128(f"slice(toks, i, {window})")
     else:
         # _fp_expr also rejects unknown impls
         fp_sql = _fp_expr(f"concat_ws(' ', slice(toks, i, {window}))", hash_impl)

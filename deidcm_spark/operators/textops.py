@@ -288,6 +288,11 @@ def quality_gate(df: DataFrame, overrides: dict | None = None) -> DataFrame:
         if unknown:
             raise ValueError(f"unknown gate(s): {sorted(unknown)}")
         gates.update(overrides)
+    # NULL text gates exactly like empty text (rejected: too_few_tokens).
+    # Without the coalesce EVERY signal is NULL under ANSI, every rule
+    # comparison is NULL, reasons compacts to [] and the empty document
+    # sails through with keep=true.  Mirrored in _quality_gate_sql.
+    df = df.withColumn("text", F.coalesce("text", F.lit("")))
     sig = _tokenized(df).select(
         "doc_id",
         "text",

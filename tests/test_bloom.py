@@ -237,3 +237,22 @@ def test_bloom_ingest_corrupt_log_fails_loudly(spark, tmp_path):
     with pytest.raises(AnalysisException):
         _bloom_ingest_batch(_docs(spark, [(1, "one")]), 0, out, str(flt),
                             N_BITS, 4, "fast")
+
+
+def test_null_fingerprints_keep_the_dedup_contract(spark):
+    """NULL fps (NULL text) fold to a sentinel before hashing: after one
+    null-text doc is built in, every null-text doc probes maybe_seen
+    (dedup_exact groups NULL fps into ONE cluster) — and the word table
+    never carries a junk (NULL, NULL) row.  Both hash impls agree."""
+    hist = spark.createDataFrame([(1, None), (2, "real text")],
+                                 "doc_id long, text string")
+    new = spark.createDataFrame([(3, None), (4, "fresh content")],
+                                "doc_id long, text string")
+    for impl in ("portable", "fast"):
+        filt = bloom_build(hist, n_bits=1 << 12, hash_impl=impl)
+        assert filt.filter("word_idx IS NULL OR bits IS NULL").count() == 0
+        got = {r["doc_id"]: r["maybe_seen"]
+               for r in bloom_probe(new, filt, n_bits=1 << 12,
+                                    hash_impl=impl).collect()}
+        assert got[3] is True, impl   # null-text already ingested
+        assert got[4] is False, impl  # genuinely new

@@ -200,3 +200,32 @@ def test_gap_fill_validations(spark):
     with pytest.raises(ValueError, match="granularity"):
         gap_fill(df, "minute", ["event_type"], ["n_events"])
     assert gap_fill(df, "hour", ["event_type"], ["n_events"]).count() == 0
+
+
+def test_gap_fill_real_null_aggregates_survive(spark):
+    """A REAL bucket whose aggregate is legitimately NULL (every event's
+    value NULL that hour) must stay distinguishable from an observed
+    zero: 'zero' fills only synthesized rows, and 'locf' carries the last
+    real row's value — NULL included — instead of skipping past it."""
+    import datetime as dt
+
+    from deidcm_spark.operators.rollup import gap_fill
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0), 3, 5.0),    # real, value 5
+        ("a", dt.datetime(2024, 1, 1, 1), 2, None),   # real, NULL sum
+        # hour 2 missing (synthesized)
+        ("a", dt.datetime(2024, 1, 1, 3), 1, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, bucket timestamp, n_events long, sum_value double"
+    )
+    zero = {r["bucket"].hour: (r["sum_value"], r["filled"]) for r in gap_fill(
+        df, "hour", ["event_type"], ["sum_value"], method="zero").collect()}
+    assert zero[1] == (None, False)   # real NULL kept, NOT coalesced to 0
+    assert zero[2] == (0, True)       # synthesized row filled with 0
+    locf = {r["bucket"].hour: r["sum_value"] for r in gap_fill(
+        df, "hour", ["event_type"], ["sum_value"], method="locf").collect()}
+    assert locf[1] is None            # real NULL carried as itself
+    assert locf[2] is None            # gap carries the LAST REAL value (NULL)
+    assert locf[3] == 7.0

@@ -14,8 +14,10 @@ from deidcm_spark.operators.spandedup import line_dedup, substring_dedup
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _fp(s: str) -> int:
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+def _fp(s: str) -> str:
+    # full 128-bit hex (the 15-hex truncation was a 60-bit key — birthday
+    # collisions at the module's 10^12-line design scale delete unique text)
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
 # ---------- pure-Python oracles ----------

@@ -163,10 +163,26 @@ def test_simhash_neardup_pairs(spark, docs):
     dup = d.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
     pairs = dedup.simhash_neardup_pairs(d.union(dup), max_hamming=3)
     got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
-    # every exact duplicate pair is found at hamming 0 (pigeonhole guarantee)
-    for i in [r["doc_id"] for r in d.collect()]:
+    # every exact duplicate pair of a TOKENIZABLE doc is found at hamming
+    # 0 (pigeonhole guarantee); token-less docs (doc 7: empty text) never
+    # pair — they all collapse to simhash 0 and would pair O(m²) through
+    # one hot band (exact dedup owns empties)
+    for i in [r["doc_id"] for r in d.filter("text != ''").collect()]:
         assert got.get((i, i + 1000)) == 0, f"missing dup pair {i}"
+    assert not any(7 in (a, b) or 1007 in (a, b) for a, b in got)
     assert all(h <= 3 for h in got.values())
+    # the 32-bit token hash caps the signature width — wider would be
+    # silently constant upper bits (degenerate band keys), so it raises
+    with pytest.raises(ValueError, match="32"):
+        dedup.simhash(d, bits=64)
+    sims = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(d, bits=32).collect()}
+    assert sims[1] == sims[2]
+    assert any(v >> 31 for v in sims.values())  # top hash bits carry signal
+    # hot-band cap: capping at 1 drops every shared bucket -> no pairs
+    assert dedup.simhash_neardup_pairs(
+        d.union(dup), max_hamming=3, max_band_size=1
+    ).count() == 0
 
 
 def test_deterministic_split_and_sample(spark):
@@ -587,3 +603,36 @@ def test_ann_ivf_zero_norm_centroid_guard(spark, emb):
 def test_ivf_centroids_empty_corpus_is_clear_error(spark, emb):
     with pytest.raises(ValueError, match="empty"):
         similarity.ivf_centroids(emb.limit(0), n_centroids=4)
+
+
+def test_dedup_decisions_caches_releasable(spark, docs):
+    """dedup_decisions' two internal persists ride the result as
+    _persisted_deps; release_caches() frees them (unpersist on the
+    returned frame itself was a silent no-op — it was never cached)."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    out = dedup.dedup_decisions(docs.select("doc_id", "text"), threshold=0.5)
+    out.collect()
+    assert dedup.release_caches(out) == 2
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before
+    assert dedup.release_caches(docs) == 0  # frames without deps are a no-op
+
+
+def test_quality_gate_rejects_null_text(spark):
+    """A NULL-text document gates exactly like an empty one (rejected:
+    too_few_tokens).  Before the coalesce every signal was NULL under
+    ANSI, every rule comparison NULL, reasons compacted to [] and the
+    empty document sailed through with keep=true."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the quick brown fox jumps over the lazy "
+                                 "dog and runs away very fast today again")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.quality_gate(df).collect()}
+    assert got[1]["keep"] is False and "too_few_tokens" in got[1]["reasons"]
+    assert got[1]["reasons"] == got[2]["reasons"]
+    assert got[1]["n_tokens"] == 0
