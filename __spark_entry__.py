@@ -724,7 +724,8 @@ def ocr_word_recognition(spark, sf_dir):
 def _ocr_word_recognition_sql() -> str:
     fuzzy = (
         "levenshtein(t.tword, d.dword) <= "
-        "(CASE WHEN length(t.tword) > 3 THEN 3 ELSE 1 END)"
+        "(CASE WHEN least(length(t.tword), length(d.dword)) > 3 "
+        "THEN 3 ELSE 1 END)"
     )
     return f"""
 WITH boxes AS ({dk.boxes_sql("duckdb")}),
@@ -1287,7 +1288,13 @@ def q_span_diff(spark, sf_dir):
 
 
 def _span_diff_sql() -> str:
-    sig = "concat_ws(chr(31), kind, text, media_ref)"
+    # length-prefixed injective signature fields (export.span_diff mirror:
+    # concat_ws skips NULLs, so unprefixed fields alias adjacent values)
+    def sf(f: str) -> str:
+        return (f"CASE WHEN {f} IS NULL THEN chr(29) "
+                f"ELSE concat(cast(length({f}) AS varchar), ':', {f}) END")
+
+    sig = f"concat_ws(chr(31), {sf('kind')}, {sf('text')}, {sf('media_ref')})"
     return f"""
 WITH docs2 AS (
   SELECT doc_id, text || ' snapshot2 tail' AS text, lang, source FROM documents
@@ -1297,15 +1304,23 @@ WITH docs2 AS (
 fa AS (SELECT doc_id, pos, {sig} AS sig_a FROM sa_spans),
 fb AS (SELECT doc_id, pos, {sig} AS sig_b FROM sb_spans),
 j AS (SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id, sig_a, sig_b
-      FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id AND fa.pos = fb.pos)
-SELECT doc_id,
-       CAST(count(sig_a) AS int) AS n_spans_a,
-       CAST(count(sig_b) AS int) AS n_spans_b,
-       CAST(sum(CASE WHEN sig_a = sig_b THEN 1 ELSE 0 END) AS int) AS n_matching,
-       CAST(CASE WHEN count(sig_a) = count(sig_b)
-                  AND sum(CASE WHEN sig_a = sig_b THEN 1 ELSE 0 END) = count(sig_a)
+      FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id AND fa.pos = fb.pos),
+agg AS (
+  SELECT doc_id,
+         CAST(count(sig_a) AS int) AS na,
+         CAST(count(sig_b) AS int) AS nb,
+         CAST(sum(CASE WHEN sig_a = sig_b THEN 1 ELSE 0 END) AS int) AS nm
+  FROM j GROUP BY doc_id
+),
+u AS (SELECT doc_id FROM documents UNION SELECT doc_id FROM docs2)
+SELECT u.doc_id,
+       coalesce(na, 0) AS n_spans_a,
+       coalesce(nb, 0) AS n_spans_b,
+       coalesce(nm, 0) AS n_matching,
+       CAST(CASE WHEN coalesce(na, 0) = coalesce(nb, 0)
+                  AND coalesce(nm, 0) = coalesce(na, 0)
             THEN 1 ELSE 0 END AS int) AS equal
-FROM j GROUP BY doc_id
+FROM u LEFT JOIN agg ON u.doc_id = agg.doc_id
 """
 
 

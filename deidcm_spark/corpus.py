@@ -29,6 +29,7 @@ import base64
 import random
 import string
 from datetime import datetime, timedelta
+from functools import lru_cache
 from typing import Iterator
 
 import pandas as pd
@@ -240,6 +241,9 @@ def case_documents_df(spark):
 
 # tag pool for bulk docs: every recipe tag that is live at runtime (lowercase
 # key) plus the curated case families, giving a realistic action mix.
+# Cached: the pool is a pure module constant and doc_spans runs once per
+# document — rebuilding/sorting ~700 entries per doc was pure waste.
+@lru_cache(maxsize=1)
 def _bulk_tag_pool() -> list[tuple[str, str]]:
     pool: list[tuple[str, str]] = []
     for tag, (kw, vr, action) in sorted(load_general_rules().items()):

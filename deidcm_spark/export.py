@@ -74,7 +74,22 @@ def build_tree(spans: list[dict]) -> dict:
     lexicographically at render time (reference: child_attr.sort(),
     df2dicom.py:123); an empty sequence maps to ``{}``.  Media spans become
     leaves under their synthetic key ``_media`` keyed by media_ref.
+
+    DUPLICATE attribute keys (legal in the span model; the synthetic
+    corpus draws tags with replacement) are preserved, not overwritten:
+    the Nth duplicate is stored under ``key\\x00N`` — JSON-legal, sorts
+    beside its base key — and :func:`flatten_tree` strips the suffix, so
+    the round-trip invariant holds for every span list (the old
+    last-wins assignment silently DROPPED spans from the rendered doc).
     """
+    def _fresh(node: dict, key: str) -> str:
+        if key not in node:
+            return key
+        k = 1
+        while f"{key}\x00{k}" in node:
+            k += 1
+        return f"{key}\x00{k}"
+
     root: dict = {}
     for s in sorted(spans, key=lambda x: x["offset"]):
         if s["kind"] != "text":
@@ -94,16 +109,17 @@ def build_tree(spans: list[dict]) -> dict:
             continue
         leaf = comps[-1]
         if leaf.endswith(EMPTY_SEQ):
-            node[leaf[: -len(EMPTY_SEQ)]] = {"_empty_seq": s["offset"]}
+            node[_fresh(node, leaf[: -len(EMPTY_SEQ)])] = {"_empty_seq": s["offset"]}
         else:
-            node[leaf] = {"v": decode_value(leaf, value), "o": s["offset"]}
+            node[_fresh(node, leaf)] = {"v": decode_value(leaf, value), "o": s["offset"]}
     return root
 
 
 def flatten_tree(tree: dict, prefix: str = "") -> list[dict]:
     """Inverse of build_tree — regenerates the text spans (offset-ordered)."""
     out: list[dict] = []
-    for key, sub in tree.items():
+    for raw_key, sub in tree.items():
+        key = raw_key.split("\x00", 1)[0]  # duplicate-key suffix is internal
         if key == "_media":
             for ref, meta in sub.items():
                 out.append({"kind": "media", "text": "", "media_ref": ref, "offset": meta["o"]})
@@ -168,32 +184,50 @@ def span_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     Per document: span counts on each side, the number of positions whose
     (kind, text, media_ref) agree exactly, and the equality verdict.  Shape:
     posexplode both sides → one full-outer shuffle join on (doc_id, pos) →
-    hash aggregate; at corpus scale both sides partition on doc_id so the
-    join co-locates after one exchange each.
+    hash aggregate joined back onto the doc-id universe; at corpus scale
+    both sides partition on doc_id so the join co-locates after one
+    exchange each.
+
+    Every doc_id present on EITHER side appears in the output — a document
+    whose span arrays are empty on both sides reports (0, 0, 0, equal=1)
+    rather than silently vanishing from a verification table (empty and
+    absent compare equal).  Span fields are length-prefix encoded in the
+    position signature so NULL fields cannot alias adjacent values
+    (concat_ws skips NULLs: text='m1'/media_ref=NULL and text=NULL/
+    media_ref='m1' used to produce identical signatures).
     """
+    def _sig_field(f: str) -> str:
+        # length-prefixed injective field; NULL = the bare \\x1d marker
+        return (
+            f"CASE WHEN s.{f} IS NULL THEN '\x1d' "
+            f"ELSE concat(cast(length(s.{f}) as string), ':', s.{f}) END"
+        )
+
+    sig = ("concat_ws('\x1f', "
+           + ", ".join(_sig_field(f) for f in ("kind", "text", "media_ref"))
+           + ")")
+
     def flat(df: DataFrame, side: str) -> DataFrame:
         return df.select(
             "doc_id", F.posexplode("spans").alias("pos", "s")
-        ).select(
-            "doc_id", "pos",
-            F.concat_ws("\x1f", "s.kind", "s.text", "s.media_ref").alias(f"sig_{side}"),
-        )
+        ).select("doc_id", "pos", F.expr(sig).alias(f"sig_{side}"))
 
+    universe = a.select("doc_id").unionByName(b.select("doc_id")).distinct()
     j = flat(a, "a").join(flat(b, "b"), ["doc_id", "pos"], "full_outer")
-    return (
-        j.groupBy("doc_id")
-        .agg(
-            F.count("sig_a").cast("int").alias("n_spans_a"),
-            F.count("sig_b").cast("int").alias("n_spans_b"),
-            F.sum(
-                F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0)
-            ).cast("int").alias("n_matching"),
-        )
-        .withColumn(
-            "equal",
-            (
-                (F.col("n_spans_a") == F.col("n_spans_b"))
-                & (F.col("n_matching") == F.col("n_spans_a"))
-            ).cast("int"),
-        )
+    agg = j.groupBy("doc_id").agg(
+        F.count("sig_a").cast("int").alias("_na"),
+        F.count("sig_b").cast("int").alias("_nb"),
+        F.sum(
+            F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0)
+        ).cast("int").alias("_nm"),
+    )
+    return universe.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("_na", F.lit(0)).alias("n_spans_a"),
+        F.coalesce("_nb", F.lit(0)).alias("n_spans_b"),
+        F.coalesce("_nm", F.lit(0)).alias("n_matching"),
+        (
+            (F.coalesce("_na", F.lit(0)) == F.coalesce("_nb", F.lit(0)))
+            & (F.coalesce("_nm", F.lit(0)) == F.coalesce("_na", F.lit(0)))
+        ).cast("int").alias("equal"),
     )

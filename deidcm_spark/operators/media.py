@@ -94,26 +94,38 @@ def redact_array(
         if word.upper() in words:  # dictionary exemption (:201)
             continue
         x1, y1, x2, y2 = expand_box(b["x1"], b["y1"], b["x2"], b["y2"], margin)
-        xa, xb = sorted((int(x1), int(x2)))
-        ya, yb = sorted((int(y1), int(y2)))
-        xa, xb = max(0, xa), min(w - 1, xb)
-        ya, yb = max(0, ya), min(h - 1, yb)
+        xa0, xb0 = sorted((int(x1), int(x2)))
+        ya0, yb0 = sorted((int(y1), int(y2)))
+        xa, xb = max(0, xa0), min(w - 1, xb0)
+        ya, yb = max(0, ya0), min(h - 1, yb0)
         if xa > xb or ya > yb:
             continue
         if mode == "blur":
             # crop → ImageFilter.BLUR x30 → paste, exactly the reference's
             # hide_text blur path (:249-253); pil_blur reproduces the
-            # public BLUR ring-kernel spec without PIL.  A crop smaller
-            # than the 5x5 kernel cannot be blurred (PIL raises; the
-            # kernel passes through) — the PHI contract is DESTRUCTION, so
-            # such slivers are mean-filled instead of silently kept.
-            crop = out[ya : yb + 1, xa : xb + 1]
-            if crop.shape[0] < 5 or crop.shape[1] < 5:
+            # public BLUR ring-kernel spec without PIL.  The crop is built
+            # at the UNCLAMPED box size with zero padding where the box
+            # extends past the frame — PIL.Image.crop pads out-of-image
+            # area with 0, which is what puts BLUR's unfiltered 2-px
+            # border in the padding: without it a box clamped to the
+            # image edge left rows/cols 0-1 (and w-1/w-2) UNBLURRED —
+            # boundary PHI pixels survived verbatim.  A crop smaller than
+            # the 5x5 kernel cannot be blurred (PIL raises; the kernel
+            # passes through) — the PHI contract is DESTRUCTION, so such
+            # slivers are mean-filled instead of silently kept.
+            inner = out[ya : yb + 1, xa : xb + 1]
+            bh, bw = yb0 - ya0 + 1, xb0 - xa0 + 1
+            if bh < 5 or bw < 5:
                 out[ya : yb + 1, xa : xb + 1] = np.floor(
-                    crop.mean() + 0.5
+                    inner.mean() + 0.5
                 ).astype(out.dtype)
             else:
-                out[ya : yb + 1, xa : xb + 1] = pil_blur(crop, iterations=30)
+                crop = np.zeros((bh, bw) + out.shape[2:], dtype=out.dtype)
+                crop[ya - ya0 : yb - ya0 + 1, xa - xa0 : xb - xa0 + 1] = inner
+                blurred = pil_blur(crop, iterations=30)
+                out[ya : yb + 1, xa : xb + 1] = blurred[
+                    ya - ya0 : yb - ya0 + 1, xa - xa0 : xb - xa0 + 1
+                ]
         else:
             fill = 255 if color_value == "white" else 0
             out[ya : yb + 1, xa : xb + 1] = fill
@@ -457,7 +469,11 @@ def transform_media(
                         "width": arr.shape[1],
                         "height": arr.shape[0],
                         "channels": 1 if arr.ndim == 2 else arr.shape[2],
-                        "bits": 8,
+                        # derive from the ACTUAL dtype: normalize=False
+                        # leaves 16-bit payloads as uint16, and a
+                        # hard-coded bits=8 would make decode_payload
+                        # misread the buffer (2x element count)
+                        "bits": 16 if arr.dtype.itemsize == 2 else 8,
                         "pixels": arr.tobytes(),
                     }
                 )
@@ -481,6 +497,7 @@ def redaction_plan(
     width: int = MEDIA_DEFAULT_W,
     height: int = MEDIA_DEFAULT_H,
     authorized: frozenset[str] | None = None,
+    dims: DataFrame | None = None,
 ) -> DataFrame:
     """The gate + geometry stage of redaction as PURE Spark SQL (codegen):
     (media_ref, box_idx, xa, ya, xb, yb) fill rectangles after the
@@ -494,6 +511,14 @@ def redaction_plan(
     mapInPandas stage pure pixel fill; at corpus scale the plan is one
     window over media_ref — the same partitioning as the payload join that
     consumes it, so no extra shuffle.
+
+    Clamping: ``dims`` — a (media_ref, width, height) table (e.g. a
+    projection of the payload table) — clamps each rectangle to ITS OWN
+    image, matching redact_array's per-image ``out.shape`` clamp on
+    mixed-size corpora (real ``read_dcm_documents`` ingests vary in
+    Rows/Columns).  Without it the static ``width``/``height`` arguments
+    apply to every image — only correct for uniform corpora like the
+    synthetic 96x96 one.
     """
     from pyspark.sql import Window
 
@@ -517,13 +542,25 @@ def redaction_plan(
         & (F.length("word") > 1)
         & (~F.upper("word").isin(words))
     )
+    if dims is not None:
+        b = b.join(
+            dims.select(
+                "media_ref",
+                (F.col("width") - 1).alias("_xmax"),
+                (F.col("height") - 1).alias("_ymax"),
+            ),
+            "media_ref",
+        )
+        xmax, ymax = F.col("_xmax"), F.col("_ymax")
+    else:
+        xmax, ymax = F.lit(width - 1), F.lit(height - 1)
     planned = b.filter(applied).select(
         "media_ref",
         "box_idx",
         F.greatest(F.lit(0), F.least(ex1, ex2)).alias("xa"),
         F.greatest(F.lit(0), F.least(ey1, ey2)).alias("ya"),
-        F.least(F.lit(width - 1), F.greatest(ex1, ex2)).alias("xb"),
-        F.least(F.lit(height - 1), F.greatest(ey1, ey2)).alias("yb"),
+        F.least(xmax, F.greatest(ex1, ex2)).alias("xb"),
+        F.least(ymax, F.greatest(ey1, ey2)).alias("yb"),
     )
     return planned.filter((F.col("xa") <= F.col("xb")) & (F.col("ya") <= F.col("yb")))
 

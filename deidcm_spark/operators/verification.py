@@ -24,8 +24,17 @@ from pyspark.sql import DataFrame, functions as F
 def fuzzy_match_words(detected: DataFrame, truth: DataFrame) -> DataFrame:
     """Per (media_ref, truth word): was it recognized by any detection?
 
-    ``detected``/``truth``: (media_ref, word).  Fuzzy rule of the reference:
-    levenshtein ≤ 3 when len(word) > 3, else ≤ 1.
+    ``detected``/``truth``: (media_ref, word).  Fuzzy rule of the reference
+    (deid_verification.py:400-409): levenshtein ≤ 3 when
+    ``min(len(detected), len(truth)) > 3``, else ≤ 1 — the MIN of both
+    lengths, so a 2-char detection never fuzzy-claims a long truth word.
+
+    DOCUMENTED DEVIATION: the reference consumes each matched truth word
+    once (a sequential greedy walk over the OCR list); this vectorized
+    reformulation asks "was the truth word matched by ANY detection", so
+    one detection can satisfy several equal-up-to-threshold truth words —
+    an upper bound on the reference's tally that differs only when
+    distinct truth words collide within the threshold on one image.
     """
     d = detected.select("media_ref", F.upper("word").alias("dword"))
     t = truth.select("media_ref", F.upper("word").alias("tword"))
@@ -34,7 +43,9 @@ def fuzzy_match_words(detected: DataFrame, truth: DataFrame) -> DataFrame:
         F.when(F.col("dword").isNull(), F.lit(0))
         .when(
             F.levenshtein("tword", "dword")
-            <= F.when(F.length("tword") > 3, 3).otherwise(1),
+            <= F.when(
+                F.least(F.length("tword"), F.length("dword")) > 3, 3
+            ).otherwise(1),
             F.lit(1),
         )
         .otherwise(F.lit(0)),

@@ -28,7 +28,10 @@ _SPECIAL_RE = re.compile(r"^(0x60[0-9a-f]{2}[3-4]{1}000|0x50[0-9a-f]{6})$")
 def _rule_for_tag(tag: str) -> str:
     if _SPECIAL_RE.match(tag):
         return "RETIRER"
-    if int(tag[2:6], 16) % 2 == 1:
+    try:  # malformed '0x…' token → zero-trust (rules.general_rule twin)
+        if int(tag[2:6], 16) % 2 == 1:
+            return "RETIRER"
+    except ValueError:
         return "RETIRER"
     entry = load_general_rules().get(tag)
     if entry is None:

@@ -62,7 +62,15 @@ def extract_vr(attr_el: list[str]) -> str:
 
 
 def general_rule(tag: str, rules: dict[str, tuple[str, str, str]]) -> str:
-    if _CURVE_OVERLAY_RE.match(tag) or int(tag[2:6], 16) % 2:
+    # zero-trust for MALFORMED tags too: extract_tags keeps any '_'-split
+    # token starting with '0x', so free-text spans can deliver '0xzz…' or
+    # a bare '0x' — int() raising here would kill the executor task (the
+    # availability bug the unknown-action fallback already guards against)
+    try:
+        odd_group = int(tag[2:6], 16) % 2
+    except ValueError:
+        return RETIRER
+    if _CURVE_OVERLAY_RE.match(tag) or odd_group:
         return RETIRER
     hit = rules.get(tag)
     return hit[2] if hit is not None else RETIRER

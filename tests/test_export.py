@@ -77,3 +77,24 @@ def test_export_corpus_sinks(spark, tmp_path):
     meta = spark.read.option("header", True).csv(f"{out}/meta")
     assert meta.count() == 30
     assert set(meta.columns) == {"doc_id", "n_spans", "n_media"}
+
+
+def test_tree_roundtrip_with_duplicate_keys():
+    """The synthetic corpus draws tags with replacement, so one document
+    can carry the same attribute key twice.  build_tree must preserve
+    BOTH (the old last-wins dict assignment silently dropped spans from
+    the rendered doc), and the flatten round-trip must regenerate them."""
+    from deidcm_spark.export import build_tree, flatten_tree
+
+    key = "PatientAge_0x00101010_IS_1____"
+    spans = [
+        {"kind": "text", "text": f"{key}=30", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "Other_0x00100020_LO_1____=x", "media_ref": "", "offset": 1},
+        {"kind": "text", "text": f"{key}=45", "media_ref": "", "offset": 2},
+    ]
+    tree = build_tree(spans)
+    back = flatten_tree(tree)
+    assert back == spans  # nothing lost, offsets and order preserved
+    import json
+    rendered = json.dumps(tree, sort_keys=True)
+    assert rendered.count("0x00101010") == 2

@@ -5,7 +5,12 @@ import numpy as np
 import pytest
 
 from deidcm_spark import corpus
-from deidcm_spark.operators.media import decode_payload, redact_array, redact_media
+from deidcm_spark.operators.media import (
+    decode_payload,
+    redact_array,
+    redact_media,
+    redaction_plan,
+)
 from deidcm_spark.oracle import redact_pixels_oracle
 
 SEED = 5
@@ -158,3 +163,39 @@ def test_decode_frame_modes_and_window():
     assert np.array_equal(
         lut, lut_window_level(deep, 20000, 22000).astype(np.uint8))
     assert lut.dtype == np.uint8
+
+
+def test_blur_destroys_boundary_pixels_when_box_clamps():
+    """A box whose margin-expanded rectangle extends past the frame must
+    blur the image-boundary pixels too: the crop is built at the
+    unclamped size with zero padding (PIL.Image.crop semantics), so
+    BLUR's unfiltered 2-px border lands in the padding, not on rows/cols
+    0-1 where burned-in text used to survive verbatim."""
+    img = np.full((40, 40), 30, dtype=np.uint8)
+    img[0:8, 0:12] = 200  # burned-in text touching the corner
+    out = redact_array(
+        img, [_box(0, 0, 0, 11, 7, "TXT")], mode="blur", margin=300
+    )
+    # no pixel of the text block survives unchanged — including (0,0)
+    assert not np.any(out[0:8, 0:12] == 200)
+    assert out.shape == img.shape
+
+
+def test_redaction_plan_per_image_dims(spark):
+    """With a dims table the plan clamps each rectangle to ITS OWN image
+    (redact_array parity on mixed-size corpora); the static width/height
+    arguments only fit uniform corpora."""
+    boxes = spark.createDataFrame(
+        [("big", 0, 10, 10, 150, 150, 0.9, "SECRET"),
+         ("small", 0, 10, 10, 150, 150, 0.9, "SECRET")],
+        "media_ref string, box_idx int, x1 int, y1 int, x2 int, y2 int, "
+        "confidence double, word string",
+    )
+    dims = spark.createDataFrame(
+        [("big", 200, 180), ("small", 64, 48)],
+        "media_ref string, width int, height int",
+    )
+    plan = {r["media_ref"]: r for r in redaction_plan(
+        boxes, margin=0, dims=dims).collect()}
+    assert (plan["big"]["xb"], plan["big"]["yb"]) == (150, 150)
+    assert (plan["small"]["xb"], plan["small"]["yb"]) == (63, 47)

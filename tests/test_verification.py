@@ -135,3 +135,16 @@ def test_ghost_word_check_post_redaction(spark):
         if r["n_rects"] > 0 and lum_after[ref] < r["mean_luminance"]
     ]
     assert len(dropped) == len([r for r in before.values() if r["n_rects"] > 0])
+
+
+def test_fuzzy_threshold_uses_min_length(spark):
+    """Reference rule (deid_verification.py:400-409): the band is chosen
+    by min(len(detected), len(truth)) — a 2-char OCR fragment must not
+    fuzzy-claim a 5-char truth word at distance 3."""
+    truth = spark.createDataFrame([("m1", "JTRX4")], "media_ref string, word string")
+    det = spark.createDataFrame([("m1", "JT")], "media_ref string, word string")
+    m = fuzzy_match_words(det, truth).collect()[0]
+    assert m["recognized"] == 0  # lev('JTRX4','JT')=3 but min-len band is <=1
+    det2 = spark.createDataFrame([("m1", "JTRX")], "media_ref string, word string")
+    m2 = fuzzy_match_words(det2, truth).collect()[0]
+    assert m2["recognized"] == 1  # min len 4 > 3 -> band <=3, lev=1
