@@ -1238,7 +1238,11 @@ def _ingest_spans_cte(rel: str, p: str) -> str:
     (doc_id, text, lang, source) relation ``rel``; CTE names prefixed with
     ``p`` so two snapshots can coexist in one WITH chain (span_diff)."""
     d = "CAST(doc_id AS varchar)"
-    n_chunks = "CAST(greatest(ceil(length(text) / 200.0) - 1, 0) AS int)"
+    # ingest._DID mirror: non-numeric doc_ids (the WARC lane) fall back to
+    # the first char's codepoint; NULL text/lang/source coalesce to ''
+    did = ("coalesce(try_cast(doc_id AS bigint), "
+           "ascii(substring(CAST(doc_id AS varchar), 1, 1)), 0)")
+    n_chunks = "CAST(greatest(ceil(length(coalesce(text, '')) / 200.0) - 1, 0) AS int)"
     return f"""{p}meta AS (
   SELECT {d} AS doc_id, 0 AS pos, 'text' AS kind,
          'SOPInstanceUID_0x00080018_UI_1____=1.2.840.' || {d} AS text,
@@ -1250,19 +1254,19 @@ def _ingest_spans_cte(rel: str, p: str) -> str:
   UNION ALL
   SELECT {d}, 2, 'text',
          'StudyDate_0x00080020_DA_1____=2023'
-         || lpad(CAST(doc_id % 12 + 1 AS varchar), 2, '0')
-         || lpad(CAST(doc_id % 28 + 1 AS varchar), 2, '0'), ''
+         || lpad(CAST({did} % 12 + 1 AS varchar), 2, '0')
+         || lpad(CAST({did} % 28 + 1 AS varchar), 2, '0'), ''
   FROM {rel}
   UNION ALL
   SELECT {d}, 3, 'text',
-         'SpecificCharacterSet_0x00080005_CS_1____=' || lang, '' FROM {rel}
+         'SpecificCharacterSet_0x00080005_CS_1____=' || coalesce(lang, ''), '' FROM {rel}
   UNION ALL
   SELECT {d}, 4, 'text',
-         'InstitutionName_0x00080080_LO_1____=' || source, '' FROM {rel}
+         'InstitutionName_0x00080080_LO_1____=' || coalesce(source, ''), '' FROM {rel}
 ),
 {p}chunks AS (
   SELECT {d} AS doc_id, 5 + i AS pos, 'text' AS kind,
-         'ImageComments_0x00204000_LT_1____=' || substr(text, i * 200 + 1, 200) AS text,
+         'ImageComments_0x00204000_LT_1____=' || substr(coalesce(text, ''), i * 200 + 1, 200) AS text,
          '' AS media_ref
   FROM {rel}, unnest(generate_series(0, {n_chunks})) AS t(i)
 ),

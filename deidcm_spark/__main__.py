@@ -64,12 +64,19 @@ supports it:
 Examples:
 
   spark-submit --master local[32] --py-files deidcm_spark.zip \\
+      --driver-java-options "-XX:+UseParallelGC" --driver-memory 8g \\
       -m deidcm_spark deid --input in.parquet --output out/ \\
       --org-root 9.9.9.9.9 --salt s1 --resume
 
 (For ``spark-submit`` + ``-m`` on Spark versions without module support,
 an equivalent one-line driver script works: ``from deidcm_spark.__main__
 import main; main()``.)
+
+Pass ``--driver-java-options``/``--driver-memory`` ON THE SUBMIT LINE:
+they are JVM-launch options, so the equivalent confs session.get_spark
+sets are inert once spark-submit has started the driver JVM — and
+ParallelGC is measured load-bearing here (BENCH/BASELINE.md, >2x on the
+deid lane).
 """
 
 from __future__ import annotations
@@ -778,9 +785,7 @@ def cmd_domainfilter(args) -> dict:
     from deidcm_spark.operators.linkgraph import domain_filter
 
     df = spark.read.parquet(args.input)
-    if args.blocklist.endswith(".parquet") or args.blocklist.rstrip("/").endswith(
-        ".parquet"
-    ):
+    if args.blocklist.rstrip("/").endswith(".parquet"):
         bl = spark.read.parquet(args.blocklist)
     else:
         bl = spark.read.text(args.blocklist).select(

@@ -15,7 +15,7 @@ non-SQL-expressible:
   ``similarity.signature_expr`` as explicit unrolled double chains
   (1-based list indexing, same IEEE accumulation order).
 * :func:`boxes_sql` — the SQL-expressible OCR-box corpus (shared
-  two-dialect spec with ``corpus.synth_boxes_sql_df``): every coordinate /
+  two-dialect spec; the Spark twin is ``__spark_entry__._sql_boxes``, which runs ``boxes_sql('spark')`` through ``spark.sql``): every coordinate /
   word / confidence is md5 arithmetic over doc_id, so Spark and DuckDB
   derive the identical box table from the ``documents`` view.
 """
@@ -121,6 +121,14 @@ def _h(key: str, dialect: str) -> str:
     return f"CAST(concat('0x', substr(md5({key}), 1, 8)) AS bigint)"
 
 
+def _media_gate(media_rate_millis: int) -> str:
+    """THE media-membership predicate (corpus.has_media twin) — one copy
+    shared by boxes_sql (both dialects) and media_universe_sql: an edit to
+    one inlined copy would silently diverge the confusion matrix's TN
+    population from the box corpus (dialect-identical text)."""
+    return f"(doc_id % 1000003) * 2246822519 % 1000 < {media_rate_millis}"
+
+
 def boxes_sql(dialect: str, media_rate_millis: int = 500) -> str:
     """SELECT producing (media_ref, box_idx, x1, y1, x2, y2, word,
     confidence) from the ``documents`` relation.  Same text modulo dialect
@@ -150,7 +158,7 @@ def boxes_sql(dialect: str, media_rate_millis: int = 500) -> str:
         frame = f"""
   SELECT doc_id, {h_n} % 5 AS n_boxes, {h_lc} % 100 < 15 AS low_conf_first
   FROM documents
-  WHERE (doc_id % 1000003) * 2246822519 % 1000 < {media_rate_millis}
+  WHERE {_media_gate(media_rate_millis)}
 """
         body = f"""
 SELECT concat('m_sql_', CAST(doc_id AS {s})) AS media_ref,
@@ -180,7 +188,7 @@ SELECT 'm_sql_' || CAST(doc_id AS varchar) AS media_ref,
 FROM (
   SELECT doc_id, {h_n} % 5 AS n_boxes, {h_lc} % 100 < 15 AS low_conf_first
   FROM documents
-  WHERE (doc_id % 1000003) * 2246822519 % 1000 < {media_rate_millis}
+  WHERE {_media_gate(media_rate_millis)}
 ) f, unnest(generate_series(0, CAST(n_boxes AS int) - 1)) AS t(b)
 WHERE n_boxes > 0
 """
@@ -192,5 +200,5 @@ def media_universe_sql(dialect: str, media_rate_millis: int = 500) -> str:
     s = "string" if dialect == "spark" else "varchar"
     return (
         f"SELECT concat('m_sql_', CAST(doc_id AS {s})) AS media_ref "
-        f"FROM documents WHERE (doc_id % 1000003) * 2246822519 % 1000 < {media_rate_millis}"
+        f"FROM documents WHERE {_media_gate(media_rate_millis)}"
     )

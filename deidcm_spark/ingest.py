@@ -17,7 +17,15 @@ from pyspark.sql import DataFrame, functions as F
 CHUNK = 200
 
 # body chunks ride ImageComments (0x00204000, LT) — a recipe-governed tag;
-# metadata spans use real recipe tags so every action class is exercised
+# metadata spans use real recipe tags so every action class is exercised.
+# doc_id may be NON-NUMERIC (the WARC lane's md5-hex ids): date arithmetic
+# goes through try_cast with an ascii fallback (ANSI would otherwise raise
+# CAST_INVALID_INPUT), and text/lang/source are coalesced — a NULL field
+# must never null-propagate into a span's text (the correctness surface).
+# Mirrored verbatim in __spark_entry__._ingest_spans_cte.
+_DID = ("coalesce(try_cast(doc_id as bigint), "
+        "ascii(substring(cast(doc_id as string), 1, 1)), 0)")
+
 _SPAN_EXPR = f"""
 concat(
   array(
@@ -28,19 +36,19 @@ concat(
                  'text', concat('PatientName_0x00100010_PN_1____=Doc ', cast(doc_id as string), ' Author'),
                  'media_ref', '', 'offset', 1),
     named_struct('kind', 'text',
-                 'text', concat('StudyDate_0x00080020_DA_1____=2023', lpad(cast(doc_id % 12 + 1 as string), 2, '0'), lpad(cast(doc_id % 28 + 1 as string), 2, '0')),
+                 'text', concat('StudyDate_0x00080020_DA_1____=2023', lpad(cast({_DID} % 12 + 1 as string), 2, '0'), lpad(cast({_DID} % 28 + 1 as string), 2, '0')),
                  'media_ref', '', 'offset', 2),
     named_struct('kind', 'text',
-                 'text', concat('SpecificCharacterSet_0x00080005_CS_1____=', lang),
+                 'text', concat('SpecificCharacterSet_0x00080005_CS_1____=', coalesce(lang, '')),
                  'media_ref', '', 'offset', 3),
     named_struct('kind', 'text',
-                 'text', concat('InstitutionName_0x00080080_LO_1____=', source),
+                 'text', concat('InstitutionName_0x00080080_LO_1____=', coalesce(source, '')),
                  'media_ref', '', 'offset', 4)
   ),
   transform(
-    sequence(0, cast(greatest(ceil(length(text) / {CHUNK}.0) - 1, 0) as int)),
+    sequence(0, cast(greatest(ceil(length(coalesce(text, '')) / {CHUNK}.0) - 1, 0) as int)),
     i -> named_struct('kind', 'text',
-                      'text', concat('ImageComments_0x00204000_LT_1____=', substring(text, i * {CHUNK} + 1, {CHUNK})),
+                      'text', concat('ImageComments_0x00204000_LT_1____=', substring(coalesce(text, ''), i * {CHUNK} + 1, {CHUNK})),
                       'media_ref', '', 'offset', 5 + i)
   )
 )

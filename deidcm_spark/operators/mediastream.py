@@ -148,6 +148,16 @@ def audio_features(audio: DataFrame) -> DataFrame:
             cols = [pdf[c].to_numpy() for c in AUDIO_COLS]
             for ref, sr, ch, buf in zip(*cols):
                 sr, ch = int(sr), int(ch)
+                # every validation error carries the clip's media_ref —
+                # a bare ZeroDivisionError / numpy buffer error from deep
+                # inside a task is undebuggable at corpus scale
+                if sr < 1:
+                    raise ValueError(f"{ref}: sample_rate={sr} invalid")
+                if len(buf) % 2:
+                    raise ValueError(
+                        f"{ref}: {len(buf)}-byte PCM16 buffer has an odd "
+                        f"length (torn write?)"
+                    )
                 flat = np.frombuffer(buf, dtype="<i2")
                 if ch < 1 or len(flat) % ch:
                     raise ValueError(

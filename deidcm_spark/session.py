@@ -52,6 +52,13 @@ def get_spark(
     shuffle_partitions: int = 32,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # NOTE (spark-submit drives): spark.driver.extraJavaOptions and
+    # spark.driver.memory are JVM-LAUNCH options — set here they only take
+    # effect when THIS call launches the JVM (python script / pytest).
+    # Under `spark-submit run.py` the driver JVM already exists, so pass
+    # them on the submit line (`--driver-java-options "$DRIVER_JAVA_OPTIONS"
+    # --driver-memory 8g`) like tools/bench_common.py does — CLAUDE.md
+    # measured ParallelGC as load-bearing (>2x on the deid lane).
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     apply_worker_env()
     local_dir = (

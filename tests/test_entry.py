@@ -130,3 +130,35 @@ def test_quality_gate_survives_driver_canonicalizer(spark):
     canon = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
     assert len(canon) == len(pdf)
     assert canon["reasons"].map(type).eq(str).all()
+
+
+def test_ingest_handles_string_ids_and_null_fields(spark):
+    """The WARC lane feeds md5-hex doc_ids into the ingest span synth:
+    date arithmetic must not ANSI-raise on a non-numeric id, and NULL
+    text/lang/source must never null-propagate into a span's text (both
+    mirrored in the DuckDB CTE — a cross-engine spot check runs here)."""
+    import duckdb
+
+    from deidcm_spark.ingest import documents_to_spans
+    import __spark_entry__ as e
+
+    df = spark.createDataFrame(
+        [("9e107d9d2a", "hello world", None, None),
+         ("12", None, "en", "s")],
+        "doc_id string, text string, lang string, source string",
+    )
+    got = {r["doc_id"]: [s["text"] for s in r["spans"]]
+           for r in documents_to_spans(df).collect()}
+    assert all(t is not None for texts in got.values() for t in texts)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS "
+        "SELECT '9e107d9d2a' AS doc_id, 'hello world' AS text, "
+        "CAST(NULL AS varchar) AS lang, CAST(NULL AS varchar) AS source "
+        "UNION ALL SELECT '12', NULL, 'en', 's'"
+    )
+    duck: dict = {}
+    for doc_id, pos, _kind, text, _mr in con.sql(e._ingest_spans_sql()).fetchall():
+        duck.setdefault(doc_id, {})[pos] = text
+    for k, texts in got.items():
+        assert texts == [duck[k][i] for i in sorted(duck[k])]

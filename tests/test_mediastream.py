@@ -124,3 +124,31 @@ def test_lanes_are_zero_shuffle(spark, videos):
         plan = (df._jdf.queryExecution().executedPlan().toString()
                 .split("== Initial Plan ==")[0])
         assert "Exchange" not in plan and "MapInPandas" in plan
+
+
+def test_audio_features_ref_tagged_validation(spark):
+    """Bad metadata / torn payloads must fail with the clip's media_ref in
+    the message — a bare ZeroDivisionError or numpy buffer error from deep
+    inside a task is undebuggable at corpus scale."""
+    import pytest as _pytest
+
+    from deidcm_spark.operators.mediastream import audio_features
+
+    base = {"sample_rate": 8000, "n_channels": 1, "pcm": b"\x01\x00\x02\x00"}
+    bad_rate = spark.createDataFrame(
+        [("a/clip", 0, 1, b"\x01\x00")],
+        "media_ref string, sample_rate int, n_channels int, pcm binary",
+    )
+    with _pytest.raises(Exception, match="a/clip.*sample_rate"):
+        audio_features(bad_rate).collect()
+    torn = spark.createDataFrame(
+        [("a/torn", 8000, 1, b"\x01\x00\x02")],
+        "media_ref string, sample_rate int, n_channels int, pcm binary",
+    )
+    with _pytest.raises(Exception, match="a/torn.*odd"):
+        audio_features(torn).collect()
+    ok = spark.createDataFrame(
+        [("a/ok", base["sample_rate"], base["n_channels"], base["pcm"])],
+        "media_ref string, sample_rate int, n_channels int, pcm binary",
+    )
+    assert audio_features(ok).collect()[0]["n_samples"] == 2
