@@ -25,6 +25,7 @@ oracle SQL (the driver hashes values after sorting columns by name).
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -671,9 +672,17 @@ WITH clicks AS (
   SELECT event_id, user_id, ts FROM events
   WHERE event_type = 'click' AND user_id <= 150
 ),
+-- the Spark operator tie-breaks equal-(user_id, ts) views by LARGEST
+-- event_id (seq_col); DuckDB's ASOF picks an arbitrary row on ties, so
+-- the view side is reduced to that winner FIRST — otherwise a corpus
+-- with a timestamp collision makes this oracle flaky
 views AS (
-  SELECT event_id, user_id, ts, value FROM events
+  SELECT user_id, ts,
+         max(event_id) AS event_id,
+         arg_max(value, event_id) AS value
+  FROM events
   WHERE event_type = 'view' AND user_id <= 150
+  GROUP BY user_id, ts
 )
 SELECT c.event_id, c.user_id,
        v.event_id AS view_event_id, v.value AS view_value
@@ -887,7 +896,8 @@ def q_ann_threshold(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # main-content extraction lane (north_rule: HTML boilerplate strip, DOM
-# heuristics, layout parse) — SQL tiers oracle-checked, DOM tier rows-only
+# heuristics, layout parse) — ALL tiers oracle-checked (the DOM/layout
+# tiers via full DuckDB re-derivations of the synthetic page template)
 # ---------------------------------------------------------------------------
 
 def q_html_signals(spark, sf_dir):
@@ -931,8 +941,10 @@ def q_html_signals(spark, sf_dir):
 # footer line shared by EVERY document, a 7-class and a 3-class modular
 # line, and a whitespace-only line (ineligible — must always survive)
 def _lines_synth_expr(cast_ty: str) -> str:
+    # coalesce: Spark concat NULL-propagates, DuckDB's ignores NULLs —
+    # see _phi_text_expr
     return (
-        "concat(text, chr(10), 'shared footer line', chr(10), "
+        "concat(coalesce(text, ''), chr(10), 'shared footer line', chr(10), "
         "'para ', cast(doc_id % 7 AS {t}), chr(10), '  ', chr(10), "
         "'tail ', cast(doc_id % 3 AS {t}))"
     ).format(t=cast_ty)
@@ -1002,9 +1014,10 @@ def q_quality_classifier(spark, sf_dir):
 
 
 def q_extract_main_content(spark, sf_dir):
-    """DOM-heuristic extraction into the interleaved span schema (rows-only:
-    the tokenizer/classifier is not ANSI-SQL-expressible; pytest-verified
-    against the independent template oracle in tests/test_extract.py)."""
+    """DOM-heuristic extraction into the interleaved span schema.
+    Fully oracle-checked since r3: _extract_main_sql re-derives the block
+    segmentation + gates over the synthetic page template in DuckDB SQL
+    (plus the independent template oracle in tests/test_extract.py)."""
     html = extract.with_html(_load(spark, sf_dir, "documents"))
     out = extract.extract_main_content(html)
     return out.select(
@@ -1016,9 +1029,13 @@ _PHI_NAMES = ["dupont", "martin", "bernard"]
 
 # deterministic PHI salting of the documents text — one spec, two dialects
 def _phi_text_expr(dialect: str) -> str:
+    # coalesce(text, ''): Spark concat NULL-propagates, DuckDB concat
+    # IGNORES NULL args — a NULL text row would silently diverge the two
+    # engines (Spark NULL vs DuckDB footer-only text)
     s = "string" if dialect == "spark" else "varchar"
     return (
-        f"concat(text, ' seen 2022-03-', lpad(cast(doc_id % 28 + 1 as {s}), 2, '0'),"
+        f"concat(coalesce(text, ''), ' seen 2022-03-',"
+        f" lpad(cast(doc_id % 28 + 1 as {s}), 2, '0'),"
         f" ' at 09:1', cast(doc_id % 10 as {s}), ':33 by user',"
         f" cast(doc_id as {s}), '@site.fr')"
     )
@@ -1047,7 +1064,7 @@ def q_phi_scrub_uids(spark, sf_dir):
     d = _load(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(
-            "concat(text, ' uid 1.2.840.', cast(doc_id % 50 as string), '.99')"
+            "concat(coalesce(text, ''), ' uid 1.2.840.', cast(doc_id % 50 as string), '.99')"
         ).alias("text"),
     )
     return scrub.scrub_documents(d, ORG_ROOT, _PHI_NAMES).select("doc_id", "text")
@@ -1061,7 +1078,7 @@ def _phi_scrub_uids_sql() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id,
-         concat(text, ' uid 1.2.840.', CAST(doc_id % 50 AS varchar), '.99') AS text0,
+         concat(coalesce(text, ''), ' uid 1.2.840.', CAST(doc_id % 50 AS varchar), '.99') AS text0,
          '1.2.840.' || CAST(doc_id % 50 AS varchar) || '.99' AS uid
   FROM documents
 ){frag}
@@ -1071,7 +1088,8 @@ SELECT doc_id, {chain} AS text FROM {last}
 
 def q_layout_parse(spark, sf_dir):
     """PDF/layout lane: deterministic LAYOUT1 payloads parsed into
-    reading-order spans, page chrome dropped (rows-only)."""
+    reading-order spans, page chrome dropped.  Fully oracle-checked:
+    _layout_parse_sql re-derives the LAYOUT1 directive walk in DuckDB."""
     lay = extract.with_layout(_load(spark, sf_dir, "documents"))
     out = extract.parse_layout(lay)
     return out.select(
@@ -1189,7 +1207,12 @@ def _deid_ingest_sql() -> str:
     recipe_values = ",\n".join(f"('{t}', '{a}')" for t, a in _hex_recipe_rows())
     meta_vals = ", ".join(f"('{t}')" for t in _INGEST_TAGS)
     all_vals = ", ".join(f"('{t}')" for t in _INGEST_TAGS + [_INGEST_COM_TAG])
-    n_chunks = "CAST(greatest(ceil(length(text) / 200.0) - 1, 0) AS int)"
+    # SPEC TWIN: _INGEST_TAGS and this chunk-count expression re-derive the
+    # ingest span LAYOUT of deidcm_spark.ingest._SPAN_EXPR (the full-text
+    # mirror lives in _ingest_spans_cte) — an ingest-layout change (new
+    # meta tag, chunk size) must update BOTH; the coalesce matches
+    # ingest's NULL-text hardening
+    n_chunks = "CAST(greatest(ceil(length(coalesce(text, '')) / 200.0) - 1, 0) AS int)"
     return f"""
 WITH recipe(rtag, action) AS (VALUES {recipe_values}),
 resolved AS (
@@ -2020,7 +2043,8 @@ FROM dots WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.999
 """
 
 
-def oracle_sql() -> dict[str, str]:
+@lru_cache(maxsize=1)
+def _oracle_sql_cached() -> dict[str, str]:
     jac = _bands_sql(_DOUBLED_SQL)
     return {
         "q1_pricing_summary": """
@@ -2225,3 +2249,11 @@ GROUP BY s.doc_id
         "pack_shards": _pack_shards_sql(),
         "stratified_sample": _stratified_sample_sql(),
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """Public contract accessor.  Building the ~50 SQL strings includes
+    running the pure-Python deid oracle over the 300-doc synthetic corpus
+    (VALUES rendering) — deterministic by design, so it is built once and
+    returned as a fresh dict each call so no caller can mutate the cache."""
+    return dict(_oracle_sql_cached())

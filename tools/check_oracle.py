@@ -7,6 +7,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 
@@ -44,14 +45,22 @@ TABLES = [
 
 
 def canon(v) -> str:
+    """FULL-precision canonicalization — the driver hashes the values the
+    entries emit, so the local gate must too: the old 6-significant-digit
+    collapse certified values the driver could reject (sum_base_price ~3e9
+    tolerated ~1e4 of cross-engine drift).  Entries pre-round every float
+    (CLAUDE.md), so exact repr equality is the contract.  DuckDB DECIMAL
+    results normalize through float first ('123.400' vs '123.4')."""
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, bool):
-        return str(int(v))
+        return repr(v)
     return str(v)
 
 
@@ -75,6 +84,17 @@ def main():
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # the driver caps the CORRECTNESS artifact at 50 entries and SILENTLY
+    # drops the 51st (r2 observation, CLAUDE.md invariant) — fail loudly
+    if len(queries) != 50:
+        raise SystemExit(
+            f"queries() has {len(queries)} entries — the driver contract is "
+            f"EXACTLY 50 (a 51st is silently dropped); merge or split entries"
+        )
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd name would otherwise skip everything and print ALL OK
+        raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
