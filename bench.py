@@ -41,7 +41,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -75,8 +74,9 @@ PREV = {
 
 
 def _sf() -> float:
-    m = re.search(r"sf([0-9.]+)", SF_DIR)
-    return float(m.group(1)) if m else 0.1
+    from tools.bench_common import sf_from_dir
+
+    return sf_from_dir(SF_DIR)
 
 
 # the driver keeps the last 2000 stdout chars; leave headroom for a

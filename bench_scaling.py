@@ -154,14 +154,34 @@ def _run_level_once(cores: int) -> dict:
     )
 
 
+SCALING_MARKER = "/tmp/scaling_corpora_marker.json"
+
+
+def _corpus_marker() -> dict:
+    return {"n_docs": N_DOCS, "html_replicas": HTML_REPLICAS,
+            "fp_rows": FP_ROWS, "fp_buckets": FP_BUCKETS}
+
+
 def main() -> None:
+    # identity marker, not just _SUCCESS (the bench_worker MARKER pattern,
+    # r3 review finding 3): a stale corpus built with different
+    # SCALING_N_DOCS/HTML_REPLICAS/FP_ROWS would otherwise silently back
+    # evidence labeled with the CURRENT env values
+    marker_ok = False
+    if os.path.exists(SCALING_MARKER):
+        try:
+            marker_ok = json.load(open(SCALING_MARKER)) == _corpus_marker()
+        except (ValueError, OSError):
+            marker_ok = False
     if not (
-        os.path.exists(os.path.join(CORPUS, "_SUCCESS"))
+        marker_ok
+        and os.path.exists(os.path.join(CORPUS, "_SUCCESS"))
         and os.path.exists(os.path.join(HTML_CORPUS, "_SUCCESS"))
         and os.path.exists(os.path.join(FP_CORPUS, "_SUCCESS"))
         and os.path.exists(os.path.join(FP_TABLE_LOC, "_SUCCESS"))
     ):
         prepare_corpus()
+        json.dump(_corpus_marker(), open(SCALING_MARKER, "w"))
 
     samples: dict[int, list[dict]] = {c: [] for c in LEVELS}
     for _ in range(RUNS_PER_LEVEL):  # interleaved rounds

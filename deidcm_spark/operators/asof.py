@@ -62,11 +62,30 @@ def asof_join(
     p_type = T.StructType(
         [T.StructField(c, right.schema[c].dataType, True) for c in struct_cols]
     )
+    for internal in ("_side", "_p", "_pc"):
+        if internal in left_cols:
+            raise ValueError(
+                f"left frame carries the reserved internal column "
+                f"{internal!r} — rename it before asof_join"
+            )
+    clashes = [c for c in payload_cols if f"{prefix}{c}" in left_cols]
+    if clashes:
+        raise ValueError(
+            f"output column(s) {[prefix + c for c in clashes]} already "
+            f"exist on the left frame — pick another prefix"
+        )
     tag_left = (
         left.withColumn("_side", F.lit(1))
         .withColumn("_p", F.lit(None).cast(p_type))
     )
-    tag_right = right.select(
+    # DuckDB-ASOF parity on NULLs (the documented oracle semantics):
+    # a right row with NULL ts never matches (ts >= NULL is never true —
+    # unfiltered it sorts FIRST under asc and leaks its payload into every
+    # left row), and NULL keys never join (NULL = NULL is not a match —
+    # partitionBy would otherwise group all null-key rows together)
+    tag_right = right.filter(
+        F.col(ts).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("_side"),

@@ -108,3 +108,37 @@ def test_range_join_validates_args(spark):
         range_join(pts, ivs, "k", "x", "s", "e", bin_width=0)
     with pytest.raises(ValueError, match="how"):
         range_join(pts, ivs, "k", "x", "s", "e", bin_width=10, how="outer")
+
+
+def test_asof_join_null_semantics_match_duckdb(spark):
+    """DuckDB-ASOF parity (the operator's documented oracle semantics):
+    a right row with NULL ts never matches (it used to sort FIRST and
+    leak its payload into every left row), NULL keys never join (NULL =
+    NULL is not an equality match), and a left row with NULL ts gets a
+    NULL payload.  Reserved/colliding column names are loud errors."""
+    import pytest as _pytest
+
+    from deidcm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, None, 100), (3, 10, None)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(99, 10, None, 5.0),    # NULL ts: never matches
+         (98, None, 50, 6.0),    # NULL key: never matches
+         (97, 10, 40, 7.0)],     # the only legitimate match (for event 1)
+        "event_id long, user_id long, ts long, value double",
+    )
+    out = {r["event_id"]: (r["asof_event_id"], r["asof_value"])
+           for r in asof_join(left, right, "user_id", "ts",
+                              ["event_id", "value"], seq_col="event_id").collect()}
+    assert out[1] == (97, 7.0)
+    assert out[2] == (None, None)  # NULL-key left row: no phantom match
+    assert out[3] == (None, None)  # NULL-ts left row: nothing is <= NULL
+    with _pytest.raises(ValueError, match="_side"):
+        asof_join(left.withColumn("_side", left.event_id), right,
+                  "user_id", "ts", ["value"])
+    with _pytest.raises(ValueError, match="prefix"):
+        asof_join(left.withColumn("asof_value", left.event_id), right,
+                  "user_id", "ts", ["value"])

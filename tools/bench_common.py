@@ -38,27 +38,48 @@ def spark_submit_json(
     JSON line it prints (None when ``require_json=False`` and the child
     exited 0 without printing one — the prepare-mode contract)."""
     env = dict(os.environ, PYTHONPATH=REPO, **WORKER_ENV)
+    # same writability guard as session.get_spark — the recipe this module
+    # exists to unify must not diverge from the session factory's handling
+    local_dir = (
+        "/dev/shm/spark-local"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else "/tmp/spark-local"
+    )
     res = subprocess.run(
         pin_args(cores)
         + [
             "spark-submit", "--master", f"local[{cores}]",
             "--driver-java-options", DRIVER_JAVA_OPTIONS,
             "--conf", "spark.driver.memory=12g",
-            "--conf", "spark.local.dir=/dev/shm/spark-local",
+            "--conf", f"spark.local.dir={local_dir}",
             script,
         ]
         + args,
         capture_output=True, text=True, cwd=REPO, env=env, timeout=timeout,
     )
-    for line in res.stdout.splitlines():
-        if line.startswith("{"):
-            return json.loads(line)
-    if not require_json and res.returncode == 0:
-        return None
+    if res.returncode == 0:
+        # a nonzero-exit child is NEVER a sample, even if it printed a
+        # JSON-looking line before dying — a failed worker folded into the
+        # min-across-workers headline would publish a corrupt measurement
+        for line in res.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+        if not require_json:
+            return None
     raise RuntimeError(
-        f"bench child {script} local[{cores}] failed: "
+        f"bench child {script} local[{cores}] failed "
+        f"(exit {res.returncode}): "
         f"{res.stdout[-500:]} {res.stderr[-1500:]}"
     )
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    """Scale factor from an sf-dir path (ONE copy — a drifted duplicate of
+    this measurement-identity helper would misreport sf in the headline)."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
 
 
 def replicate_docs(base, n_replicas: int):

@@ -98,10 +98,9 @@ LOCAL_LANES = {
 
 
 def _sf(sf_dir: str) -> float:
-    import re
+    from tools.bench_common import sf_from_dir
 
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    return float(m.group(1)) if m else 0.1
+    return sf_from_dir(sf_dir)
 
 
 def prepare(sf_dir: str, cpus: int) -> None:
@@ -426,7 +425,12 @@ def run(sf_dir: str, cpus: int) -> None:
     emb = spark.read.parquet(EMB_CORPUS).persist()
     extras["pq_n_vecs"] = emb.count()
     books = pqop.pq_train(emb, m=16, ksub=32, lloyd_iters=0)
-    qvec = list(emb.filter("vec_id = 7").head()["embedding"])
+    # smallest-id row, not a hardcoded id — a re-keyed/filtered embeddings
+    # table without vec_id=7 would TypeError after every lane already ran
+    qrow = emb.orderBy("vec_id").select("embedding").head()
+    if qrow is None:
+        raise RuntimeError(f"{EMB_CORPUS}: embeddings table is empty")
+    qvec = list(qrow["embedding"])
     pqop.pq_encode(emb.limit(64), books).agg(F.count("*")).collect()  # warm
     timed("pq_encode", lambda: pqop.pq_encode(emb, books).agg(
         F.count("*"), F.sum(F.element_at("codes", 1))
